@@ -1,0 +1,45 @@
+"""Parquet table sources for the driver-provided TPC-H-ish test data.
+
+In the reference the only source is an HBase table scan
+(reference: src/main/kotlin/app/batch/HBaseReader.kt:34-60); here parquet
+stands in for the oracle harness and columnar scans get predicate/column
+pushdown from Catalyst for free. The HBase-shaped source lives in
+sources/hbase_cells.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long
+    # (nanosAsLong); truncate to micros like DuckDB's ns->us cast so both
+    # engines see identical values.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

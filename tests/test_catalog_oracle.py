@@ -1,0 +1,54 @@
+"""Replicates the driver's t2 gate in-pytest: every catalog query with an
+oracle must match DuckDB on row count, column names, and an
+order-insensitive value hash (at sf0.001 for speed; the driver uses sf0.01).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from check_correctness import value_hash  # noqa: E402
+
+from dwp_hbase_to_mongo_export_spark import queries as catalog  # noqa: E402
+from dwp_hbase_to_mongo_export_spark.sources.parquet import TABLES  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(catalog.ORACLE))
+def test_oracle_match(name, spark, sf_dir, duck):
+    sdf = catalog.QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(catalog.ORACLE[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} != {len(drows)}"
+    assert sorted(scols) == sorted(dcols)
+    assert value_hash(srows, scols) == value_hash(drows, dcols)
+
+
+def test_every_query_has_runnable_entry(spark, sf_dir):
+    for name, fn in catalog.QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert len(df.collect()) >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
