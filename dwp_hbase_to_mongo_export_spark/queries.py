@@ -336,6 +336,12 @@ def manifest_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _register_extra_modules() -> None:
+    """Import side-effect registration of the other catalog modules
+    (called at the bottom of this file, after `query` exists)."""
+    from . import queries_pipeline  # noqa: F401
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -353,3 +359,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+_register_extra_modules()

@@ -1,0 +1,135 @@
+"""Oracle-checked end-to-end pipeline query.
+
+Builds reference-shaped envelope cells deterministically FROM the orders
+table (all Spark-side: payload JSON via string concat, AES-CTR encryption
+via a pandas UDF with per-record deterministic IVs), runs the FULL export
+pipeline (envelope parse -> mandatory-field gate -> decrypt -> normalise
+-> sanitise), and returns (okey, db_object, manifest_id, original_id).
+
+The DuckDB oracle computes the same final strings directly — decrypt(
+encrypt(x)) == x, so the expected output is pure string construction:
+- even orderkeys: object _id kept in place; odd: primitive _id -> $oid
+  wrap moved to the end (reference remove+add semantics);
+- createdDateTime (outgoing format) gets $date-wrapped in place;
+- _lastModifiedDateTime injected from the fallback chain at the end;
+- sanitisation turns $oid/$date into d_oid/d_date in the payload but NOT
+  in the manifest id (derived pre-sanitise) — all reference quirks pinned
+  end-to-end against an independent implementation.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .pipeline import export_topic
+from .queries import query
+from .sources.hbase_cells import DATA_KEY_B64, MASTER_KEK_ID, deterministic_iv
+from .functions.crypto import LocalKeyService, aes_ctr_encrypt
+from .sources.parquet import load_table
+
+TOPIC = "db.pipedb.pipecoll"
+_CANON = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+@F.pandas_udf(T.StringType())
+def _encrypt_udf(payload: pd.Series, okey: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            aes_ctr_encrypt(DATA_KEY_B64, deterministic_iv(int(k)), p.encode("utf-8"))
+            for p, k in zip(payload, okey)
+        ]
+    )
+
+
+def build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    service = LocalKeyService()
+    encrypted_key = service.encrypt_data_key(MASTER_KEK_ID, DATA_KEY_B64)
+    k = F.col("o_orderkey").cast("string")
+    d = F.date_format("o_orderdate", _CANON)
+    id_part = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit('{"record_id": "'), k, F.lit('"}')),
+    ).otherwise(F.concat(F.lit('"'), k, F.lit('"')))
+    payload = F.concat(
+        F.lit('{"_id": '),
+        id_part,
+        F.lit(', "createdDateTime": "'),
+        d,
+        F.lit('", "note": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    iv_b64 = F.pandas_udf(
+        lambda s: pd.Series(
+            [base64.b64encode(deterministic_iv(int(v))).decode("ascii") for v in s]
+        ),
+        T.StringType(),
+    )("o_orderkey")
+    envelope = F.to_json(
+        F.struct(
+            k.alias("traceId"),
+            F.lit("OUTER_TYPE").alias("@type"),
+            F.struct(
+                F.lit("pipedb").alias("db"),
+                F.lit("pipecoll").alias("collection"),
+                F.lit("INNER_TYPE").alias("@type"),
+                F.struct(
+                    F.lit(encrypted_key).alias("encryptedEncryptionKey"),
+                    iv_b64.alias("initialisationVector"),
+                    F.lit(MASTER_KEK_ID).alias("keyEncryptionKeyId"),
+                ).alias("encryption"),
+                _encrypt_udf(payload, "o_orderkey").alias("dbObject"),
+            ).alias("message"),
+        )
+    )
+    # row key bytes are only diagnostic here (_id always present)
+    row_key = F.to_binary(F.lpad(F.hex(F.crc32(k.cast("binary"))), 8, "0"), F.lit("hex"))
+    return o.select(
+        F.lit(TOPIC).alias("topic"),
+        row_key.alias("row_key"),
+        F.lit(1000).cast("long").alias("ts"),
+        envelope.alias("value"),
+        k.alias("okey"),
+    )
+
+
+@query(
+    "export_pipeline_e2e",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS d,
+             o_orderpriority AS note,
+             o_orderkey % 2 = 0 AS even
+      FROM orders
+    )
+    SELECT k AS okey,
+           CASE WHEN even THEN
+             '{"_id":{"record_id":"' || k || '"},"createdDateTime":{"d_date":"' || d ||
+             '"},"note":"' || note || '","_lastModifiedDateTime":{"d_date":"' || d || '"}}'
+           ELSE
+             '{"createdDateTime":{"d_date":"' || d || '"},"note":"' || note ||
+             '","_lastModifiedDateTime":{"d_date":"' || d || '"},"_id":{"d_oid":"' || k || '"}}'
+           END AS db_object,
+           CASE WHEN even THEN '{"record_id":"' || k || '"}'
+                ELSE '{"$oid":"' || k || '"}' END AS manifest_id,
+           CASE WHEN even THEN '{"record_id":"' || k || '"}'
+                ELSE k END AS original_id
+    FROM base
+    """,
+)
+def export_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = build_cells(spark, sf_dir)
+    res = export_topic(cells.drop("okey"), TOPIC)
+    return res.extra["sink_frame"].select(
+        F.regexp_extract("id", r"(\d+)", 1).alias("okey"),
+        F.col("db_object"),
+        F.col("id").alias("manifest_id"),
+        F.col("originalId").alias("original_id"),
+    )

@@ -1,0 +1,194 @@
+"""Snapshot sinks — "mongo backup format" (one JSON record per line),
+size-bounded, compressed, optionally envelope-encrypted, plus the aligned
+per-file manifest CSVs.
+
+Reference: src/main/kotlin/app/batch/S3StreamingWriter.kt:73-187 —
+roll a new file when uncompressed bytes would exceed
+output.batch.size.max.bytes; per file: compress (bz2/gz/lz4) -> AES-CTR
+encrypt (fresh random IV per file, ONE data key per run) -> put with
+metadata (iv, ciphertext of data key, kek id); object key
+{prefix}/{topic}-{start:03d}-{stop:03d}-{seq:06d}.txt.{ext}.enc and a
+matching manifest CSV per file (DomainClasses.kt:83-88).
+
+Two writers:
+- write_snapshot_text: the pure-Spark path (codegen'd, no Python) for
+  when byte-exact rolling and envelope encryption are not required —
+  this is what you'd run at 100 TB with sizes controlled by
+  maxRecordsPerFile, letting the committer handle naming/atomicity.
+- write_encrypted_snapshots: faithful reference semantics via
+  mapPartitions — each partition streams its records through
+  compress+encrypt with byte-exact rolls; returns per-file metadata
+  rows to the driver (for status counts / notifications). The data key
+  is fetched ONCE on the driver and broadcast (the "single datakey per
+  collection" invariant, UberTestSpec.kt:144-154).
+"""
+
+from __future__ import annotations
+
+import base64
+import bz2 as _bz2
+import gzip as _gzip
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.crypto import aes_ctr_encrypt
+from ..operators.manifest import MANIFEST_COLUMNS
+
+try:  # lz4 isn't in the base image; gate like the reference's codec profiles
+    import lz4.frame as _lz4  # type: ignore
+
+    HAVE_LZ4 = True
+except ImportError:
+    _lz4 = None
+    HAVE_LZ4 = False
+
+_COMPRESSORS = {
+    "bz2": (lambda b: _bz2.compress(b), "bz2"),
+    "gz": (lambda b: _gzip.compress(b), "gz"),
+    "lz4": ((lambda b: _lz4.compress(b)) if HAVE_LZ4 else None, "lz4"),
+}
+
+
+def write_snapshot_text(
+    records: DataFrame,
+    path: str,
+    compression: str = "bzip2",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Spark-native line-JSON snapshot write (db_object column only)."""
+    w = records.select("db_object").write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.option("compression", compression).text(path)
+
+
+FILE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("object_key", T.StringType()),
+        T.StructField("manifest_key", T.StringType()),
+        T.StructField("records_in_batch", T.LongType()),
+        T.StructField("batch_size_bytes", T.LongType()),
+        T.StructField("data_size_bytes", T.LongType()),
+        T.StructField("iv", T.StringType()),
+        T.StructField("ciphertext_key", T.StringType()),
+        T.StructField("kek_id", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class SnapshotSinkConfig:
+    output_dir: str
+    topic: str
+    max_batch_bytes: int = 100_000_000
+    compression: str = "gz"
+    data_key_b64: str | None = None  # None -> plaintext (compressed only)
+    encrypted_data_key_b64: str = ""
+    kek_id: str = ""
+    export_prefix: str = ""
+    deterministic_iv: bool = False  # tests only
+
+
+def _csv_escape(v: str) -> str:
+    if any(ch in v for ch in ('"', ",", "\n", "\r")):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> list[Row]:
+    """records must carry db_object + the manifest columns
+    (id/timestamp/db/collection/source/externalOuterSource/originalId/
+    externalInnerSource as produced by operators.manifest.manifest_records
+    joined back, or the pipeline's wide record frame).
+
+    Executor-side: stream each partition into size-rolled files under
+    cfg.output_dir; returns collected per-file metadata (driver-side
+    bookkeeping — the incrementExportedCount / notifySnapshotSender hook).
+    """
+    import hashlib
+    import secrets
+
+    compress, ext = _COMPRESSORS[cfg.compression][0], _COMPRESSORS[cfg.compression][1]
+    if compress is None:
+        raise ValueError(f"compression codec {cfg.compression} unavailable")
+    out_dir = cfg.output_dir
+    topic = cfg.topic
+    max_bytes = cfg.max_batch_bytes
+    data_key = cfg.data_key_b64
+    enc_key = cfg.encrypted_data_key_b64
+    kek = cfg.kek_id
+    det_iv = cfg.deterministic_iv
+    suffix = f".txt.{ext}.enc" if data_key else f".txt.{ext}"
+
+    os.makedirs(out_dir, exist_ok=True)
+    mcols = MANIFEST_COLUMNS
+
+    def flush(pid: int, seq: int, lines: list[str], manifest_lines: list[str], nbytes: int):
+        body = "".join(lines).encode("utf-8")
+        comp = compress(body)
+        meta = {
+            "object_key": f"{topic}-{pid:03d}-{pid:03d}-{seq:06d}{suffix}",
+            "manifest_key": f"{topic}-{pid:03d}-{pid:03d}-{seq:06d}.csv",
+            "records_in_batch": len(lines),
+            "batch_size_bytes": nbytes,
+            "iv": "",
+            "ciphertext_key": enc_key,
+            "kek_id": kek,
+        }
+        if data_key:
+            iv = (
+                hashlib.sha256(f"{topic}:{pid}:{seq}".encode()).digest()[:16]
+                if det_iv
+                else secrets.token_bytes(16)
+            )
+            payload = base64.b64decode(aes_ctr_encrypt(data_key, iv, comp))
+            meta["iv"] = base64.b64encode(iv).decode("ascii")
+        else:
+            payload = comp
+        meta["data_size_bytes"] = len(payload)
+        with open(os.path.join(out_dir, meta["object_key"]), "wb") as f:
+            f.write(payload)
+        with open(os.path.join(out_dir, meta["manifest_key"]), "w", encoding="utf-8") as f:
+            f.write("".join(manifest_lines))
+        with open(os.path.join(out_dir, meta["object_key"] + ".metadata.json"), "w") as f:
+            json.dump({"iv": meta["iv"], "ciphertext": enc_key, "dataKeyEncryptionKeyId": kek}, f)
+        return Row(
+            object_key=meta["object_key"],
+            manifest_key=meta["manifest_key"],
+            records_in_batch=meta["records_in_batch"],
+            batch_size_bytes=meta["batch_size_bytes"],
+            data_size_bytes=meta["data_size_bytes"],
+            iv=meta["iv"],
+            ciphertext_key=enc_key,
+            kek_id=kek,
+        )
+
+    def write_partition(pid: int, rows):
+        seq = 0
+        lines: list[str] = []
+        manifest_lines: list[str] = []
+        nbytes = 0
+        for row in rows:
+            line = row["db_object"] + "\n"
+            # roll BEFORE writing when the next record would overflow
+            # (S3StreamingWriter.kt:78-80)
+            if lines and nbytes + len(line) > max_bytes:
+                yield flush(pid, seq, lines, manifest_lines, nbytes)
+                seq += 1
+                lines, manifest_lines, nbytes = [], [], 0
+            lines.append(line)
+            nbytes += len(line)
+            manifest_lines.append(
+                "|".join(_csv_escape(str(row[c]) if row[c] is not None else "") for c in mcols)
+                + "\n"
+            )
+        if lines:
+            yield flush(pid, seq, lines, manifest_lines, nbytes)
+
+    rdd = records.rdd.mapPartitionsWithIndex(write_partition)
+    return rdd.collect()

@@ -1,0 +1,120 @@
+"""Sink tests mirroring S3StreamingWriterTest: faithful bytes
+(decrypt∘decompress == input), size-based chunking, manifest fidelity —
+plus the orchestration status fold matrix
+(JobCompletionNotificationListenerTest)."""
+
+from __future__ import annotations
+
+import bz2
+import glob
+import gzip
+import os
+
+from dwp_hbase_to_mongo_export_spark.functions.crypto import aes_ctr_decrypt
+from dwp_hbase_to_mongo_export_spark.orchestration import (
+    CollectionStatus as CS,
+    ExportCompletionStatus as ECS,
+    ExportStatusService,
+    completion_fold,
+)
+from dwp_hbase_to_mongo_export_spark.pipeline import export_topic
+from dwp_hbase_to_mongo_export_spark.sinks.manifest_csv import write_manifest_csv
+from dwp_hbase_to_mongo_export_spark.sinks.snapshot import (
+    SnapshotSinkConfig,
+    write_encrypted_snapshots,
+    write_snapshot_text,
+)
+from dwp_hbase_to_mongo_export_spark.sources.hbase_cells import DATA_KEY_B64, fixture_cells
+
+import base64
+
+
+def test_encrypted_snapshot_roundtrip(spark, tmp_path):
+    cells = fixture_cells(spark, n=50)
+    res = export_topic(cells, "db.database.collection")
+    sink_frame = res.extra["sink_frame"].coalesce(1)
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path),
+        topic="db.database.collection",
+        max_batch_bytes=2000,  # force several rolls
+        compression="gz",
+        data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="enc-key-b64",
+        kek_id="local-kek-1",
+        deterministic_iv=True,
+    )
+    metas = write_encrypted_snapshots(sink_frame, cfg)
+    assert len(metas) > 1  # rolled
+    total_records = 0
+    all_lines = []
+    for m in metas:
+        assert m.batch_size_bytes <= 2000
+        raw = open(os.path.join(str(tmp_path), m.object_key), "rb").read()
+        body = gzip.decompress(
+            aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode())
+        )
+        lines = body.decode().splitlines()
+        assert len(lines) == m.records_in_batch
+        total_records += len(lines)
+        all_lines.extend(lines)
+        # aligned manifest exists with same record count
+        mlines = open(os.path.join(str(tmp_path), m.manifest_key)).read().splitlines()
+        assert len(mlines) == len(lines)
+        assert all(len(line.split("|")) == 8 for line in mlines)
+    assert total_records == 50
+    assert all(line.startswith("{") for line in all_lines)
+
+
+def test_plaintext_snapshot_bz2(spark, tmp_path):
+    cells = fixture_cells(spark, n=10)
+    res = export_topic(cells, "db.database.collection")
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path),
+        topic="db.database.collection",
+        max_batch_bytes=10**9,
+        compression="bz2",
+    )
+    metas = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
+    assert len(metas) == 1
+    body = bz2.decompress(open(os.path.join(str(tmp_path), metas[0].object_key), "rb").read())
+    assert len(body.decode().splitlines()) == 10
+
+
+def test_spark_native_text_sink(spark, tmp_path):
+    cells = fixture_cells(spark, n=20)
+    res = export_topic(cells, "db.database.collection")
+    out = str(tmp_path / "txt")
+    write_snapshot_text(res.records, out, compression="gzip")
+    read_back = spark.read.text(out)
+    assert read_back.count() == 20
+
+
+def test_manifest_csv_sink(spark, tmp_path):
+    cells = fixture_cells(spark, n=10)
+    res = export_topic(cells, "db.database.collection")
+    out = str(tmp_path / "manifest")
+    write_manifest_csv(res.manifest, out)
+    files = glob.glob(out + "/*.csv")
+    assert files
+    lines = [line for f in files for line in open(f).read().splitlines()]
+    assert len(lines) == 10
+    assert all(line.count("|") >= 7 for line in lines)
+
+
+# --- completion fold matrix (DynamoDBExportStatusService.kt:33-58) ----------
+
+
+def test_completion_fold_matrix():
+    assert completion_fold([CS.EXPORTED, CS.BLOCKED_TOPIC, CS.TABLE_UNAVAILABLE]) == ECS.COMPLETED_SUCCESSFULLY
+    assert completion_fold([CS.EXPORTED, CS.EXPORTING]) == ECS.IN_PROGRESS
+    assert completion_fold([CS.EXPORTED, CS.EXPORT_FAILED]) == ECS.COMPLETED_UNSUCCESSFULLY
+    assert completion_fold([]) == ECS.NOT_COMPLETED
+
+
+def test_status_service_increments():
+    svc = ExportStatusService("corr-1")
+    svc.set_status("c1", CS.EXPORTED)
+    svc.increment_exported_count("c1")
+    svc.increment_exported_count("c1")
+    assert svc.files_exported["c1"] == 2
+    assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
