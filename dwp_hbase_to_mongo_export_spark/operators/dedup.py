@@ -1,0 +1,199 @@
+"""Deduplication family — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine. Extension operators for 100 TB training-data pipelines
+(BASELINE.json north star); all compose from built-in DataFrame ops so
+Catalyst handles pushdown/AQE, and every hash is md5-based so a DuckDB
+oracle reproduces results exactly.
+
+Scale design notes (per operator):
+- exact: groupBy on a 16-byte content hash — the hash shuffles, not the
+  payload. At 100 TB this is the canonical one-shuffle dedup.
+- MinHash+LSH: shingle -> n_perm hashed mins -> band keys -> equi-join on
+  band key. Work is linear in corpus size (truncated shingling) and the
+  candidate join is an equi-join LSH makes sparse; band/row counts tune
+  the jaccard threshold ((1/b)^(1/r)). Skewed band keys (boilerplate
+  docs) are handled by AQE skew-join; at extreme skew, salt the band key
+  or drop top-frequency bands (they're near-universal boilerplate).
+- SimHash: per-doc 32-bit signature via sign-aggregated token hashes —
+  one narrow agg, no joins; near-dup = small Hamming distance.
+- n-gram Jaccard: exact all-pairs verification; quadratic, so only ever
+  run it on LSH candidates (verify_jaccard) or a bounded id range.
+- embedding cosine: all-pairs over a bounded set / per-bucket after LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, hash32, tokens
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(content_hash, keep_doc_id, n_dups) — keep the min id per hash."""
+    return (
+        df.withColumn("content_hash", F.md5(content_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, n_perm: int = 16) -> DataFrame:
+    """(id, perm, sig): sig = min over shingles of hash32(perm ':' g).
+    The min is a partial aggregation — map-side combined before the
+    shuffle, so signature cost is one pass over shingles."""
+    perm = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    h = hash32(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("g")))
+    return (
+        shingles.select(id_col, "g", perm)
+        .select(id_col, "perm", h.alias("h"))
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_band_keys(sigs: DataFrame, id_col: str, rows_per_band: int = 2) -> DataFrame:
+    """(id, band, band_key): band_key = ordered concat of the band's
+    signature values."""
+    banded = sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    pairs = F.array_sort(F.collect_list(F.struct("perm", "sig")))
+    key = F.array_join(F.transform(pairs, lambda x: x["sig"].cast("string")), ",")
+    return banded.groupBy(id_col, "band").agg(key.alias("band_key"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band key — a sparse
+    equi-join on (band, band_key)."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Exact jaccard for given candidate pairs: |A∩B| via a shingle
+    equi-join restricted to the pairs (semi-join pushes the candidate
+    filter into the shingle join), sizes via a broadcast-able per-doc
+    count."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "g")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        sa.join(sb, "g")
+        .join(pairs, ["id_a", "id_b"])  # restrict before the expensive agg
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.25,
+    k: int = 5,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Near-dup pairs: shingle -> minhash -> LSH bucket join -> exact
+    jaccard verify >= threshold. Returns (id_a, id_b, jaccard)."""
+    shingles = char_shingles(docs, text_col, id_col, k=k, max_chars=max_chars)
+    sigs = minhash_signatures(shingles, id_col, n_perm)
+    bands = lsh_band_keys(sigs, id_col, rows_per_band)
+    pairs = lsh_candidate_pairs(bands, id_col)
+    return jaccard_of_pairs(shingles, pairs, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.25,
+    k: int = 5,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Exact all-pairs jaccard >= threshold (no LSH) — the verification
+    baseline. Quadratic: bound the input (e.g. one LSH bucket)."""
+    shingles = char_shingles(docs, text_col, id_col, k=k, max_chars=max_chars)
+    sa = shingles.select(F.col(id_col).alias("id_a"), "g")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        sa.join(sb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-aggregate token hashes per bit. One explode +
+    one agg — linear, no joins; the signature is portable (md5-based)."""
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t")).filter(
+        F.col("t") != ""
+    )
+    h = hash32(F.col("t"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft builtins take a literal count; with a column
+    # count use the SQL form (still codegen'd)
+    contrib = F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+    votes = (
+        tok.select(id_col, h.alias("h"))
+        .select(id_col, "h", bit)
+        .groupBy(id_col, "bit")
+        .agg(F.sum(contrib).alias("v"))
+    )
+    bitval = F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return votes.groupBy(id_col).agg(F.sum(bitval).cast("bigint").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.4
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold. All-pairs form;
+    at scale, bucket with similarity.random_hyperplane_lsh first and run
+    this per bucket."""
+    from .similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 3).alias("cos"))
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine/dot as pure built-in expressions (zip_with + aggregate in
+  doubles — JVM-side, codegen'd; no Python in the hot loop).
+- brute_force_topk: exact top-k for a (small, broadcast) query set
+  against the full corpus — the correctness baseline and the right plan
+  whenever |queries| is small: one broadcast, no shuffle of the corpus.
+- random_hyperplane_lsh: deterministic sign-bit bucketing; the scale
+  path — join queries to candidates within a bucket (plus multiprobe
+  neighbours), then exact-rank the survivors. Buckets are md5-derived so
+  runs are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int] | DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — exact cosine top-k per query.
+    The query side is broadcast; ties broken by neighbor id for
+    determinism."""
+    q = emb
+    if max_query_id is not None:
+        q = q.filter(F.col(id_col) < max_query_id)
+    elif query_ids is not None and not isinstance(query_ids, DataFrame):
+        q = emb.filter(F.col(id_col).isin(list(query_ids)))
+    elif isinstance(query_ids, DataFrame):
+        q = query_ids
+    q = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): md5 of
+    (plane, dim) scaled — a driver-side constant, so the per-row work is
+    just the dot product (codegen'd multiply-adds, no per-row hashing)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}:d{dim}".encode()).hexdigest()[:8], 16)
+    return h / float(2**31) - 1.0
+
+
+def random_hyperplane_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
+    """Bucket id = sign bits against n_planes deterministic hyperplanes.
+    O(n_planes * n_dims) multiply-adds per row, all codegen'd."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = F.lit(0.0)
+        for d in range(n_dims):
+            proj = proj + F.get(vec, d).cast("double") * F.lit(_plane_component(p, d))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket; exact rank within
+    bucket. Queries multiprobe all buckets within `multiprobe_bits` Hamming
+    distance (explode is on the small query side only — the corpus is hashed
+    once and shuffled once on bucket). Recall measured against
+    brute_force_topk in tests. At 100 TB: corpus is hash-partitioned by
+    bucket (one shuffle), queries join only their buckets' partitions."""
+    with_bucket = emb.withColumn(
+        "bucket", random_hyperplane_bucket(F.col(vec_col), n_planes, n_dims)
+    )
+    q = with_bucket
+    if max_query_id is not None:
+        q = q.filter(F.col(id_col) < max_query_id)
+    probes = [F.col("bucket")]
+    if multiprobe_bits >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    if multiprobe_bits >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("bucket")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

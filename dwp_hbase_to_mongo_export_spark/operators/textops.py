@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (no UDFs) — they run inside
+whole-stage codegen and scale linearly; every one has a DuckDB-portable
+formulation for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, normalize_text, tokens
+
+
+def _distinct_tokens(c: Column) -> Column:
+    return F.array_distinct(tokens(c))
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language stopword-overlap score: |distinct tokens ∩ stoplist|
+    / |stoplist|. Tiny fixed lists -> O(tokens) per row."""
+    toks = _distinct_tokens(c)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        / F.lit(float(len(words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(c: Column) -> Column:
+    """argmax language by stopword overlap; ties resolved by a fixed
+    CASE order (en, de, es, fr — deterministic and trivially portable to
+    the SQL oracle); all-zero -> 'unknown'."""
+    s = lang_scores(c)
+    order = ["en", "de", "es", "fr"]
+    expr = F.lit("unknown")
+    for lang in reversed(order):
+        cond = s[lang] > 0
+        for o in order[: order.index(lang)]:
+            cond = cond & (s[lang] > s[o])  # strictly beat earlier langs
+        for o in order[order.index(lang) + 1 :]:
+            cond = cond & (s[lang] >= s[o])  # >= suffices vs later langs
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count of normalised text (0 for empty)."""
+    n = normalize_text(c)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """A BPE-ish proxy: count of word-piece matches (letter runs, digit
+    runs, punctuation singles) — the standard ~chars/4 heuristic's exact
+    cousin, computable without a tokenizer model."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + composite score (rounded for
+    oracle comparability)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    toks = tokens(c)
+    mean_tok_len = F.when(n_toks > 0, F.length(normalize_text(c)) / n_toks).otherwise(0.0)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_toks > 0, F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / n_toks
+    ).otherwise(0.0)
+    score = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.3
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_measured"),
+        n_toks.alias("n_tokens"),
+        F.round(mean_tok_len, 3).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 of raw and of normalised text (the
+    normalised one is the dedup key robust to whitespace/punct noise)."""
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("fp_raw"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp_normalised"),
+    )

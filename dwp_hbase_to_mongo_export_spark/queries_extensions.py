@@ -1,0 +1,278 @@
+"""Catalog entries for the 100 TB-extension operators (dedup family,
+similarity search, text analysis, multimodal metadata), each with a
+DuckDB oracle reproducing the exact same md5-based math.
+
+Cost caps: the quadratic verifiers are bounded by id predicates that are
+CONSTANT across scale factors, so sf0.1 bench times stay meaningful; the
+linear operators (simhash, minhash signatures, text analysis) run over
+the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, textops
+from .queries import query
+from .sources.parquet import load_table
+
+# shared oracle SQL fragments ------------------------------------------------
+
+_NORM = "substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 256)"
+_NORM_FULL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+_SHINGLES = f"""
+  norm AS (
+    SELECT doc_id, {_NORM} AS s FROM documents WHERE len({_NORM}) >= 5
+  ),
+  idx AS (SELECT doc_id, s, unnest(range(1, len(s)-3)) AS i FROM norm),
+  sh AS (SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g FROM idx)
+"""
+
+_H32 = "CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES},
+    perms AS (SELECT unnest(range(0, 16)) AS perm),
+    sigs AS (
+      SELECT doc_id, perm, min({_H32}) AS sig
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bands AS (
+      -- NB: // (integer division) — DuckDB's / rounds half-even on cast,
+      -- Spark's cast truncates
+      SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(perm // 2 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_dedup(docs, n_perm=16, rows_per_band=2, threshold=0.25)
+    return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bounded AS (SELECT * FROM sh WHERE doc_id < 200),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM bounded GROUP BY doc_id)
+    SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.25)
+    return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_FULL} AS s FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(s, ' ')) AS t FROM norm
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+      FROM tok WHERE t <> ''
+    ),
+    bits AS (SELECT unnest(range(0, 32)) AS bit),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 2000 AND b.vec_id < 2000
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return dedup.embedding_dup_pairs(emb, threshold=0.4)
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, k=5, max_query_id=10)
+
+
+def _stoplist_sql(lang: str) -> str:
+    from .functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(string_split({_NORM_FULL}, ' ')), {_stoplist_sql('en')})) / 10.0 AS s_en,
+             len(list_intersect(list_distinct(string_split({_NORM_FULL}, ' ')), {_stoplist_sql('de')})) / 10.0 AS s_de,
+             len(list_intersect(list_distinct(string_split({_NORM_FULL}, ' ')), {_stoplist_sql('es')})) / 10.0 AS s_es,
+             len(list_intersect(list_distinct(string_split({_NORM_FULL}, ' ')), {_stoplist_sql('fr')})) / 10.0 AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_NORM_FULL} AS nt,
+             len(text) AS n_chars_measured,
+             CASE WHEN len({_NORM_FULL}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_FULL}, ' ')) END AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, n_chars_measured, n_tokens,
+             CASE WHEN n_tokens > 0 THEN len(nt) * 1.0 / n_tokens ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_chars_measured > 0 THEN punct * 1.0 / n_chars_measured ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN
+               len(list_filter(string_split(nt, ' '), t -> list_contains({_stoplist_sql('en')}, t))) * 1.0 / n_tokens
+             ELSE 0.0 END AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id, n_chars_measured, n_tokens,
+           round(mean_token_len, 3) AS mean_token_len,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(stopword_ratio, 4) AS stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stopword_ratio * 5, 1.0) * 0.3
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.3, 4) AS quality_score
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_features(docs)
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(text) AS fp_raw, md5({_NORM_FULL}) AS fp_normalised
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.fingerprint(docs)
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len({_NORM_FULL}) = 0 THEN 0
+                ELSE len(string_split({_NORM_FULL}, ' ')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{{1,6}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        textops.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
+           CAST((doc_id % 9) * 64 + 64 AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS feature_hash
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata + stub-decoded features. feature_hash = md5(payload
+    bytes) = md5(text) since the fixture payload is utf-8 text bytes —
+    which is exactly what makes this oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media_columns(docs)
+    feats = multimodal.decode_and_featurize(media)
+    return (
+        media.select("media_id", F.col("meta.width").alias("width"), F.col("meta.height").alias("height"))
+        .join(feats, "media_id")
+        .select("media_id", "format", "width", "height", "n_bytes", "feature_hash")
+    )

@@ -1,0 +1,122 @@
+"""Unit tests for the extension operators: dedup family quality
+invariants, LSH recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwp_hbase_to_mongo_export_spark.operators import dedup, multimodal, similarity, textops
+from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_on_duplicated_corpus(spark, docs):
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    out = dedup.exact_dedup(doubled, "text", "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.count()  # one group per distinct text
+    assert all(r.n_dups == 2 for r in rows)
+    assert all(r.keep_doc_id < 10_000 for r in rows)  # min id kept
+
+
+def test_minhash_recall_against_exact(spark, docs):
+    """Every exact-jaccard pair >= 0.3 should be found by LSH with r=2,b=8
+    (collision prob at j=0.3 per band = 0.09; miss prob ~ (1-j^2)^8 — so
+    expect high-but-not-perfect recall; assert > 0.6 and full precision)."""
+    sample = docs.filter(F.col("doc_id") < 100)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(sample, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_dedup(sample, threshold=0.3).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision = 1
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall > 0.6, f"recall {recall} over {len(exact)} pairs"
+
+
+def test_simhash_close_for_near_duplicates(spark, docs):
+    """A doc vs itself with one word changed -> tiny hamming distance;
+    unrelated docs -> larger."""
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    variant = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    pair = dedup.simhash(base.union(variant))
+    h = {r.doc_id: r.simhash for r in pair.collect()}
+    near = bin(h[0] ^ h[1]).count("1")
+    far_df = dedup.simhash(docs.filter(F.col("doc_id").isin(0, 7)))
+    hf = {r.doc_id: r.simhash for r in far_df.collect()}
+    far = bin(hf[0] ^ hf[7]).count("1")
+    assert near <= far
+
+
+def test_lsh_topk_recall(spark, emb):
+    exact = similarity.brute_force_topk(emb, k=5, max_query_id=20).collect()
+    approx = similarity.lsh_topk(emb, k=5, n_planes=6, max_query_id=20).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 6 planes over 64-dim random vectors: bucket recall is modest; this
+    # pins the plumbing (deterministic buckets, correct ranking), the
+    # scale behaviour is the point
+    assert recall > 0.05, f"recall {recall}"
+    assert all(r.rank <= 5 for r in approx)
+
+
+def test_lang_id_prefers_en_on_these_docs(spark, docs):
+    out = docs.select(textops.lang_id(F.col("text")).alias("lang")).groupBy("lang").count()
+    m = {r.lang: r["count"] for r in out.collect()}
+    assert m.get("en", 0) > 0.9 * sum(m.values())  # corpus is en word-salad
+
+
+def test_quality_monotone_in_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and to in is it that for a " * 20), (2, "zzz qqq")], ["doc_id", "text"]
+    )
+    q = {r.doc_id: r.quality_score for r in textops.quality_features(df).collect()}
+    assert q[1] > q[2]
+
+
+def test_multimodal_decode_stub_plumbs_batches(spark, docs):
+    media = multimodal.attach_media_columns(docs.limit(50))
+    feats = multimodal.decode_and_featurize(media).collect()
+    assert len(feats) == 50
+    assert all(len(r.feature_hash) == 32 for r in feats)
+    assert all(r.thumb_w <= 64 and r.thumb_h <= 64 for r in feats)
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = multimodal.attach_media_columns(docs.limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_and_featurize(media, decode_stub=False).collect()
+
+
+def test_frame_sample_plan_bounded(spark, docs):
+    media = multimodal.attach_media_columns(docs.limit(10))
+    frames = multimodal.frame_sample_plan(media, every_n=10)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] <= 31 for r in per)
+
+
+def test_reduce_latest_matches_window(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.operators.latest import keep_latest, reduce_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    a = keep_latest(ev, ["user_id"], "ts").select("user_id", "event_id").collect()
+    b = reduce_latest(ev, ["user_id"], "ts").select("user_id", "event_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
