@@ -74,28 +74,27 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Exact jaccard for given candidate pairs: |A∩B| via a shingle
-    equi-join restricted to the pairs (semi-join pushes the candidate
-    filter into the shingle join), sizes via a broadcast-able per-doc
-    count."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "g")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "g")
-    inter = (
-        sa.join(sb, "g")
-        .join(pairs, ["id_a", "id_b"])  # restrict before the expensive agg
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    """Exact jaccard for given candidate pairs. Join order matters at
+    scale: NEVER self-join shingles on the gram alone (a gram present in
+    m docs yields m^2 intermediate rows — quadratic in corpus size for
+    boilerplate grams). Instead fold each doc's shingle set into ONE array
+    row (bounded: <= max_chars grams/doc, ~1.3 KB), join the candidate
+    pairs to that compact per-doc table on each side, and intersect the
+    two arrays JVM-side (`array_intersect` builds a per-row hash set).
+    No row explosion: the verify stage shuffles |pairs| rows, not
+    |pairs| * shingles/doc."""
+    sets = shingles.groupBy(id_col).agg(F.collect_set("g").alias("gs"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("gs").alias("ga"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
         .select(
             "id_a",
             "id_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+            (F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter"))).alias("jaccard"),
         )
     )
 
@@ -181,19 +180,63 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.4
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    block_size: int = 1024,
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine >= threshold. All-pairs form;
-    at scale, bucket with similarity.random_hyperplane_lsh first and run
-    this per bucket."""
-    from .similarity import cosine
+    """(id_a, id_b, cos) pairs with cosine >= threshold, via blocked
+    matrix multiply: vectors are grouped into id-range blocks, block
+    pairs are enumerated once (upper triangle), and each block pair's
+    full similarity matrix is one numpy/BLAS matmul inside an
+    Arrow-batched mapInPandas. This is the vectorized exception to
+    "UDFs are slow": per-pair cost is a fused multiply-add in BLAS, ~2-3
+    orders faster than per-row expression evaluation. At 100 TB, bucket
+    with similarity.random_hyperplane_lsh first and run this per bucket;
+    block duplication factor is n_blocks per side, so keep blocks coarse.
+    """
+    import pandas as pd  # noqa: F401 — documents the mapInPandas dependency
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 3).alias("cos"))
+    blocks = (
+        emb.select(
+            F.floor(F.col(id_col) / block_size).alias("blk"),
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("r"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("r").alias("rows"))
     )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    grid = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+
+    def _block_cosine(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ida = np.array([r["id"] for r in rows_a], dtype=np.int64)
+                idb = np.array([r["id"] for r in rows_b], dtype=np.int64)
+                ma = np.array([r["v"] for r in rows_a], dtype=np.float64)
+                mb = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sim = ma @ mb.T
+                mask = (sim >= threshold) & (ida[:, None] < idb[None, :])
+                ii, jj = np.nonzero(mask)
+                out_a.append(ida[ii])
+                out_b.append(idb[jj])
+                out_c.append(sim[ii, jj])
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                    "cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+                }
+            )
+
+    pairs = grid.mapInPandas(_block_cosine, "id_a bigint, id_b bigint, cos double")
+    return pairs.select("id_a", "id_b", F.round("cos", 3).alias("cos"))
