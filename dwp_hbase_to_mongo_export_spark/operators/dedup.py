@@ -179,6 +179,47 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with simhash Hamming distance <=
+    max_hamming, found by banded blocking (Manku et al.'s near-dup
+    detection, public-literature technique): split the signature into
+    n_bands bit-bands; by pigeonhole, distance <= n_bands-1 guarantees at
+    least one identical band, so candidates are a sparse equi-join on
+    (band, band_bits) — never an all-pairs scan. Verification is one
+    bit_count(xor) per candidate, codegen'd. Requires
+    max_hamming < n_bands for completeness."""
+    if max_hamming >= n_bands:
+        raise ValueError("banded blocking needs max_hamming < n_bands")
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sig = simhash(docs, text_col, id_col, bits)
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("band_key", F.expr(f"shiftright(simhash, band * {band_width}) & {mask}"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

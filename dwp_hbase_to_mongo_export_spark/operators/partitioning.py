@@ -28,9 +28,10 @@ def key_partition_id(row_key: Column, scan_width: int = 5) -> Column:
     """Partition id = first key byte div scan_width. The fixture row key
     leads with a CRC32 byte, so ids are uniform — the property that makes
     byte-range partitioning balanced at 100 TB (SURVEY.md §1.1)."""
-    first_byte = F.get(row_key.cast("array<byte>"), 0).cast("int")
-    unsigned = F.when(first_byte < 0, first_byte + 256).otherwise(first_byte)
-    return (unsigned / F.lit(scan_width)).cast("int")
+    # substring on binary yields binary; hex -> conv gives the unsigned
+    # byte value (0-255) without a signed-byte correction
+    first_byte = F.conv(F.hex(F.substring(row_key, 1, 1)), 16, 10).cast("int")
+    return (first_byte / F.lit(scan_width)).cast("int")
 
 
 def repartition_by_key_range(df: DataFrame, scan_width: int = 5) -> DataFrame:

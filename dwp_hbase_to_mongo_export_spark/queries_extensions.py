@@ -121,6 +121,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_near",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_FULL} AS s FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(s, ' ')) AS t FROM norm
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+      FROM tok WHERE t <> ''
+    ),
+    bits AS (SELECT unnest(range(0, 32)) AS bit),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN bits GROUP BY doc_id, bit
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, s, band, (s >> CAST(band * 8 AS INT)) & 255 AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, bits=32, max_hamming=3, n_bands=4)
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

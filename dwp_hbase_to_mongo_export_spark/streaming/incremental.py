@@ -1,0 +1,120 @@
+"""Structured Streaming incremental-export path.
+
+The reference's incremental mode is a *batch* scan with a time-range
+predicate (src/main/kotlin/app/batch/HBaseReader.kt:131-150 —
+``Scan.setTimeRange``); SURVEY.md §3.2 notes the Spark-first mapping is
+either that same filtered batch read or a Structured Streaming read of a
+change feed with a watermark. This module provides the streaming form so
+a 100 TB deployment can run the export continuously instead of
+re-scanning the table per run:
+
+- ``stream_table``: file-source stream over a parquet table (stands in
+  for the change feed exactly as parquet stands in for HBase in the
+  batch path). ``maxFilesPerTrigger`` bounds micro-batch size.
+- ``incremental_scan_stream``: the time-range predicate as a stateless
+  streaming filter — identical results to the batch `time_range_scan`
+  query, which is what the oracle checks.
+- ``windowed_event_counts``: watermarked tumbling-window aggregation —
+  the stateful op the reference lacks but a continuous export needs for
+  late data. With Trigger.AvailableNow over a static table it must equal
+  the batch groupBy(window) result; the oracle pins that.
+- ``run_available_now``: drive any of the above to completion against a
+  memory sink and return the materialised DataFrame (used by the query
+  catalog; checkpoint + sink table are per-call temp resources).
+
+Scale note: the stateless filter keeps no state; the windowed agg's
+state is bounded by the watermark horizon and is partitioned by group
+key, so state scales with |active keys within horizon|, not corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a parquet table file. The file source needs a
+    directory listing, so the single-file fixture is exposed through a
+    per-call temp dir holding a symlink — zero copy."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    os.symlink(src, os.path.join(d, f"{name}.parquet"))
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(d)
+    # events.ts arrives as TIMESTAMP(NANOS) -> bigint under nanosAsLong;
+    # normalise to micros exactly like sources/parquet.load_table.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def incremental_scan_stream(
+    spark: SparkSession, sf_dir: str, start: str, end: str
+) -> DataFrame:
+    """Streaming form of the incremental time-range scan (stateless)."""
+    ev = stream_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    ).select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+
+
+def windowed_event_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked tumbling-window count + value sum per event_type."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, timeout_sec: int = 120) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the result as a batch DataFrame. Output mode is
+    'append' for stateless plans and 'complete' for aggregations."""
+    name = "s" + uuid.uuid4().hex[:12]
+    mode = "complete" if stream_df.isStreaming and _has_aggregate(stream_df) else "append"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan
