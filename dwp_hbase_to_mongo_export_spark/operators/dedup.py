@@ -110,10 +110,22 @@ def minhash_lsh_dedup(
     max_chars: int = 256,
 ) -> DataFrame:
     """Near-dup pairs: shingle -> minhash -> LSH bucket join -> exact
-    jaccard verify >= threshold. Returns (id_a, id_b, jaccard)."""
-    shingles = char_shingles(docs, text_col, id_col, k=k, max_chars=max_chars)
+    jaccard verify >= threshold. Returns (id_a, id_b, jaccard).
+
+    shingles and bands are persisted (memory-and-disk): each feeds two
+    branches whose column aliases differ (id_a/id_b), which defeats
+    Catalyst's ReuseExchange — without the persist the document scan +
+    shingle explode runs 4x. Both intermediates are bounded (<=
+    max_chars shingle rows and n_perm/rows_per_band band rows per doc),
+    so the cache is a constant factor of corpus size and spills to disk
+    at 100 TB rather than OOMing."""
+    from pyspark import StorageLevel
+
+    shingles = char_shingles(docs, text_col, id_col, k=k, max_chars=max_chars).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(shingles, id_col, n_perm)
-    bands = lsh_band_keys(sigs, id_col, rows_per_band)
+    bands = lsh_band_keys(sigs, id_col, rows_per_band).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(bands, id_col)
     return jaccard_of_pairs(shingles, pairs, id_col).filter(F.col("jaccard") >= threshold)
 
