@@ -68,6 +68,64 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted file over coarse
+    centroids. Every vector is assigned to its nearest centroid (one
+    broadcast join — the centroid table is tiny); each query probes only
+    its `nprobe` nearest centroids' posting lists and exact-ranks those
+    candidates. At 100 TB the corpus is hash-partitioned by centroid id,
+    so a probe touches nprobe/|centroids| of the data.
+
+    Centroids here are a deterministic id-stride subset of the corpus
+    (reproducible for the oracle); a production deployment would drop in
+    sampled k-means centroids — the dataflow is identical.
+    Returns (query_id, neighbor_id, rank)."""
+    cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
+        """top-n centroids per row of df by cosine; ties by cent_id."""
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_cs", cosine(F.col(vec_col), F.col("cent_vec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(df["*"], F.col("cent_id").alias(out))
+        )
+
+    assigned = nearest(emb, 1, "cluster")  # inverted file: vector -> centroid
+    q = emb if max_query_id is None else emb.filter(F.col(id_col) < max_query_id)
+    probes = nearest(q, nprobe, "probe").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "probe"
+    )
+    cands = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("cluster").alias("probe")
+    )
+    scored = (
+        probes.join(cands, "probe")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1): md5 of
     (plane, dim) scaled — a driver-side constant, so the per-row work is

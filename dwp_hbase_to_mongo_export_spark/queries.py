@@ -246,15 +246,15 @@ def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-mode time-range predicate.
 
     Reference: Scan.setTimeRange from scan.time.range.start/end
-    (src/main/kotlin/app/batch/HBaseReader.kt:131-150). Declarative filter →
-    Catalyst pushes it into the parquet scan (PushedFilters), exactly as a
-    DSv2 HBase connector would push it to regionservers.
+    (src/main/kotlin/app/batch/HBaseReader.kt:131-150). The range predicate
+    is applied to the raw stored value so it reaches the parquet scan
+    (PushedFilters + row-group pruning), exactly as a DSv2 HBase connector
+    would push it to regionservers — see load_events_time_range.
     """
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
-    ).select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    from .sources.parquet import load_events_time_range
+
+    ev = load_events_time_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    return ev.select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
 
 
 @query(

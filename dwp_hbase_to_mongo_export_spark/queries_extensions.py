@@ -196,6 +196,62 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, k=5, max_query_id=10)
 
 
+_IVF_COS = (
+    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM corpus WHERE vec_id % 100 = 0),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC, c.cent_id) AS rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS probe FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC, c.cent_id) AS rn
+        FROM corpus e CROSS JOIN cents c WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cent_id = p.probe
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_IVF_COS.format(a='q.embedding', b='n.embedding')} DESC, c.neighbor_id) AS rank
+      FROM cand c JOIN corpus q ON q.vec_id = c.query_id
+                  JOIN corpus n ON n.vec_id = c.neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: probe nprobe coarse clusters instead of the whole
+    corpus. Bounded to a constant id range so the oracle cost is fixed
+    across scale factors (the operator itself has no such bound)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return similarity.ivf_topk(emb, k=5, centroid_stride=100, nprobe=2, max_query_id=10)
+
+
+@query("similarity_topk_lsh")  # no SQL oracle: rows-only check; recall vs
+# brute force is pinned by tests/test_extensions.py
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH scale path with 1-bit multiprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, k=5, n_planes=8, n_dims=64, max_query_id=10)
+
+
 def _stoplist_sql(lang: str) -> str:
     from .functions.text import STOPWORDS
 
@@ -290,6 +346,22 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.token_count(F.col("text")).alias("n_tokens"),
         textops.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0,
+                  least(octet_length(encode(text)) // 100 + 1, 300), 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: bounded per-item frame fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media_columns(docs)
+    return multimodal.frame_sample_plan(media, every_n=10)
 
 
 @query(

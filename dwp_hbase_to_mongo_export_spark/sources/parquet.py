@@ -39,6 +39,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_time_range(
+    spark: SparkSession, sf_dir: str, start: str, end: str
+) -> DataFrame:
+    """events with ts in [start, end) — the incremental-scan predicate.
+
+    The ts column is stored as TIMESTAMP(NANOS), read as bigint
+    (nanosAsLong): filtering on the *converted* timestamp cannot reach
+    the parquet scan (Catalyst can't invert timestamp_micros), so the
+    range predicate is applied to the raw nanos value first — it shows
+    up in PushedFilters and prunes row groups via min/max stats, which
+    at 100 TB is the difference between scanning a day and scanning the
+    table. The conversion to micros happens after."""
+    from datetime import datetime, timezone
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        to_ns = lambda s: int(
+            datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        ) * 1_000
+        raw = raw.filter(
+            (F.col("ts") >= F.lit(to_ns(start))) & (F.col("ts") < F.lit(to_ns(end)))
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+    return raw.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so operators can use spark.sql."""
     for name in tables:
