@@ -40,6 +40,23 @@ def hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def char_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, max_chars: int = 256
+) -> DataFrame:
+    """Distinct character k-gram shingles per document as ONE array column
+    -> (id_col, gs: array<string>). Fully narrow — no explode, no
+    distinct shuffle: the per-doc set is array_distinct over a transform
+    of the index sequence, bounded by max_chars elements. This is the
+    scale-path form: downstream signature/band computation stays
+    per-row (map-only), so the first shuffle in the dedup DAG is the
+    candidate equi-join itself."""
+    s = normalize_text(F.col(text_col), max_chars)
+    df2 = df.select(F.col(id_col), s.alias("s")).filter(F.length("s") >= k)
+    idx = F.sequence(F.lit(1), F.length("s") - (k - 1))
+    gs = F.array_distinct(F.transform(idx, lambda i: F.col("s").substr(i, F.lit(k))))
+    return df2.select(id_col, gs.alias("gs"))
+
+
 def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5, max_chars: int = 256) -> DataFrame:
     """Distinct character k-gram shingles per document over normalised,
     truncated text -> (id_col, g). Truncation bounds the blow-up: shingle

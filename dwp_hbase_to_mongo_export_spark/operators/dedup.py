@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, hash32, tokens
+from ..functions.text import char_shingle_sets, char_shingles, hash32, tokens
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -37,17 +37,49 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+MINHASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_perm_constants(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_p, b_p) for the
+    minhash permutation family sig_p = min((a_p * h + b_p) mod M) over
+    the per-shingle base hash h = hash32(g). md5-derived so any engine
+    (the DuckDB oracle inlines them as literals) reproduces identical
+    signatures. a_p, b_p < 2^30 keeps a*h + b well inside signed-64
+    range (no ANSI overflow in Spark, no BIGINT overflow in DuckDB)."""
+    import hashlib
+
+    out = []
+    for p in range(n_perm):
+        a = int(hashlib.md5(f"a:{p}".encode()).hexdigest()[:8], 16) % (2**30 - 1) + 1
+        b = int(hashlib.md5(f"b:{p}".encode()).hexdigest()[:8], 16) % (2**30)
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str, n_perm: int = 16) -> DataFrame:
-    """(id, perm, sig): sig = min over shingles of hash32(perm ':' g).
-    The min is a partial aggregation — map-side combined before the
-    shuffle, so signature cost is one pass over shingles."""
-    perm = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    h = hash32(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("g")))
+    """(id, perm, sig) in row form: sig = min((a_p*h + b_p) mod M) with
+    h = hash32(g) computed once per shingle — the permutation family is
+    arithmetic, not n_perm separate string hashes. The min is a partial
+    aggregation — map-side combined before the shuffle."""
+    perms = [(p, a, b) for p, (a, b) in enumerate(minhash_perm_constants(n_perm))]
+    h = shingles.select(id_col, hash32(F.col("g")).alias("h"))
+    perm_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("perm"),
+                    ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias("hp"),
+                )
+                for p, a, b in perms
+            ]
+        )
+    )
     return (
-        shingles.select(id_col, "g", perm)
-        .select(id_col, "perm", h.alias("h"))
+        h.select(id_col, perm_struct.alias("ps"))
+        .select(id_col, "ps.perm", "ps.hp")
         .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("sig"))
+        .agg(F.min("hp").alias("sig"))
     )
 
 
@@ -78,14 +110,24 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str) -> Data
     scale: NEVER self-join shingles on the gram alone (a gram present in
     m docs yields m^2 intermediate rows — quadratic in corpus size for
     boilerplate grams). Instead fold each doc's shingle set into ONE array
-    row (bounded: <= max_chars grams/doc, ~1.3 KB), join the candidate
-    pairs to that compact per-doc table on each side, and intersect the
-    two arrays JVM-side (`array_intersect` builds a per-row hash set).
-    No row explosion: the verify stage shuffles |pairs| rows, not
-    |pairs| * shingles/doc."""
+    row (bounded: <= max_chars grams/doc, ~1.3 KB) and use
+    jaccard_of_sets."""
     sets = shingles.groupBy(id_col).agg(F.collect_set("g").alias("gs"))
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("gs").alias("ga"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gb"))
+    return jaccard_of_sets(sets, pairs, id_col)
+
+
+def jaccard_of_sets(
+    sets: DataFrame, pairs: DataFrame, id_col: str, set_col: str = "gs"
+) -> DataFrame:
+    """Exact jaccard for candidate pairs given per-doc shingle-set arrays
+    (id_col, set_col). The pairs table joins the compact per-doc table on
+    each side and the arrays intersect JVM-side (`array_intersect` builds
+    a per-row hash set). No row explosion: the verify stage shuffles
+    |pairs| rows, not |pairs| * shingles/doc. Pass the hashed-shingle
+    array (array<bigint>) as set_col where possible: intersecting longs
+    hashes 8-byte values instead of strings, ~2x faster per pair."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("ga"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     return (
         pairs.join(a, "id_a")
@@ -112,22 +154,71 @@ def minhash_lsh_dedup(
     """Near-dup pairs: shingle -> minhash -> LSH bucket join -> exact
     jaccard verify >= threshold. Returns (id_a, id_b, jaccard).
 
-    shingles and bands are persisted (memory-and-disk): each feeds two
-    branches whose column aliases differ (id_a/id_b), which defeats
-    Catalyst's ReuseExchange — without the persist the document scan +
-    shingle explode runs 4x. Both intermediates are bounded (<=
-    max_chars shingle rows and n_perm/rows_per_band band rows per doc),
-    so the cache is a constant factor of corpus size and spills to disk
-    at 100 TB rather than OOMing."""
+    The shingle/signature/band chain is computed NARROWLY: the per-doc
+    shingle set is one array column (char_shingle_sets), each of the
+    n_perm signatures is an `array_min(transform(...))` over it, and
+    band keys are `concat_ws` over signature columns — one map-only
+    projection per document, zero shuffles. The first shuffle in the DAG
+    is the candidate equi-join on (band, band_key); the second is the
+    verify join. (The equivalent row-form building blocks —
+    minhash_signatures / lsh_band_keys over exploded shingle rows —
+    shuffle 2 extra times and exist for composition with other ops.)
+
+    Jaccard is computed over the SET OF 32-BIT SHINGLE HASHES (hashed
+    jaccard — what large-scale dedup pipelines actually compare): the
+    cached per-doc state and the verify intersection work on 8-byte
+    longs, not k-char strings. The md5-derived hash makes it engine-
+    portable, so the oracle reproduces identical values, collisions
+    included.
+
+    sets and banded are persisted (memory-and-disk): each feeds the two
+    aliased sides of a self-join, which defeats ReuseExchange; both are
+    bounded per doc (<= max_chars grams, n_perm/rows_per_band bands), so
+    the cache is a constant factor of corpus size and spills rather than
+    OOMing at 100 TB."""
     from pyspark import StorageLevel
 
-    shingles = char_shingles(docs, text_col, id_col, k=k, max_chars=max_chars).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets = (
+        char_shingle_sets(docs, text_col, id_col, k=k, max_chars=max_chars)
+        .select(
+            id_col,
+            F.array_distinct(F.transform("gs", lambda g: hash32(g))).alias("hs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = minhash_signatures(shingles, id_col, n_perm)
-    bands = lsh_band_keys(sigs, id_col, rows_per_band).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = lsh_candidate_pairs(bands, id_col)
-    return jaccard_of_pairs(shingles, pairs, id_col).filter(F.col("jaccard") >= threshold)
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
+
+    sig_cols = [
+        F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{p}")
+        for p, (a, b) in enumerate(minhash_perm_constants(n_perm))
+    ]
+    with_sigs = sets.select(id_col, *sig_cols)
+    n_bands = n_perm // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = (
+        with_sigs.select(id_col, F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band", "bb.band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = lsh_candidate_pairs(banded, id_col)
+    return jaccard_of_sets(sets, pairs, id_col, set_col="hs").filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(

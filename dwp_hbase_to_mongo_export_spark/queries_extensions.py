@@ -30,17 +30,23 @@ _SHINGLES = f"""
   sh AS (SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g FROM idx)
 """
 
-_H32 = "CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT)"
+_PERM_VALUES = ", ".join(
+    f"({p}, {a}, {b})" for p, (a, b) in enumerate(dedup.minhash_perm_constants(16))
+)
 
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES},
-    perms AS (SELECT unnest(range(0, 16)) AS perm),
+    hashed AS (
+      -- hashed-jaccard domain: the distinct 32-bit shingle hashes per doc
+      SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h FROM sh
+    ),
+    perms(perm, a, b) AS (VALUES {_PERM_VALUES}),
     sigs AS (
-      SELECT doc_id, perm, min({_H32}) AS sig
-      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+      SELECT doc_id, perm, min((a * h + b) % {dedup.MINHASH_MOD}) AS sig
+      FROM hashed CROSS JOIN perms GROUP BY doc_id, perm
     ),
     bands AS (
       -- NB: // (integer division) — DuckDB's / rounds half-even on cast,
@@ -56,10 +62,11 @@ _H32 = "CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || g), 1, 8)) AS B
     ),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS i
-      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+      FROM cand c JOIN hashed a ON a.doc_id = c.id_a
+                  JOIN hashed b ON b.doc_id = c.id_b AND b.h = a.h
       GROUP BY c.id_a, c.id_b
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id)
     SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
