@@ -178,8 +178,10 @@ def minhash_lsh_dedup(
     OOMing at 100 TB."""
     from pyspark import StorageLevel
 
+    from ..sources.parquet import ensure_parallelism
+
     sets = (
-        char_shingle_sets(docs, text_col, id_col, k=k, max_chars=max_chars)
+        char_shingle_sets(ensure_parallelism(docs), text_col, id_col, k=k, max_chars=max_chars)
         .select(
             id_col,
             F.array_distinct(F.transform("gs", lambda g: hash32(g))).alias("hs"),
@@ -258,9 +260,11 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(id, simhash): sign-aggregate token hashes per bit. One explode +
     one agg — linear, no joins; the signature is portable (md5-based)."""
-    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t")).filter(
-        F.col("t") != ""
-    )
+    from ..sources.parquet import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("t")
+    ).filter(F.col("t") != "")
     h = hash32(F.col("t"))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     # shiftright/shiftleft builtins take a literal count; with a column

@@ -164,7 +164,9 @@ def lsh_topk(
     once and shuffled once on bucket). Recall measured against
     brute_force_topk in tests. At 100 TB: corpus is hash-partitioned by
     bucket (one shuffle), queries join only their buckets' partitions."""
-    with_bucket = emb.withColumn(
+    from ..sources.parquet import ensure_parallelism
+
+    with_bucket = ensure_parallelism(emb).withColumn(
         "bucket", random_hyperplane_bucket(F.col(vec_col), n_planes, n_dims)
     )
     q = with_bucket

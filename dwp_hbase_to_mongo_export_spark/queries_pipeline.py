@@ -47,7 +47,11 @@ def _encrypt_udf(payload: pd.Series, okey: pd.Series) -> pd.Series:
 
 
 def build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from .sources.parquet import ensure_parallelism
+
+    # the whole pipeline is narrow (pandas-UDF crypto both ways): spread
+    # the single small input split across cores up front
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
     service = LocalKeyService()
     encrypted_key = service.encrypt_data_key(MASTER_KEK_ID, DATA_KEY_B64)
     k = F.col("o_orderkey").cast("string")

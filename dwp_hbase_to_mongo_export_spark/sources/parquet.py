@@ -39,6 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition up to defaultParallelism*factor if the input has fewer
+    partitions. Small parquet files arrive as ONE input split (they fit a
+    single maxPartitionBytes chunk), which serialises every downstream
+    pandas-UDF/HOF on one core; CPU-heavy operators call this so compute
+    parallelism is decoupled from input file layout. No-op (and no
+    shuffle) when the source already has enough splits — the 100 TB
+    case."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_events_time_range(
     spark: SparkSession, sf_dir: str, start: str, end: str
 ) -> DataFrame:
