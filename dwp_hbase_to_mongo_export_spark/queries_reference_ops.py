@@ -263,6 +263,29 @@ def streaming_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value,
+           epoch_us(ts) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): running
+    latest-event-per-user; with AvailableNow over a static table the
+    final state equals the batch latest_per_key window dedup."""
+    s = streaming.stateful_latest_per_key(spark, sf_dir)
+    out = streaming.run_available_now(s)
+    return out.select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value"), "ts_us"
+    )
+
+
+@query(
     "streaming_windowed_counts",
     oracle="""
     SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,

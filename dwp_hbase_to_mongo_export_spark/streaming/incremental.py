@@ -94,12 +94,82 @@ def windowed_event_counts(
     )
 
 
+def stateful_latest_per_key(
+    spark: SparkSession, sf_dir: str, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator: running latest-event-per-user
+    via applyInPandasWithState. State per key is ONE row (the current
+    winner), updated per micro-batch and emitted on timeout/stream end —
+    the streaming form of the batch latest_per_key window dedup, which is
+    exactly what a continuous export needs to maintain "newest version
+    per row key" over a change feed. State size scales with |keys|, not
+    |events|; pass timeout_minutes on a continuous deployment so a
+    processing-time timer bounds idle-key retention (with a bounded
+    AvailableNow drain leave it None — a pending timer keeps the query
+    waiting for a timer batch instead of terminating).
+
+    Tie-breaking matches the batch form: (ts, event_id) descending."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+
+    out_schema = (
+        "user_id bigint, event_id bigint, event_type string, value double, ts_us bigint"
+    )
+    state_schema = "event_id bigint, event_type string, value double, ts_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        best = None  # (ts_us, event_id, event_type, value)
+        if state.exists:
+            eid, etype, val, ts = state.get
+            best = (ts, eid, etype, val)
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (row.ts_us, row.event_id, row.event_type, row.value)
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update((best[1], best[2], best[3], best[0]))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+                "ts_us": [best[0]],
+            }
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
 def run_available_now(stream_df: DataFrame, timeout_sec: int = 120) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the result as a batch DataFrame. Output mode is
     'append' for stateless plans and 'complete' for aggregations."""
     name = "s" + uuid.uuid4().hex[:12]
-    mode = "complete" if stream_df.isStreaming and _has_aggregate(stream_df) else "append"
+    plan = stream_df._jdf.queryExecution().logical().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        mode = "update"
+    elif "Aggregate" in plan:
+        mode = "complete"
+    else:
+        mode = "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -113,8 +183,3 @@ def run_available_now(stream_df: DataFrame, timeout_sec: int = 120) -> DataFrame
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
-
-
-def _has_aggregate(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().logical().toString()
-    return "Aggregate" in plan
