@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) for the semantic core — the pure
+functions that back the pandas-UDF hot paths. The date fast-path is
+checked against strptime as an independent reference implementation.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dwp_hbase_to_mongo_export_spark.functions.dates import (
+    DateParseError,
+    canonicalise,
+    parse_valid_datetime,
+    to_outgoing_format,
+    wrap_dates_in_place,
+)
+from dwp_hbase_to_mongo_export_spark.functions.jsonfns import (
+    dumps_compact,
+    make_row_key,
+    reverse_engineer_id,
+    sort_json_by_key,
+    strip_key_hash,
+)
+from dwp_hbase_to_mongo_export_spark.functions.record_norm import sanitise
+
+
+_dt = st.datetimes(
+    min_value=datetime(1900, 1, 1),
+    max_value=datetime(2199, 12, 31),
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+
+_offset_minutes = st.integers(min_value=-(14 * 60), max_value=14 * 60)
+
+
+def _render_incoming(dt: datetime, offset_min: int) -> str:
+    sign = "+" if offset_min >= 0 else "-"
+    m = abs(offset_min)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}{sign}{m // 60:02d}{m % 60:02d}"
+
+
+@given(_dt, _offset_minutes)
+@settings(max_examples=300, deadline=None)
+def test_manual_parse_matches_strptime(dt, offset_min):
+    """The slice-parser must agree with strptime on every parseable string
+    in either accepted format."""
+    for s in (dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z",
+              _render_incoming(dt, offset_min)):
+        expected = datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%z")
+        assert parse_valid_datetime(s) == expected
+
+
+@given(_dt)
+@settings(max_examples=200, deadline=None)
+def test_canonicalise_idempotent(dt):
+    """canonicalise(outgoing form) is the identity, and canonicalising any
+    accepted form twice equals once."""
+    s = to_outgoing_format(dt.replace(tzinfo=timezone.utc))
+    assert canonicalise(s) == s
+    assert canonicalise(canonicalise(s)) == canonicalise(s)
+
+
+@given(_dt, _offset_minutes)
+@settings(max_examples=200, deadline=None)
+def test_canonicalise_normalises_zone(dt, offset_min):
+    """Incoming +HHMM forms canonicalise to the same instant in UTC."""
+    dt = dt.replace(tzinfo=timezone(timedelta(minutes=offset_min)))
+    out = canonicalise(_render_incoming(dt, offset_min))
+    assert out.endswith("Z")
+    assert parse_valid_datetime(out) == dt
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_garbage_never_parses_silently(s):
+    """Random text either parses in both implementations or raises in
+    ours; never a silent divergence."""
+    try:
+        ours = parse_valid_datetime(s)
+    except DateParseError:
+        return
+    assert ours == datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%z")
+
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-(2**40), 2**40), st.text(max_size=12)
+)
+_json_objects = st.dictionaries(
+    st.text(min_size=1, max_size=8), _json_scalars, min_size=1, max_size=6
+)
+
+
+@given(_json_objects)
+@settings(max_examples=200, deadline=None)
+def test_sort_json_by_key_properties(obj):
+    """Key order is sorted, content preserved, and the sort is idempotent."""
+    s = sort_json_by_key(dumps_compact(obj))
+    parsed = json.loads(s)
+    assert parsed == obj
+    assert list(parsed.keys()) == sorted(obj.keys())
+    assert sort_json_by_key(s) == s
+
+
+@given(_json_objects)
+@settings(max_examples=200, deadline=None)
+def test_row_key_round_trip(obj):
+    """make_row_key / strip_key_hash round-trip the id JSON."""
+    id_json = dumps_compact(obj)
+    assert strip_key_hash(make_row_key(id_json)) == id_json
+
+
+@given(st.one_of(st.text(max_size=10), st.integers(-(2**40), 2**40)))
+@settings(max_examples=200, deadline=None)
+def test_reverse_engineer_scalar_id(scalar):
+    if isinstance(scalar, str):
+        original, altered = reverse_engineer_id(dumps_compact({"id": scalar}))
+        assert original == scalar
+        assert json.loads(altered) == {"$oid": scalar}
+    else:
+        original, altered = reverse_engineer_id(dumps_compact({"id": scalar}))
+        assert original == str(scalar)
+        assert json.loads(altered) == {"$oid": str(scalar)}
+
+
+@given(_json_objects)
+@settings(max_examples=150, deadline=None)
+def test_wrap_dates_no_dates_is_identity(obj):
+    """Documents containing no date-shaped strings are unchanged."""
+    import re
+
+    has_date = any(
+        isinstance(v, str) and re.search(r"\d{4}-\d{2}-\d{2}T", v) for v in obj.values()
+    )
+    if has_date:
+        return
+    before = json.loads(dumps_compact(obj))
+    wrap_dates_in_place(obj)
+    assert obj == before
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_sanitise_invariants(s):
+    """Output never contains $, the literal \\u0000 text, or
+    _archived* names — regardless of input."""
+    out = sanitise(s, "db", "coll")
+    assert "$" not in out
+    assert "\\u0000" not in out
+    assert "_archivedDateTime" not in out and "_archived" not in out
