@@ -64,7 +64,12 @@ def _process_batch(
 def decrypt_and_normalise(source: DataFrame) -> DataFrame:
     """source-record DF -> + (db_object, manifest_id, manifest_original_id,
     error) columns. Split good/bad with split_normalised()."""
-    udf = F.pandas_udf(_process_batch, NORMALISED_SCHEMA)
+    # asNondeterministic: semantically honest (the production decrypt calls
+    # an external key service) AND load-bearing for the plan — a
+    # deterministic UDF gets substituted into downstream filter conditions
+    # by PushDownPredicates and dragged below the parallelising Exchange,
+    # serialising the whole Python stage onto the source's input splits.
+    udf = F.pandas_udf(_process_batch, NORMALISED_SCHEMA).asNondeterministic()
     norm = udf(
         "db_object_enc",
         "kek_id",

@@ -22,6 +22,8 @@ Scale design notes (per operator):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +143,70 @@ def jaccard_of_sets(
     )
 
 
+def minhash_sets_and_sigs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = 16,
+    k: int = 5,
+    max_chars: int = 256,
+) -> DataFrame:
+    """(id, hs: array<bigint>, sigs: array<bigint>) — per-doc hashed
+    shingle set + minhash signature vector in ONE Arrow batch pass.
+
+    The values are bit-identical to the pure-column form (md5-prefix
+    shingle hash, (a*h+b) mod M minima) — the oracle doesn't change —
+    but the per-element work runs vectorised in numpy instead of
+    Catalyst's interpreted higher-order-function evaluator: per doc
+    that's n_perm*|hs| (~4k) interpreted expression evals traded for
+    one 16x256 numpy broadcast. Text normalisation stays JVM-side
+    (codegen'd regexp chain). Map-only — no shuffle; scales linearly
+    with corpus size exactly like the column form."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from ..functions.text import normalize_text
+    from ..sources.parquet import ensure_parallelism
+
+    consts = minhash_perm_constants(n_perm)
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+
+    out_type = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _mh(s: pd.Series) -> pd.DataFrame:
+        hs_col, sigs_col = [], []
+        for text in s:
+            grams = {text[i : i + k] for i in range(len(text) - k + 1)}
+            h = np.fromiter(
+                (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            hs = np.unique(h)
+            sigs = ((A * hs[None, :] + B) % MINHASH_MOD).min(axis=1)
+            hs_col.append(hs)
+            sigs_col.append(sigs)
+        return pd.DataFrame({"hs": hs_col, "sigs": sigs_col})
+
+    s = normalize_text(F.col(text_col), max_chars)
+    df2 = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), s.alias("s"))
+        .filter(F.length("s") >= k)
+    )
+    return df2.select(id_col, _mh("s").alias("m")).select(
+        id_col, F.col("m.hs").alias("hs"), F.col("m.sigs").alias("sigs")
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -171,31 +237,17 @@ def minhash_lsh_dedup(
     portable, so the oracle reproduces identical values, collisions
     included.
 
-    sets and banded are persisted (memory-and-disk): each feeds the two
-    aliased sides of a self-join, which defeats ReuseExchange; both are
-    bounded per doc (<= max_chars grams, n_perm/rows_per_band bands), so
-    the cache is a constant factor of corpus size and spills rather than
-    OOMing at 100 TB."""
+    The per-doc (hs, sigs) frame is persisted (memory-and-disk): it feeds
+    both aliased sides of the candidate self-join AND both sides of the
+    verify join, which defeats ReuseExchange; it is bounded per doc
+    (<= max_chars grams + n_perm sigs), so the cache is a constant factor
+    of corpus size and spills rather than OOMing at 100 TB."""
     from pyspark import StorageLevel
 
-    from ..sources.parquet import ensure_parallelism
-
-    sets = (
-        char_shingle_sets(ensure_parallelism(docs), text_col, id_col, k=k, max_chars=max_chars)
-        .select(
-            id_col,
-            F.array_distinct(F.transform("gs", lambda g: hash32(g))).alias("hs"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
-
-    sig_cols = [
-        F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{p}")
-        for p, (a, b) in enumerate(minhash_perm_constants(n_perm))
-    ]
-    with_sigs = sets.select(id_col, *sig_cols)
+    mh = minhash_sets_and_sigs(
+        docs, text_col, id_col, n_perm=n_perm, k=k, max_chars=max_chars
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = mh.select(id_col, "hs")
     n_bands = n_perm // rows_per_band
     band_structs = F.array(
         *[
@@ -204,7 +256,7 @@ def minhash_lsh_dedup(
                 F.concat_ws(
                     ",",
                     *[
-                        F.col(f"sig{i}").cast("string")
+                        F.element_at("sigs", i + 1).cast("string")
                         for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                     ],
                 ).alias("band_key"),
@@ -212,10 +264,8 @@ def minhash_lsh_dedup(
             for b in range(n_bands)
         ]
     )
-    banded = (
-        with_sigs.select(id_col, F.explode(band_structs).alias("bb"))
-        .select(id_col, "bb.band", "bb.band_key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    banded = mh.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.band_key"
     )
     pairs = lsh_candidate_pairs(banded, id_col)
     return jaccard_of_sets(sets, pairs, id_col, set_col="hs").filter(

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -138,14 +140,30 @@ def _plane_component(plane: int, dim: int) -> float:
 
 def random_hyperplane_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
     """Bucket id = sign bits against n_planes deterministic hyperplanes.
-    O(n_planes * n_dims) multiply-adds per row, all codegen'd."""
-    bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(n_dims):
-            proj = proj + F.get(vec, d).cast("double") * F.lit(_plane_component(p, d))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
-    return bucket
+
+    One Arrow-batched numpy matmul per batch: (batch x n_dims) @
+    (n_dims x n_planes) then sign-bit packing. The plane matrix is an
+    md5-derived driver constant captured in the UDF closure (broadcast
+    with the task, a few KB). The pure-column form (n_planes * n_dims
+    chained multiply-adds) was correct but produced a 512-node expression
+    tree whose optimisation + janino codegen cost ~10 s of DRIVER time
+    per query — planning cost, not data cost, so it would not amortise
+    at 100 TB either."""
+    P = np.array(
+        [[_plane_component(p, d) for d in range(n_dims)] for p in range(n_planes)],
+        dtype=np.float64,
+    ).T  # n_dims x n_planes
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("bigint")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (V @ P) > 0
+        return pd.Series(bits @ weights)
+
+    return _bucket(vec)
 
 
 def lsh_topk(

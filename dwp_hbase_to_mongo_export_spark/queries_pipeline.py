@@ -46,6 +46,13 @@ def _encrypt_udf(payload: pd.Series, okey: pd.Series) -> pd.Series:
     )
 
 
+# Production payload encryption draws a fresh random IV per file
+# (S3StreamingWriter.kt:95-161) — nondeterministic is the honest contract,
+# and it keeps PushDownPredicates from dragging the crypto below the
+# parallelising Exchange (see operators/decryption.py).
+_encrypt_udf = _encrypt_udf.asNondeterministic()
+
+
 def build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet import ensure_parallelism
 

@@ -121,16 +121,23 @@ def stateful_latest_per_key(
     )
     state_schema = "event_id bigint, event_type string, value double, ts_us bigint"
 
+    import numpy as np
+
     def update(key, pdfs, state: GroupState):
         best = None  # (ts_us, event_id, event_type, value)
         if state.exists:
             eid, etype, val, ts = state.get
             best = (ts, eid, etype, val)
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                cand = (row.ts_us, row.event_id, row.event_type, row.value)
-                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-                    best = cand
+            if not len(pdf):
+                continue
+            # Vectorised argmax of (ts_us, event_id) — np.lexsort keys are
+            # least-significant first, so event_id breaks ts ties.
+            i = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy()))[-1]
+            row = pdf.iloc[i]
+            cand = (int(row.ts_us), int(row.event_id), row.event_type, float(row.value))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
         state.update((best[1], best[2], best[3], best[0]))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
