@@ -339,7 +339,12 @@ def manifest_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_extra_modules() -> None:
     """Import side-effect registration of the other catalog modules
     (called at the bottom of this file, after `query` exists)."""
-    from . import queries_extensions, queries_pipeline, queries_reference_ops  # noqa: F401
+    from . import (  # noqa: F401
+        queries_extensions,
+        queries_pipeline,
+        queries_reference_ops,
+        queries_validation,
+    )
 
 
 @query(

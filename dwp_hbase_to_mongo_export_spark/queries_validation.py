@@ -1,0 +1,220 @@
+"""Oracle-checked catalog entries for the validation / date-semantics
+operators (SURVEY.md §2 rows 7, 14-15, 17) as PURE COLUMN expressions.
+
+The same behaviours are pinned at the pure-function level by
+tests/test_record_norm.py (the ValidatorTest matrix) and end-to-end by
+export_pipeline_e2e; these queries surface each one individually in the
+driver's correctness gate, using the built-in-function mapping from
+SURVEY.md §2 (coalesce chains, to_timestamp dual-format parse,
+conditional dropFields) — no Python in any of them, so they hold the
+whole-stage-codegen path at 100 TB.
+
+Each builds its record stream deterministically from `orders` (modulo
+cases choose the record shape) so a DuckDB oracle reproduces expected
+output by independent string construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.envelope import parse_envelope, split_valid
+from .queries import query
+from .sources.parquet import load_table
+
+_CANON = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+_EPOCH = "1980-01-01T00:00:00.000Z"  # Validator.kt:28 epoch fallback literal
+
+
+# --- row 7: mandatory-field validation quarantine ---------------------------
+
+
+@query(
+    "validation_quarantine",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'iv'
+                ELSE 'db_object' END AS missing
+    FROM orders
+    WHERE o_orderkey % 10 IN (3, 7)
+    """,
+)
+def validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mandatory-field gate as a quarantine side-output.
+
+    Reference: HBaseResultProcessor.kt:97-102 throws MissingFieldException
+    on blank dbObject/kekId/IV/encryptedKey/db/collection and the Spring
+    Batch skip policy drops the record (JobConfiguration.kt:57-61). Spark
+    form: `valid` is ONE boolean column computed in the envelope
+    projection; the quarantine branch is a filter over the same plan
+    (scan reused, no second read). Records with o_orderkey%10==3 carry a
+    blank IV, %10==7 omit dbObject; everything else is valid and excluded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    envelope = F.to_json(
+        F.struct(
+            k.alias("traceId"),
+            F.lit("T").alias("@type"),
+            F.struct(
+                F.lit("qdb").alias("db"),
+                F.lit("qcoll").alias("collection"),
+                F.lit("T").alias("@type"),
+                F.struct(
+                    F.lit("ek").alias("encryptedEncryptionKey"),
+                    F.when(F.col("o_orderkey") % 10 == 3, F.lit("")).otherwise(
+                        F.lit("aXY=")
+                    ).alias("initialisationVector"),
+                    F.lit("kek-1").alias("keyEncryptionKeyId"),
+                ).alias("encryption"),
+                F.when(F.col("o_orderkey") % 10 == 7, F.lit(None).cast("string"))
+                .otherwise(F.lit("Y3Q="))
+                .alias("dbObject"),
+            ).alias("message"),
+        )
+    )
+    cells = o.select(
+        k.cast("binary").alias("row_key"),
+        F.lit(1000).cast("long").alias("ts"),
+        envelope.alias("value"),
+        k.alias("okey"),
+    )
+    parsed = parse_envelope(cells, "db.qdb.qcoll")
+    # keep okey through the projection: parse_envelope preserves row_key
+    parsed = parsed.withColumn("okey", F.col("row_key").cast("string"))
+    _, quarantined = split_valid(parsed)
+    missing = (
+        F.when(F.col("db_object_enc").isNull() | (F.col("db_object_enc") == ""), "db_object")
+        .when(F.col("iv") == "", "iv")
+        .otherwise("other")
+    )
+    return quarantined.select("okey", missing.alias("missing"))
+
+
+# --- rows 14-15: date retrieval fallback chain + dual-format parse ----------
+
+
+def _extract_date(payload: Column, field: str) -> Column:
+    """Accept `{"$date": s}` or plain-string date shapes (Validator.kt:
+    114-151): from_json against the struct shape, else the raw string
+    when it isn't an object. Null/absent -> null."""
+    struct_form = F.from_json(payload, f"`{field}` struct<`$date`:string>")[field]["$date"]
+    raw = F.get_json_object(payload, f"$.{field}")
+    plain = F.when(raw.startswith("{") | raw.startswith("["), F.lit(None)).otherwise(raw)
+    return F.coalesce(struct_form, plain)
+
+
+def _parse_two_formats(c: Column) -> Column:
+    """Two-candidate parse (Validator.kt:160-170): incoming
+    yyyy-MM-dd'T'HH:mm:ss.SSSZZZZ (+0000 offset) else outgoing
+    yyyy-MM-dd'T'HH:mm:ss.SSS'Z'. try_to_timestamp because under ANSI a
+    failed candidate must fall through to the next format, not raise."""
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSZ")),
+        F.try_to_timestamp(c, F.lit(_CANON)),
+    )
+
+
+@query(
+    "date_fallback_chain",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           CASE
+             WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+             WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+             WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate + INTERVAL 2 DAY, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+             ELSE '{_EPOCH}'
+           END AS last_modified
+    FROM orders
+    """,
+)
+def date_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lastModified -> removed -> created -> epoch fallback chain with
+    both accepted date shapes and both accepted formats.
+
+    Reference: Validator.kt:114-193. Record shapes by o_orderkey % 4:
+      0: _lastModifiedDateTime as {"$date": incoming+0000 format}
+      1: only _removedDateTime as plain canonical string
+      2: only createdDateTime as plain incoming+0000 string
+      3: none of them -> epoch literal 1980-01-01T00:00:00.000Z
+    All column built-ins: the chain is one coalesce over
+    (extract -> parse -> render) chains, fully codegen'd — the UDF path
+    is only needed for the *recursive* wrap (export_pipeline_e2e).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    m = F.col("o_orderkey") % 4
+    incoming = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS'+0000'")
+    canonical = F.date_format(
+        F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"), _CANON
+    )
+    incoming2 = F.date_format(
+        F.col("o_orderdate") + F.expr("INTERVAL 2 DAY"), "yyyy-MM-dd'T'HH:mm:ss.SSS'+0000'"
+    )
+    payload = F.when(
+        m == 0,
+        F.concat(F.lit('{"_lastModifiedDateTime": {"$date": "'), incoming, F.lit('"}}')),
+    ).when(
+        m == 1, F.concat(F.lit('{"_removedDateTime": "'), canonical, F.lit('"}'))
+    ).when(
+        m == 2, F.concat(F.lit('{"createdDateTime": "'), incoming2, F.lit('"}'))
+    ).otherwise(F.lit("{}"))
+
+    chain = F.coalesce(
+        _parse_two_formats(_extract_date(payload, "_lastModifiedDateTime")),
+        _parse_two_formats(_extract_date(payload, "_removedDateTime")),
+        _parse_two_formats(_extract_date(payload, "createdDateTime")),
+        F.to_timestamp(F.lit(_EPOCH), _CANON),
+    )
+    return o.select(k.alias("okey"), F.date_format(chain, _CANON).alias("last_modified"))
+
+
+# --- row 17: conditional _archivedDateTime drop -----------------------------
+
+
+@query(
+    "conditional_field_drop",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           (o_orderkey % 3 <> 0) AS kept_archived,
+           (o_orderkey % 3 = 0) AS kept_removed
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    """,
+)
+def conditional_field_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop _archivedDateTime iff _removedDateTime is also present.
+
+    Reference: Validator.kt:42-45. Spark form: `when(cond,
+    col.dropFields(...)).otherwise(col)` on a struct column — the §2 row
+    17 mapping, no UDF. Records with o_orderkey%3==0 carry both fields
+    (archived must be dropped); the rest carry only archived (kept).
+    Only even keys are scanned to exercise filter + transform together.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    d = F.date_format("o_orderdate", _CANON)
+    rec = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.struct(
+            d.alias("_archivedDateTime"),
+            d.alias("_removedDateTime"),
+        ),
+    ).otherwise(
+        F.struct(
+            d.alias("_archivedDateTime"),
+            F.lit(None).cast("string").alias("_removedDateTime"),
+        )
+    )
+    # dropFields changes the struct type, so the conditional branches are
+    # rendered to JSON inside the when() (string both ways); to_json also
+    # omits null fields, which is what the kept_removed probe reflects.
+    rendered = F.when(
+        rec["_archivedDateTime"].isNotNull() & rec["_removedDateTime"].isNotNull(),
+        F.to_json(rec.dropFields("_archivedDateTime")),
+    ).otherwise(F.to_json(rec))
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("okey"),
+        rendered.contains('"_archivedDateTime"').alias("kept_archived"),
+        rendered.contains('"_removedDateTime"').alias("kept_removed"),
+    )
