@@ -92,6 +92,58 @@ def validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantined.select("okey", missing.alias("missing"))
 
 
+# --- row 8: db/collection topic fallback ------------------------------------
+
+
+@query(
+    "db_collection_fallback",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'msgdb' ELSE 'topicdb' END AS db,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'msgcoll' ELSE 'topic-coll' END AS collection
+    FROM orders
+    """,
+)
+def db_collection_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """db/collection from the message when present, else parsed from the
+    topic name db.topicdb.topic-coll via the reference regex.
+
+    Reference: HBaseResultProcessor.kt:79-94 with the topic regex from
+    utils/TextUtils.kt:8-9. Spark form: coalesce(nullif(msg.db, ''),
+    lit(parsed_db)) inside the envelope projection — records with
+    o_orderkey%3==0 carry message db/collection; the rest omit them and
+    fall back."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    has_msg = F.col("o_orderkey") % 3 == 0
+    envelope = F.to_json(
+        F.struct(
+            k.alias("traceId"),
+            F.lit("T").alias("@type"),
+            F.struct(
+                F.when(has_msg, F.lit("msgdb")).alias("db"),
+                F.when(has_msg, F.lit("msgcoll")).alias("collection"),
+                F.lit("T").alias("@type"),
+                F.struct(
+                    F.lit("ek").alias("encryptedEncryptionKey"),
+                    F.lit("aXY=").alias("initialisationVector"),
+                    F.lit("kek-1").alias("keyEncryptionKeyId"),
+                ).alias("encryption"),
+                F.lit("Y3Q=").alias("dbObject"),
+            ).alias("message"),
+        )
+    )
+    cells = o.select(
+        k.cast("binary").alias("row_key"),
+        F.lit(1000).cast("long").alias("ts"),
+        envelope.alias("value"),
+    )
+    parsed = parse_envelope(cells, "db.topicdb.topic-coll")
+    return parsed.select(
+        F.col("row_key").cast("string").alias("okey"), "db", "collection"
+    )
+
+
 # --- rows 14-15: date retrieval fallback chain + dual-format parse ----------
 
 
