@@ -340,6 +340,7 @@ def _register_extra_modules() -> None:
     """Import side-effect registration of the other catalog modules
     (called at the bottom of this file, after `query` exists)."""
     from . import (  # noqa: F401
+        queries_analytics,
         queries_extensions,
         queries_pipeline,
         queries_reference_ops,

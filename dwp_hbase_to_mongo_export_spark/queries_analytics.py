@@ -1,0 +1,151 @@
+"""Analytics operator coverage beyond the reference's fixed dataflow:
+semi-join, anti-join, windowed top-k per group, rollup aggregation, and
+watermarked streaming dedup.
+
+The reference deliberately has none of these (SURVEY.md §2 "deliberately
+absent"); BASELINE.json's north star adds them as engine capabilities.
+Each is declared with the DataFrame API so Catalyst picks the physical
+strategy — the scale notes on each query say which strategy that should
+be and why it survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import query
+from .sources.parquet import load_table
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (TPC-H Q4 shape; the synthetic lineitem
+    has no commit/receipt dates, so "late" is stood in by returnflag='R').
+
+    Scale: the semi-join shuffles only the join key + grouping column,
+    never materialises matched lineitem rows, and the date filter is
+    pushed to the orders scan. AQE converts to broadcast when the
+    filtered side fits."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join, then a broadcast dim join.
+
+    Scale: anti-join shuffles keys only; nation is a broadcast dim (25
+    rows), so the only wide exchange is the customer/orders key shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window + rank filter.
+
+    Scale: one hash shuffle on the partition key; Spark inserts a
+    WindowGroupLimit (partial top-k before the shuffle) for rank<=k
+    filters, so the exchange carries at most k rows per key per map
+    partition — the 100 TB-safe form of per-group top-k."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (grouping-sets family).
+
+    Scale: Spark expands rollup to one Expand + single aggregation pass
+    (map-side partial aggs per grouping set) — one shuffle regardless of
+    how many subtotal levels, vs one job per level if hand-rolled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the key columns over the
+    event stream, driven to completion with AvailableNow.
+
+    Scale: state is one empty-value entry per distinct key, partitioned
+    by key hash; with dropDuplicatesWithinWatermark the state is bounded
+    by the watermark horizon instead of |keys| for continuous runs."""
+    from .streaming import incremental as streaming
+
+    ev = streaming.stream_table(spark, sf_dir, "events")
+    dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return streaming.run_available_now(dedup)
