@@ -32,8 +32,20 @@ def main() -> None:
     qs = queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
 
-    # Warm the JVM/codegen once so per-query times measure the plan, not startup.
+    # Warm the JVM/codegen AND the Python worker pool before timing: every
+    # chained ArrowEvalPython operator needs one Python worker per task, and
+    # a cold pool pays ~2 s of pandas/pyarrow imports per worker — a
+    # session-lifetime cost that would otherwise all land on whichever query
+    # first reaches that chain depth. sf0.001 makes the warmup data-cheap.
+    warm_dir = "/root/testdata/sf0.001"
     qs["q1_pricing_summary"](spark, sf_dir).collect()
+    for warm_q in ("export_pipeline_e2e", "dedup_minhash_lsh"):
+        if warm_q in qs:
+            try:
+                qs[warm_q](spark, warm_dir).count()
+            except Exception:
+                pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -45,6 +57,9 @@ def main() -> None:
         except Exception as e:  # a broken query should not hide the others
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Queries are independent: drop any persist() state a query built so
+        # later timings measure the query, not accumulated heap pressure.
+        spark.catalog.clearCache()
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(

@@ -128,9 +128,16 @@ def jaccard_of_sets(
     |pairs| rows, not |pairs| * shingles/doc. Pass the hashed-shingle
     array (array<bigint>) as set_col where possible: intersecting longs
     hashes 8-byte values instead of strings, ~2x faster per pair."""
+    from ..sources.parquet import ensure_parallelism
+
     a = sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("ga"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
+    # The pairs frame is BYTE-small (two ids/row) but each row costs an
+    # O(|set|) intersect downstream; AQE's size-based coalescing would run
+    # the verify on a handful of tasks, so pin partitions to the core count
+    # before fanning in the (broadcast) set arrays.
+    pairs = ensure_parallelism(pairs)
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")

@@ -132,6 +132,79 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1 HOUR OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 1 HOUR) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: events grouped into per-user sessions that close
+    after 1 hour of inactivity, via the built-in session_window agg
+    (works identically over a stream with a watermark).
+
+    Scale: one shuffle on the session key (user_id); Spark merges
+    overlapping candidate windows inside the aggregation, so state/work
+    is linear in events. The oracle reproduces the semantics with a
+    gaps-and-islands window chain — the pre-Spark-3.2 formulation, which
+    costs an extra full sort; session_window is the cheaper native form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "distinct_users_per_day",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation alongside a plain count.
+
+    Scale: count(distinct) expands to a two-phase aggregate (partial
+    distinct per map task, then merge) — one extra exchange vs the plain
+    count; when the exactness requirement relaxes, swap
+    approx_count_distinct (HLL, single pass, mergeable sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.unix_micros("day").alias("day_us"), "n_users", "n_events"
+    )
+
+
+@query(
     "streaming_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

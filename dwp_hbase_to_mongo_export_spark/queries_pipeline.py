@@ -36,14 +36,22 @@ TOPIC = "db.pipedb.pipecoll"
 _CANON = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
-@F.pandas_udf(T.StringType())
-def _encrypt_udf(payload: pd.Series, okey: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            aes_ctr_encrypt(DATA_KEY_B64, deterministic_iv(int(k)), p.encode("utf-8"))
-            for p, k in zip(payload, okey)
-        ]
+@F.pandas_udf(
+    T.StructType(
+        [T.StructField("iv", T.StringType()), T.StructField("ct", T.StringType())]
     )
+)
+def _encrypt_udf(payload: pd.Series, okey: pd.Series) -> pd.DataFrame:
+    """(iv_b64, ciphertext_b64) in ONE pandas UDF: every chained
+    ArrowEvalPython operator is a separate Python worker per task, so
+    fusing the iv derivation with the encryption halves the fixture's
+    Python-stage count."""
+    ivs, cts = [], []
+    for p, k in zip(payload, okey):
+        iv = deterministic_iv(int(k))
+        ivs.append(base64.b64encode(iv).decode("ascii"))
+        cts.append(aes_ctr_encrypt(DATA_KEY_B64, iv, p.encode("utf-8")))
+    return pd.DataFrame({"iv": ivs, "ct": cts})
 
 
 # Production payload encryption draws a fresh random IV per file
@@ -76,15 +84,19 @@ def build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
         F.lit('"}'),
     )
-    iv_b64 = F.pandas_udf(
-        lambda s: pd.Series(
-            [base64.b64encode(deterministic_iv(int(v))).decode("ascii") for v in s]
-        ),
-        T.StringType(),
-    )("o_orderkey")
+    # The UDF is nondeterministic, so it must land in its OWN projection:
+    # CollapseProject refuses to inline nondeterministic expressions, which
+    # guarantees one evaluation even though two fields of the result are
+    # consumed below.
+    row_key = F.to_binary(F.lpad(F.hex(F.crc32(k.cast("binary"))), 8, "0"), F.lit("hex"))
+    base = o.select(
+        k.alias("okey"),
+        row_key.alias("row_key"),  # diagnostic only (_id always present)
+        _encrypt_udf(payload, "o_orderkey").alias("enc"),
+    )
     envelope = F.to_json(
         F.struct(
-            k.alias("traceId"),
+            F.col("okey").alias("traceId"),
             F.lit("OUTER_TYPE").alias("@type"),
             F.struct(
                 F.lit("pipedb").alias("db"),
@@ -92,21 +104,19 @@ def build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("INNER_TYPE").alias("@type"),
                 F.struct(
                     F.lit(encrypted_key).alias("encryptedEncryptionKey"),
-                    iv_b64.alias("initialisationVector"),
+                    F.col("enc.iv").alias("initialisationVector"),
                     F.lit(MASTER_KEK_ID).alias("keyEncryptionKeyId"),
                 ).alias("encryption"),
-                _encrypt_udf(payload, "o_orderkey").alias("dbObject"),
+                F.col("enc.ct").alias("dbObject"),
             ).alias("message"),
         )
     )
-    # row key bytes are only diagnostic here (_id always present)
-    row_key = F.to_binary(F.lpad(F.hex(F.crc32(k.cast("binary"))), 8, "0"), F.lit("hex"))
-    return o.select(
+    return base.select(
         F.lit(TOPIC).alias("topic"),
-        row_key.alias("row_key"),
+        "row_key",
         F.lit(1000).cast("long").alias("ts"),
         envelope.alias("value"),
-        k.alias("okey"),
+        "okey",
     )
 
 
