@@ -11,6 +11,7 @@ be and why it survives 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -201,6 +202,77 @@ def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     ).select(
         F.unix_micros("day").alias("day_us"), "n_users", "n_events"
+    )
+
+
+@query(
+    "median_value_by_type",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 2) AS median_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF surface) as a GROUPED_AGG pandas UDF.
+
+    Exact median has no builtin aggregate expression (percentile_approx
+    is approximate), so this is the honest custom-UDAF case: an
+    Arrow-batched grouped-agg pandas UDF. Scale: the group's values must
+    fit one executor's memory per key — correct for bounded groups;
+    for unbounded keys switch to percentile_approx (mergeable sketch,
+    partial aggregation, no per-key materialisation)."""
+
+    @F.pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregate
+        # functions in one agg(), so the count rides along as a pandas agg.
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(_median("value"), 2).alias("median_value"),
+        _n("value").alias("n_events"),
+    )
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           round(sum(value), 2) AS sum_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys.
+
+    events has only a handful of event_type values — the canonical
+    hot-key shape where a plain groupBy funnels each key through one
+    reducer. Phase 1 aggregates on (key, salt) — 16-way fan-out of every
+    hot key; phase 2 merges the 16 partials per key. Results are
+    identical to the direct groupBy (the oracle IS the direct form);
+    the plan trades one extra (tiny) shuffle for bounded per-task input.
+    Spark's map-side partial aggregation makes this redundant for
+    algebraic aggs like sum/count — the pattern is for when partial
+    aggregation can't help: collect_list/collect_set, exact distinct
+    merges, or grouped-map UDFs on skewed keys."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.hash("event_id"), F.lit(16)).alias("salt")
+    partial = ev.groupBy("event_type", salt).agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("s"), 2).alias("sum_value"),
+        F.sum("n").alias("n_events"),
     )
 
 

@@ -128,8 +128,8 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
     os.makedirs(out_dir, exist_ok=True)
     mcols = MANIFEST_COLUMNS
 
-    def flush(pid: int, seq: int, lines: list[str], manifest_lines: list[str], nbytes: int):
-        body = "".join(lines).encode("utf-8")
+    def flush(pid: int, seq: int, lines: list[bytes], manifest_lines: list[str], nbytes: int):
+        body = b"".join(lines)
         comp = compress(body)
         meta = {
             "object_key": f"{topic}-{pid:03d}-{pid:03d}-{seq:06d}{suffix}",
@@ -170,13 +170,14 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
 
     def write_partition(pid: int, rows):
         seq = 0
-        lines: list[str] = []
+        lines: list[bytes] = []
         manifest_lines: list[str] = []
         nbytes = 0
         for row in rows:
-            line = row["db_object"] + "\n"
+            # UTF-8 BYTE length, not char count — the reference sizes
+            # batches on the encoded record (S3StreamingWriter.kt:78-80)
+            line = (row["db_object"] + "\n").encode("utf-8")
             # roll BEFORE writing when the next record would overflow
-            # (S3StreamingWriter.kt:78-80)
             if lines and nbytes + len(line) > max_bytes:
                 yield flush(pid, seq, lines, manifest_lines, nbytes)
                 seq += 1
