@@ -104,6 +104,81 @@ def adg_trigger_message(correlation_id: str, snapshot_type: str, export_date: st
     )
 
 
+@dataclass
+class RunReport:
+    """What JobCompletionNotificationListener.afterJob (kt:47-141) leaves
+    behind: terminal status, file inventory, counters, message payloads."""
+
+    topic: str
+    status: CollectionStatus
+    files: list = field(default_factory=list)  # per-file metadata Rows
+    metrics: dict = field(default_factory=dict)
+    messages: list[str] = field(default_factory=list)
+
+
+def run_topic_export(
+    cells,
+    topic: str,
+    sink_cfg,
+    status_service: ExportStatusService,
+    *,
+    snapshot_type: str = "full",
+    scan_time_range: tuple[int, int] | None = None,
+    blocked_topics: tuple[str, ...] = (),
+    bucket: str = "local",
+) -> RunReport:
+    """One topic end-to-end: pipeline -> encrypted snapshot + manifest
+    sinks -> status increments -> terminal status -> message payloads.
+
+    The §3.1 lifecycle as driver code around ONE DataFrame action: the
+    sink write is the only job, and the read/valid/failed counters ride
+    it via observe() (no second scan — at 100 TB a metrics-only pass
+    would cost as much as the export). Blocked topics short-circuit
+    before any job, exactly like the reference's pre-flight gate."""
+    from .pipeline import BlockedTopicError, export_topic
+    from .sinks.snapshot import write_encrypted_snapshots
+
+    try:
+        res = export_topic(
+            cells,
+            topic,
+            snapshot_type=snapshot_type,
+            scan_time_range=scan_time_range,
+            blocked_topics=blocked_topics,
+        )
+    except BlockedTopicError:
+        status_service.set_status(topic, CollectionStatus.BLOCKED_TOPIC)
+        return RunReport(
+            topic,
+            CollectionStatus.BLOCKED_TOPIC,
+            messages=[monitoring_message(status_service.correlation_id, status_service.completion(), snapshot_type)],
+        )
+
+    try:
+        files = write_encrypted_snapshots(res.extra["sink_frame"], sink_cfg)
+    except Exception:
+        status_service.set_status(topic, CollectionStatus.EXPORT_FAILED)
+        raise
+    status_service.increment_exported_count(topic, len(files))
+    status_service.set_status(topic, CollectionStatus.EXPORTED)
+
+    obs = res.extra["observations"]
+    metrics = {**obs["parsed"].get, **obs["normalised"].get}
+    metrics["files_exported"] = len(files)
+
+    messages = [
+        snapshot_sender_message(
+            status_service.correlation_id, topic, f.object_key, bucket, files_exported=len(files)
+        )
+        for f in files
+    ]
+    messages.append(adg_trigger_message(status_service.correlation_id, snapshot_type, ""))
+    messages.append(
+        monitoring_message(status_service.correlation_id, status_service.completion(), snapshot_type)
+    )
+    return RunReport(topic, CollectionStatus.EXPORTED, files=files, metrics=metrics, messages=messages)
+
+
 def monitoring_message(correlation_id: str, status: ExportCompletionStatus, snapshot_type: str) -> str:
     """SNS monitoring payload (SnsServiceImpl.kt:51-95)."""
     severity = "Critical" if status == ExportCompletionStatus.COMPLETED_UNSUCCESSFULLY else "Information"

@@ -63,8 +63,28 @@ def export_topic(
         df = keep_latest(df, ["row_key"], "ts")
 
     parsed = parse_envelope(df, topic)
+
+    # Metrics (MetricsConfiguration.kt counters) ride the SAME pass as the
+    # export action: observe() on ancestors of the sink branch counts
+    # read/valid/failed rows with zero extra jobs — the quarantine/failed
+    # filters below happen downstream of these nodes, so the observed
+    # frames still see every record.
+    from pyspark.sql import Observation
+
+    obs_parsed = Observation()
+    parsed = parsed.observe(
+        obs_parsed,
+        F.count(F.lit(1)).alias("records_read"),
+        F.sum(F.col("valid").cast("long")).alias("records_valid"),
+    )
     valid, quarantined = split_valid(parsed)
     normalised = decrypt_and_normalise(valid)
+    obs_norm = Observation()
+    normalised = normalised.observe(
+        obs_norm,
+        F.sum(F.col("error").isNotNull().cast("long")).alias("records_failed"),
+        F.sum(F.when(F.col("error").isNull(), F.length("db_object"))).alias("bytes_normalised"),
+    )
     good, failed = split_normalised(normalised)
 
     good = good.withColumn(
@@ -89,5 +109,15 @@ def export_topic(
         F.col("inner_type").alias("externalInnerSource"),
     )
     return ExportResult(
-        records, manifest, quarantined, failed, topic=topic, extra={"sink_frame": sink_frame}
+        records,
+        manifest,
+        quarantined,
+        failed,
+        topic=topic,
+        extra={
+            "sink_frame": sink_frame,
+            # read after any action over the records/sink branch:
+            # {"records_read", "records_valid"} / {"records_failed", "bytes_normalised"}
+            "observations": {"parsed": obs_parsed, "normalised": obs_norm},
+        },
     )

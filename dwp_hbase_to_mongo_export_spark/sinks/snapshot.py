@@ -168,28 +168,40 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
             kek_id=kek,
         )
 
-    def write_partition(pid: int, rows):
+    def write_partition(batches):
+        # mapInPandas (not .rdd.mapPartitions): the write stays a DataFrame
+        # action, so upstream observe() metrics fire on the same pass — an
+        # RDD action executes outside SQL-execution tracking and would leave
+        # Observation.get blocked forever.
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         seq = 0
         lines: list[bytes] = []
         manifest_lines: list[str] = []
         nbytes = 0
-        for row in rows:
-            # UTF-8 BYTE length, not char count — the reference sizes
-            # batches on the encoded record (S3StreamingWriter.kt:78-80)
-            line = (row["db_object"] + "\n").encode("utf-8")
-            # roll BEFORE writing when the next record would overflow
-            if lines and nbytes + len(line) > max_bytes:
-                yield flush(pid, seq, lines, manifest_lines, nbytes)
-                seq += 1
-                lines, manifest_lines, nbytes = [], [], 0
-            lines.append(line)
-            nbytes += len(line)
-            manifest_lines.append(
-                "|".join(_csv_escape(str(row[c]) if row[c] is not None else "") for c in mcols)
-                + "\n"
-            )
+        metas: list = []
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                # UTF-8 BYTE length, not char count — the reference sizes
+                # batches on the encoded record (S3StreamingWriter.kt:78-80)
+                line = (row["db_object"] + "\n").encode("utf-8")
+                # roll BEFORE writing when the next record would overflow
+                if lines and nbytes + len(line) > max_bytes:
+                    metas.append(flush(pid, seq, lines, manifest_lines, nbytes))
+                    seq += 1
+                    lines, manifest_lines, nbytes = [], [], 0
+                lines.append(line)
+                nbytes += len(line)
+                manifest_lines.append(
+                    "|".join(
+                        _csv_escape(str(row[c]) if row[c] is not None else "") for c in mcols
+                    )
+                    + "\n"
+                )
         if lines:
-            yield flush(pid, seq, lines, manifest_lines, nbytes)
+            metas.append(flush(pid, seq, lines, manifest_lines, nbytes))
+        yield _pd.DataFrame([m.asDict() for m in metas], columns=[f.name for f in FILE_META_SCHEMA])
 
-    rdd = records.rdd.mapPartitionsWithIndex(write_partition)
-    return rdd.collect()
+    return records.mapInPandas(write_partition, FILE_META_SCHEMA).collect()

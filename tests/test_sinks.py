@@ -118,3 +118,56 @@ def test_status_service_increments():
     svc.increment_exported_count("c1")
     assert svc.files_exported["c1"] == 2
     assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
+
+
+def test_run_topic_export_end_to_end(spark, tmp_path):
+    """run_topic_export: one action drives sink + observe() metrics +
+    status + message payloads (the afterJob analogue, §3.1)."""
+    import json
+
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_topic_export
+
+    cells = fixture_cells(spark, n=40)
+    svc = ExportStatusService(correlation_id="corr-1")
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path),
+        topic="db.database.collection",
+        max_batch_bytes=2000,
+        compression="gz",
+        data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="enc-key-b64",
+        kek_id="local-kek-1",
+        deterministic_iv=True,
+    )
+    report = run_topic_export(
+        cells.coalesce(1), "db.database.collection", cfg, svc
+    )
+    assert report.status == CS.EXPORTED
+    assert svc.statuses["db.database.collection"] == CS.EXPORTED
+    assert svc.files_exported["db.database.collection"] == len(report.files) > 0
+    assert report.metrics["records_read"] == 40
+    assert report.metrics["records_valid"] == 40
+    assert report.metrics["records_failed"] == 0
+    assert report.metrics["files_exported"] == len(report.files)
+    assert report.metrics["bytes_normalised"] > 0
+    # one snapshot-sender message per file + adg + monitoring
+    assert len(report.messages) == len(report.files) + 2
+    mon = json.loads(report.messages[-1])
+    assert mon["title_text"].endswith("COMPLETED_SUCCESSFULLY")
+    assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
+
+
+def test_run_topic_export_blocked(spark):
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_topic_export
+
+    cells = fixture_cells(spark, n=5)
+    svc = ExportStatusService(correlation_id="corr-2")
+    report = run_topic_export(
+        cells, "db.database.collection", None, svc,
+        blocked_topics=("db.database.collection",),
+    )
+    assert report.status == CS.BLOCKED_TOPIC
+    assert svc.statuses["db.database.collection"] == CS.BLOCKED_TOPIC
+    assert report.files == [] and report.metrics == {}
+    # blocked is a SUCCESSFUL terminal state in the fold (kt:33-58)
+    assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
