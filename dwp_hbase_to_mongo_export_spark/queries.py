@@ -342,6 +342,7 @@ def _register_extra_modules() -> None:
     from . import (  # noqa: F401
         queries_analytics,
         queries_extensions,
+        queries_joins,
         queries_pipeline,
         queries_reference_ops,
         queries_validation,
