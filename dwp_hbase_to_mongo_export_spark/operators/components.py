@@ -1,0 +1,95 @@
+"""Connected components over a pair list — turns near-duplicate PAIRS
+(from MinHash-LSH / SimHash / n-gram jaccard) into dedup CLUSTERS with a
+canonical keeper per cluster, the final step of fuzzy dedup in a
+training-data pipeline: transitivity means A~B and B~C must collapse to
+ONE keeper even when A~C was never emitted as a candidate.
+
+Spark-first design: an iterative driver-coordinated loop of DataFrame
+joins (min-label propagation). Iterative fixpoints are the one place a
+driver loop is idiomatic Spark — each iteration is still a fully
+distributed join + aggregate; the driver only checks convergence
+(a scalar count) and truncates lineage with localCheckpoint so the plan
+does not grow unboundedly.
+
+Scale: propagation converges in O(component diameter) rounds; dedup
+clusters are shallow (diameter ≤ ~3 in practice), so 100 TB runs need
+the same handful of rounds as sf0.01. Each round shuffles |edges| +
+|nodes| keys. For adversarially deep graphs swap in the
+large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log n) rounds with the same join primitive; min-label propagation is
+the simpler fixpoint and is exact either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact connected components of the undirected graph given by
+    ``pairs``. Returns (node, component) where component = min node id
+    reachable — a deterministic canonical representative.
+
+    Only nodes appearing in at least one pair are returned (singletons
+    are their own trivial component and need no dedup decision).
+    """
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster view of ``connected_components``: each clustered doc with
+    its component id, cluster size, and whether it is the keeper (the
+    canonical min-id member). Downstream dedup keeps ``is_keeper`` rows
+    and drops the rest."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

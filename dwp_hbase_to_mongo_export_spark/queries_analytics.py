@@ -294,3 +294,77 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.stream_table(spark, sf_dir, "events")
     dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return streaming.run_available_now(dedup)
+
+
+@query(
+    "percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics).
+
+    Scale: exact percentile materialises the group's values — fine for
+    bounded groups; the unbounded-cardinality escape hatch is
+    percentile_approx (KLL-style mergeable sketch, partial aggregation,
+    tunable accuracy), same call shape."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+    )
+
+
+@query(
+    "udtf_split_sentences",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+      FROM documents WHERE doc_id < 100
+    ),
+    ix AS (
+      SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM p
+    )
+    SELECT doc_id, CAST(i AS INT) AS sent_idx,
+           trim(parts[CAST(i AS INT)], ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
+           length(trim(parts[CAST(i AS INT)], ' ' || chr(9) || chr(10) || chr(13))) AS n_chars
+    FROM ix
+    WHERE trim(parts[CAST(i AS INT)], ' ' || chr(9) || chr(10) || chr(13)) <> ''
+    """,
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: one input row -> N output rows (sentence
+    splitting), the table-function shape that select+explode can't
+    express when the fan-out logic is imperative.
+
+    Scale: UDTFs are per-row Python — the slow path by design; this
+    entry demonstrates the SURFACE (lateral join, declared schema). When
+    the split is regex-expressible prefer posexplode(split(...)) which
+    stays in codegen; the arrow serialisation here at least batches the
+    transport."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            for i, part in enumerate(re.split(r"[.!?]+", text or "")):
+                s = part.strip(" \t\n\r")
+                if s:
+                    yield i + 1, s, len(s)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
+    )

@@ -395,3 +395,53 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(feats, "media_id")
         .select("media_id", "format", "width", "height", "n_bytes", "feature_hash")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES},
+    bounded AS (SELECT * FROM sh WHERE doc_id < 200),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM bounded GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           (doc_id = component) AS is_keeper
+    FROM comp
+    """,
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS via exact connected components
+    (operators/components.py): transitive closure of the n-gram-jaccard
+    edge set, a canonical min-id keeper per cluster. The oracle computes
+    the same fixpoint with a recursive CTE.
+
+    Scale: the iterative min-label propagation converges in
+    O(cluster diameter) distributed rounds — see the module docstring
+    for the O(log n) large-star/small-star variant."""
+    from .operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.25)
+    return dedup_clusters(pairs)
