@@ -51,23 +51,27 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .withColumn("own", F.lit(False))
         )
+        # The convergence signal rides inside the aggregation: each
+        # node's previous label is the min over its own (own=True) rows,
+        # so `changed` needs no second join against the old frame.
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
+            )
+            .withColumn("__changed", F.col("label") < F.col("__old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

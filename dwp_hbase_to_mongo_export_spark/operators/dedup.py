@@ -119,29 +119,92 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str) -> Data
 
 
 def jaccard_of_sets(
-    sets: DataFrame, pairs: DataFrame, id_col: str, set_col: str = "gs"
+    sets: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    set_col: str = "gs",
+    broadcast_max_docs: int = 200_000,
 ) -> DataFrame:
     """Exact jaccard for candidate pairs given per-doc shingle-set arrays
-    (id_col, set_col). The pairs table joins the compact per-doc table on
-    each side and the arrays intersect JVM-side (`array_intersect` builds
-    a per-row hash set). No row explosion: the verify stage shuffles
-    |pairs| rows, not |pairs| * shingles/doc. Pass the hashed-shingle
-    array (array<bigint>) as set_col where possible: intersecting longs
-    hashes 8-byte values instead of strings, ~2x faster per pair."""
+    (id_col, set_col). Two strategies, chosen by build-side size exactly
+    like Spark chooses broadcast vs shuffle joins:
+
+    - **broadcast** (sets fit executor memory): ship the per-doc arrays
+      once per worker as a broadcast dict; the verify is then a map-only
+      pass over the BYTE-SMALL pair list (two ids/row), intersecting
+      sorted unique arrays with vectorised numpy. This avoids the
+      dominant cost of the join form: copying both 2 KB set arrays into
+      every one of the |pairs| rows, and JVM `array_intersect`, which
+      builds a boxed hash set per row (~11 s for 1.3M pairs at sf0.1 vs
+      ~1 s for the numpy merge-intersect on the same data).
+    - **join** (build side too big — the 100 TB path): join the arrays
+      to the pairs and intersect in an Arrow-batched pandas UDF. Still
+      no row explosion: the verify shuffles |pairs| rows, not
+      |pairs| * shingles/doc.
+
+    Values are identical either way — exact set intersection, same
+    jaccard arithmetic — so the DuckDB oracles don't change."""
     from ..sources.parquet import ensure_parallelism
 
+    # The pairs frame is BYTE-small but each row costs an O(|set|)
+    # intersect downstream; AQE's size-based coalescing would run the
+    # verify on a handful of tasks, so pin partitions to the core count.
+    pairs = ensure_parallelism(pairs)
+    # One job decides the strategy AND builds the broadcast side: pull
+    # at most max+1 rows — getting max+1 back means "too big, join it".
+    probe = sets.select(id_col, set_col).limit(broadcast_max_docs + 1).collect()
+    if len(probe) <= broadcast_max_docs:
+        return _jaccard_broadcast(probe, pairs)
+    return _jaccard_join(sets, pairs, id_col, set_col)
+
+
+def _jaccard_broadcast(set_rows: list, pairs: DataFrame) -> DataFrame:
+    spark = pairs.sparkSession
+    doc_sets = {r[0]: np.asarray(r[1]) for r in set_rows}
+    bc = spark.sparkContext.broadcast(doc_sets)
+
+    id_type = dict(pairs.dtypes)["id_a"]
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+
+    def verify(batches):
+        d = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            ids_a, ids_b = pdf["id_a"].values, pdf["id_b"].values
+            inter = np.empty(n, dtype=np.int64)
+            union = np.empty(n, dtype=np.int64)
+            for j in range(n):
+                ga, gb = d[ids_a[j]], d[ids_b[j]]
+                i = np.intersect1d(ga, gb, assume_unique=True).size
+                inter[j] = i
+                union[j] = ga.size + gb.size - i
+            yield pd.DataFrame(
+                {"id_a": ids_a, "id_b": ids_b, "jaccard": inter / union}
+            )
+
+    return pairs.select("id_a", "id_b").mapInPandas(verify, out_schema)
+
+
+def _jaccard_join(
+    sets: DataFrame, pairs: DataFrame, id_col: str, set_col: str
+) -> DataFrame:
     a = sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("ga"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    # The pairs frame is BYTE-small (two ids/row) but each row costs an
-    # O(|set|) intersect downstream; AQE's size-based coalescing would run
-    # the verify on a handful of tasks, so pin partitions to the core count
-    # before fanning in the (broadcast) set arrays.
-    pairs = ensure_parallelism(pairs)
+
+    @F.pandas_udf("long")
+    def _inter(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                np.intersect1d(np.asarray(x), np.asarray(y), assume_unique=True).size
+                for x, y in zip(ga, gb)
+            ],
+            dtype="int64",
+        )
+
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("inter", inter)
+        .withColumn("inter", _inter("ga", "gb"))
         .select(
             "id_a",
             "id_b",
@@ -189,14 +252,22 @@ def minhash_sets_and_sigs(
 
     @F.pandas_udf(out_type)
     def _mh(s: pd.Series) -> pd.DataFrame:
+        # Cross-doc gram->hash memo: near-dup corpora repeat most
+        # shingles across documents, so the md5 (the expensive part —
+        # it's not vectorisable) runs once per DISTINCT gram per batch
+        # instead of once per occurrence. Bounded by the batch's
+        # distinct-gram count; lives only for the Arrow batch.
+        memo: dict[str, int] = {}
         hs_col, sigs_col = [], []
         for text in s:
             grams = {text[i : i + k] for i in range(len(text) - k + 1)}
-            h = np.fromiter(
-                (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams),
-                dtype=np.int64,
-                count=len(grams),
-            )
+            h = np.empty(len(grams), dtype=np.int64)
+            for j, g in enumerate(grams):
+                v = memo.get(g)
+                if v is None:
+                    v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    memo[g] = v
+                h[j] = v
             hs = np.unique(h)
             sigs = ((A * hs[None, :] + B) % MINHASH_MOD).min(axis=1)
             hs_col.append(hs)
