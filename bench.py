@@ -32,20 +32,29 @@ def main() -> None:
     qs = queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
 
-    # Warm the JVM/codegen AND the Python worker pool before timing: every
-    # chained ArrowEvalPython operator needs one Python worker per task, and
-    # a cold pool pays ~2 s of pandas/pyarrow imports per worker — a
-    # session-lifetime cost that would otherwise all land on whichever query
-    # first reaches that chain depth. sf0.001 makes the warmup data-cheap.
-    warm_dir = "/root/testdata/sf0.001"
-    qs["q1_pricing_summary"](spark, sf_dir).collect()
-    for warm_q in ("export_pipeline_e2e", "dedup_minhash_lsh"):
-        if warm_q in qs:
-            try:
-                qs[warm_q](spark, warm_dir).count()
-            except Exception:
-                pass
+    # Warm the JVM (codegen + C2 JIT) AND the Python worker pool before
+    # timing by running EVERY query once at sf0.01. Two session-lifetime
+    # costs otherwise land on arbitrary timed queries: (a) each distinct
+    # ArrowEvalPython chain position forks one Python worker per task
+    # (~1 s fork + ~3 s pandas import, ×32 tasks, paid concurrently), and
+    # (b) whole-stage-codegen classes JIT-compile only after enough
+    # invocations — measured cold-vs-steady-state gap on the e2e pipeline
+    # is 33 s vs 3.9 s for identical data. sf0.01 is big enough to reach
+    # the same compiled paths at 1/10 the data cost.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception:
+            pass
     spark.catalog.clearCache()
+    # The warmup pass leaves ~a heap of short-lived garbage; collect it NOW
+    # so the first timed queries don't absorb a major GC that belongs to
+    # the warmup.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
 
     timings: dict[str, float] = {}
     for name in names:

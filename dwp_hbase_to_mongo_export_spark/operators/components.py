@@ -40,6 +40,16 @@ def connected_components(
     Only nodes appearing in at least one pair are returned (singletons
     are their own trivial component and need no dedup decision).
     """
+    # localCheckpoint truncates lineage each round — REQUIRED for an
+    # iterative fixpoint (labels feeds both sides of the next round's
+    # plan, so an un-truncated logical plan doubles per iteration and
+    # analysis cost goes exponential). But checkpoint blocks are invisible
+    # to the CacheManager: neither this loop's unpersist-by-handle nor a
+    # session clearCache() would reclaim them, and across many invocations
+    # they pile up in the block manager until heap pressure turns into GC
+    # storms in unrelated queries. So superseded iterations are released
+    # EXPLICITLY via the LogicalRDD's checkpointed RDD. Only the returned
+    # frame's blocks outlive the call.
     fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -50,6 +60,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    to_release = [labels]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.node)
@@ -71,10 +82,28 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        for df in to_release:  # superseded once new_labels materialised
+            _release_local_checkpoint(df)
+        to_release = [new_labels]
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    _release_local_checkpoint(edges)
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the block-manager storage behind a localCheckpoint'd
+    DataFrame. Its analyzed plan is a LogicalRDD wrapping the checkpointed
+    RDD; dropping those blocks frees the memory immediately instead of
+    waiting for the ContextCleaner to notice the RDD is unreachable. Only
+    call on frames that will never be used again."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort release, never job-fatal
+        pass
 
 
 def dedup_clusters(

@@ -169,18 +169,33 @@ def _jaccard_broadcast(set_rows: list, pairs: DataFrame) -> DataFrame:
     def verify(batches):
         d = bc.value
         for pdf in batches:
-            n = len(pdf)
-            ids_a, ids_b = pdf["id_a"].values, pdf["id_b"].values
-            inter = np.empty(n, dtype=np.int64)
-            union = np.empty(n, dtype=np.int64)
-            for j in range(n):
-                ga, gb = d[ids_a[j]], d[ids_b[j]]
-                i = np.intersect1d(ga, gb, assume_unique=True).size
-                inter[j] = i
-                union[j] = ga.size + gb.size - i
-            yield pd.DataFrame(
-                {"id_a": ids_a, "id_b": ids_b, "jaccard": inter / union}
-            )
+            # Vectorise across pairs, not per pair: a python-level
+            # intersect1d per candidate costs ~4 us of interpreter/sort
+            # overhead each (5+ s at 1.3M candidates). Grouping by id_a
+            # turns the batch into ~|docs| vector ops: one searchsorted
+            # membership test of the concatenated B-sides against the
+            # (sorted, unique) A-side, then segmented sums for the
+            # per-pair intersection counts. Same exact arithmetic.
+            ids_a = pdf["id_a"].values
+            ids_b = pdf["id_b"].values
+            order = np.argsort(ids_a, kind="stable")
+            ids_a, ids_b = ids_a[order], ids_b[order]
+            jac = np.empty(len(ids_a), dtype=np.float64)
+            # group boundaries of the sorted id_a runs
+            bounds = np.flatnonzero(np.r_[True, ids_a[1:] != ids_a[:-1], True])
+            for gi in range(len(bounds) - 1):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                A = d[ids_a[lo]]
+                bs = [d[b] for b in ids_b[lo:hi]]
+                lens = np.fromiter((x.size for x in bs), count=hi - lo, dtype=np.int64)
+                Bc = np.concatenate(bs)
+                idx = np.searchsorted(A, Bc).clip(max=A.size - 1)
+                hits = A[idx] == Bc
+                starts = np.zeros(hi - lo, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                inter = np.add.reduceat(hits, starts)
+                jac[lo:hi] = inter / (A.size + lens - inter)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "jaccard": jac})
 
     return pairs.select("id_a", "id_b").mapInPandas(verify, out_schema)
 
