@@ -345,6 +345,7 @@ def _register_extra_modules() -> None:
         queries_joins,
         queries_pipeline,
         queries_reference_ops,
+        queries_tpch_rest,
         queries_validation,
     )
 
