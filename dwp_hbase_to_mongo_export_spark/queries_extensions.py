@@ -251,10 +251,64 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, k=5, centroid_stride=100, nprobe=2, max_query_id=10)
 
 
-@query("similarity_topk_lsh")  # no SQL oracle: rows-only check; recall vs
-# brute force is pinned by tests/test_extensions.py
+def _plane_sql(p: int, n_dims: int = 64) -> str:
+    """The plane-p hyperplane as a DuckDB DOUBLE[] literal. The md5-derived
+    components are dyadic rationals (h / 2^31 - 1), so repr() round-trips
+    them exactly and both engines dot against bit-identical planes."""
+    return (
+        "["
+        + ", ".join(repr(similarity._plane_component(p, d)) for d in range(n_dims))
+        + "]"
+    )
+
+
+def _bucket_sql(vec: str, n_planes: int = 8) -> str:
+    """Sign-bit bucket id of `vec` against the deterministic hyperplanes —
+    the SQL mirror of similarity.random_hyperplane_bucket."""
+    terms = [
+        f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {_plane_sql(p)}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    qprobes AS (
+      SELECT vec_id AS query_id,
+             CASE WHEN i = -1 THEN bucket
+                  ELSE xor(bucket, (CAST(1 AS BIGINT) << i)) END AS bucket
+      FROM bucketed CROSS JOIN (SELECT unnest(range(-1, 8)) AS i)
+      WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+      FROM qprobes q JOIN bucketed b USING (bucket)
+      WHERE b.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(n.embedding AS DOUBLE[])) DESC,
+                        c.neighbor_id) AS rank
+      FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                  JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH scale path with 1-bit multiprobe."""
+    """Random-hyperplane LSH scale path with 1-bit multiprobe. The oracle
+    reproduces the bucketing exactly (md5-derived planes inlined as SQL
+    literals), so even the approximate path is value-checked, not just
+    rows-checked; recall vs brute force is additionally pinned by
+    tests/test_extensions.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, k=5, n_planes=8, n_dims=64, max_query_id=10)
 
