@@ -346,6 +346,7 @@ def _register_extra_modules() -> None:
         queries_pipeline,
         queries_reference_ops,
         queries_tpch_rest,
+        queries_training,
         queries_validation,
     )
 

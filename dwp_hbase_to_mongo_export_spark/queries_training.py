@@ -1,0 +1,184 @@
+"""Training-data pipeline operators beyond dedup/similarity/text-analysis:
+deterministic sampling, document chunking, corpus mixing, and streaming
+sessionization — the remaining staples of a 100 TB LLM-data pipeline.
+
+Everything is reproducible BY CONSTRUCTION: sampling gates are md5-based
+(not rand()), so a re-run — or another engine, which is how the DuckDB
+oracle checks values — selects byte-identical rows. At 100 TB that
+determinism is not a nicety: retries, backfills, and incremental reruns
+must make the same keep/drop decision per document or downstream shards
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.parquet import load_table
+from .streaming import incremental as streaming
+
+# Portable per-row gate in [0, 100): first 8 md5 hex chars of the salted
+# id, mod 100. Spark and DuckDB compute it bit-identically.
+_GATE_SQL = "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def _gate(salt: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len(text) < 200 THEN 'short'
+                WHEN len(text) < 400 THEN 'medium'
+                ELSE 'long' END AS stratum
+    FROM documents
+    WHERE {_GATE_SQL.format(salt='strat:')} <
+          CASE WHEN len(text) < 200 THEN 50
+               WHEN len(text) < 400 THEN 20
+               ELSE 10 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates (50/20/10%
+    by length bucket) applied through an md5 gate instead of rand().
+
+    Scale: a map-only filter — no shuffle, no state, and the gate pushes
+    into the scan's codegen stage. Unlike df.sampleBy (seeded rand per
+    partition), the decision depends only on the row, so partition layout,
+    retries, and cluster size never change the sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    stratum = (
+        F.when(n < 200, "short").when(n < 400, "medium").otherwise("long")
+    )
+    rate = F.when(n < 200, 50).when(n < 400, 20).otherwise(10)
+    return docs.filter(_gate("strat:") < rate).select(
+        "doc_id", stratum.alias("stratum")
+    )
+
+
+@query(
+    "doc_token_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t
+      FROM documents WHERE len({_NORM}) > 0
+    ),
+    st AS (
+      SELECT doc_id, t, unnest(range(1, len(t)+1, 24)) AS start FROM toks
+    )
+    SELECT doc_id,
+           CAST((start-1) // 24 AS INT) AS chunk_idx,
+           len(t[start:least(start+31, len(t))]) AS n_tokens,
+           array_to_string(t[start:least(start+31, len(t))], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24 — 8 tokens
+    of overlap), the standard prep for fixed-context training examples.
+
+    Scale: explode with BOUNDED fan-out (≤ ~len/stride chunks per doc) —
+    one narrow projection, no shuffle; chunk rows inherit the input
+    partitioning. The token array is materialised once per doc and
+    sliced per chunk (slice is codegen'd), never re-tokenised."""
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    t = docs.select("doc_id", F.split(nt, " ").alias("t")).filter(
+        F.length(nt) > 0
+    )
+    exploded = t.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(24))).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), 32)
+    return exploded.select(
+        "doc_id",
+        F.expr("CAST((start-1) div 24 AS INT)").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "corpus_mixture",
+    oracle=f"""
+    SELECT doc_id, 'web' AS source FROM documents
+    WHERE doc_id % 2 = 0 AND {_GATE_SQL.format(salt='mix:web:')} < 30
+    UNION ALL
+    SELECT doc_id, 'books' AS source FROM documents
+    WHERE doc_id % 2 = 1 AND {_GATE_SQL.format(salt='mix:books:')} < 70
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: two sources (here the even/odd halves of
+    documents standing in for distinct corpora) down-sampled at different
+    rates (30% web / 70% books) into one training mix, with per-source
+    md5 gates salted by source name so the draws are independent.
+
+    Scale: a union of two map-only filters — each source is scanned once
+    with its gate fused into the scan stage; no shuffle. Adding a corpus
+    = one more union branch; reweighting = changing a literal, with every
+    previously-kept row of an unchanged source still kept (monotone
+    gates make mixture changes incremental, not full recomputes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    web = (
+        docs.filter((F.col("doc_id") % 2 == 0) & (_gate("mix:web:") < 30))
+        .select("doc_id", F.lit("web").alias("source"))
+    )
+    books = (
+        docs.filter((F.col("doc_id") % 2 == 1) & (_gate("mix:books:") < 70))
+        .select("doc_id", F.lit("books").alias("source"))
+    )
+    return web.unionAll(books)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1 HOUR OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 1 HOUR) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization AS A STREAM: session_window + watermark over
+    readStream, driven to completion with AvailableNow — must equal the
+    batch session_windows result (same oracle). This is the dynamic-gap
+    stateful window (state merges as late events bridge sessions), the
+    streaming op the tumbling-window query can't express."""
+    s = streaming.session_window_counts(spark, sf_dir, gap="1 hour", watermark="2 days")
+    return streaming.run_available_now(s)

@@ -94,6 +94,29 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "1 hour", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked dynamic-gap sessionization: session_window merges
+    candidate windows in state as events arrive (late events within the
+    watermark can bridge two open sessions into one). State per key is
+    the set of OPEN sessions — bounded by activity, evicted at the
+    watermark — so a continuous deployment's state is O(active users),
+    not O(history)."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def stateful_latest_per_key(
     spark: SparkSession, sf_dir: str, timeout_minutes: int | None = None
 ) -> DataFrame:
