@@ -97,3 +97,36 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = _plan(catalog.QUERIES["range_join_click_to_purchase"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_and_mixing_are_shuffle_free(spark, sf_dir):
+    # Narrow training-prep ops: chunk explosion and the gated union must
+    # not introduce an exchange — at 100 TB a shuffle here would move the
+    # whole corpus for a map-only transform.
+    chunk_plan = _plan(catalog.QUERIES["doc_token_chunks"](spark, sf_dir))
+    assert "Exchange" not in chunk_plan
+    assert "Generate" in chunk_plan  # explode of the chunk starts
+    mix_plan = _plan(catalog.QUERIES["corpus_mixture"](spark, sf_dir))
+    assert "Exchange" not in mix_plan
+    assert "Union" in mix_plan
+
+
+def test_sample_prunes_to_needed_columns(spark, sf_dir):
+    # The md5 gate can't push into parquet, but pruning must still limit
+    # the scan to (doc_id, text) — media-style wide tables depend on it.
+    plan = _plan(catalog.QUERIES["stratified_sample"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "embedding" not in read_schema
+
+
+def test_q20_nested_ins_plan_as_semi_joins(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q20_promo_part_suppliers"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_argmin_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(catalog.QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
