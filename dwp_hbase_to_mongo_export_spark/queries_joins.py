@@ -804,3 +804,96 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
         )
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year, o_orderpriority,
+           GROUPING(year(o_orderdate), o_orderpriority) AS gid,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattices): revenue by
+    year, by priority, and the grand total in ONE pass, with grouping_id
+    disambiguating which marginal a NULL key row belongs to.
+
+    Scale: one Expand (3 grouping sets -> 3x row growth pre-aggregation,
+    map-side combined immediately) + one aggregation shuffle — versus
+    three separate jobs re-scanning orders."""
+    o = _t(spark, sf_dir, "orders")
+    o = o.withColumn("o_year", F.year("o_orderdate"))
+    return (
+        o.groupingSets([["o_year"], ["o_orderpriority"], []], "o_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_year", "o_orderpriority", "gid", "revenue", "n")
+    )
+
+
+@query(
+    "range_frame_trailing_sum",
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1d
+    FROM events
+    """,
+)
+def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the trailing-24h sum of value —
+    a VALUE-based frame (peers included, gaps respected), not the
+    ROWS-based moving average the catalog already has.
+
+    Scale: one shuffle on user_id + one sort per partition; the frame is
+    evaluated with a sliding two-pointer pass over the sorted run, so
+    cost is linear in events regardless of how many rows fall in each
+    24h window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)  # 1 day in microseconds
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("trailing_1d")
+    )
+
+
+@query(
+    "ranking_family",
+    oracle="""
+    SELECT event_id,
+           dense_rank()   OVER w AS drank,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+)
+def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family beyond row_number: dense_rank,
+    ntile, percent_rank, cume_dist over a deterministic (value, id)
+    order per event_type.
+
+    Scale: all four functions share ONE window spec, so Spark computes
+    them in a single shuffle + sort pass — four analytic columns for the
+    price of one exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
