@@ -368,3 +368,47 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
         "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
     )
+
+
+@query(
+    "distinct_users_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS hv
+      FROM events
+    ),
+    smallest AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+    SELECT count(*) AS k_used,
+           max(hv) AS kth_hash,
+           CAST(round((count(*) - 1) * 4294967296.0 / max(hv), 0) AS BIGINT)
+             AS est_distinct
+    FROM smallest
+    """,
+)
+def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values) distinct-count sketch, k=64: estimate =
+    (k-1) / kth-smallest hash fraction. Unlike HLL (whose register layout
+    is implementation-private, so approx_count_distinct can't be
+    value-checked across engines), KMV over an md5 hash is DETERMINISTIC
+    — the oracle reproduces the estimate bit-for-bit.
+
+    Scale: the k smallest hashes are a TakeOrdered top-k — each partition
+    keeps its local 64, the driver merges 64 x n_partitions values; no
+    full sort, no global shuffle of the hash set. The sketch is mergeable
+    (union of k-min sets -> k-min of union), which is what makes it a
+    sketch: per-day sketches combine into a month without rescanning."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    ).distinct()
+    smallest = h.orderBy("hv").limit(64)
+    return smallest.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+        F.round((F.count(F.lit(1)) - 1) * F.lit(4294967296.0) / F.max("hv"), 0)
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

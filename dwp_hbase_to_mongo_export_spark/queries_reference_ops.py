@@ -301,3 +301,24 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow over a static table equals the batch groupBy(window)."""
     s = streaming.windowed_event_counts(spark, sf_dir, window="1 day", watermark="2 days")
     return streaming.run_available_now(s)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks x purchases within 30
+    minutes), drained with AvailableNow — must equal the batch range
+    join (same oracle). The time-range condition is what makes the join
+    DEPLOYABLE: it bounds each side's buffered state to window +
+    watermark instead of the whole stream."""
+    s = streaming.click_purchase_stream_join(spark, sf_dir)
+    return streaming.run_available_now(s)

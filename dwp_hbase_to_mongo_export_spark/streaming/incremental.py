@@ -117,6 +117,51 @@ def session_window_counts(
     )
 
 
+def click_purchase_stream_join(
+    spark: SparkSession, sf_dir: str, window: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within `window` AFTER the click. Both sides carry
+    watermarks; the time-range join condition lets Spark bound the
+    buffered state on each side to the window + watermark — without it a
+    stream-stream join would hold every row forever. Inner-join matches
+    emit as they occur (the watermark governs state eviction, not
+    emission), so an AvailableNow drain yields exactly the batch range
+    join's rows."""
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+    )
+
+
 def stateful_latest_per_key(
     spark: SparkSession, sf_dir: str, timeout_minutes: int | None = None
 ) -> DataFrame:
