@@ -76,6 +76,11 @@ def main() -> None:
             # built so later timings measure the query, not accumulated
             # heap pressure.
             spark.catalog.clearCache()
+            # A heavy query's garbage otherwise bills the NEXT query's
+            # timing as a major GC pause (measured: a 1 s query reading
+            # 7 s right after the e2e pipeline).
+            if dt > 2.0:
+                spark.sparkContext._jvm.System.gc()
         timings[name] = best
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
