@@ -322,3 +322,47 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark instead of the whole stream."""
     s = streaming.click_purchase_stream_join(spark, sf_dir)
     return streaming.run_available_now(s)
+
+
+@query(
+    "hbase_source_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INT) // 5
+             AS partition_id,
+           epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def hbase_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan THROUGH the custom Python DataSource
+    (sources/hbase_cells_source.py): key-range partition planning +
+    pushed ts bounds, the DSv2-native form of SURVEY §2 rows 1-4. The
+    partition id recomputed from the returned row key must equal the
+    planner's grid, and the row set must equal the oracle's date-range
+    slice of orders — proving the pushdown dropped the right rows inside
+    the scan."""
+    from datetime import datetime, timezone
+
+    from .operators.partitioning import key_partition_id
+    from .sources import hbase_cells_source as src
+
+    src.register(spark)
+    path = src.ensure_cells_fixture(spark, sf_dir)
+    ms = lambda s: int(
+        datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp() * 1000
+    )
+    cells = (
+        spark.read.format(src.SOURCE_NAME)
+        .option("path", path)
+        .option("scan_width", 5)
+        .load()
+        .filter((F.col("ts") >= ms("1996-01-01")) & (F.col("ts") < ms("1997-01-01")))
+    )
+    return cells.select(
+        F.get_json_object("value", "$.traceId").alias("okey"),
+        key_partition_id(F.col("row_key"), scan_width=5).alias("partition_id"),
+        "ts",
+    )

@@ -45,6 +45,9 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # normalise in sources.parquet.load_table (Spark has no ns timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (sources/hbase_cells_source.py
+        # pushes ts range bounds into its scan) is opt-in in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
