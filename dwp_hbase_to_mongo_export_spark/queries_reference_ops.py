@@ -366,3 +366,32 @@ def hbase_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_partition_id(F.col("row_key"), scan_width=5).alias("partition_id"),
         "ts",
     )
+
+
+@query(
+    "streaming_hbase_source_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts
+    FROM orders
+    """,
+)
+def streaming_hbase_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental export as a genuine STREAMING source (the custom
+    Python DataSource's streamReader): offsets are cell-ts watermarks
+    checkpointed per micro-batch — the continuous form of the reference's
+    scan.time.range resume contract — and each batch fans out over the
+    key-range grid. An AvailableNow drain must return every cell exactly
+    once (the oracle is the full orders-derived cell set)."""
+    from .sources import hbase_cells_source as src
+
+    src.register(spark)
+    path = src.ensure_cells_fixture(spark, sf_dir)
+    s = (
+        spark.readStream.format(src.SOURCE_NAME)
+        .option("path", path)
+        .option("scan_width", 32)
+        .load()
+        .select(F.get_json_object("value", "$.traceId").alias("okey"), "ts")
+    )
+    return streaming.run_available_now(s)
