@@ -15,13 +15,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from __spark_entry__ import queries  # noqa: E402
 from dwp_hbase_to_mongo_export_spark.session import get_spark  # noqa: E402
 
+# Reported in the stdout contract line (must stay ~25 entries so the JSON
+# line fits the driver's 2000-char tail); every other query is still timed
+# and lands in bench_full.json.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "q21_sole_late_supplier",
     "latest_per_key",
+    "time_range_scan",
+    "envelope_extract",
+    "export_pipeline_e2e",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_near",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_langid",
+    "token_counts",
+    "asof_click_attribution",
+    "session_windows",
+    "streaming_windowed_counts",
+    "streaming_stateful_latest",
 ]
 
 
@@ -83,17 +104,42 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
         timings[name] = best
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
+
+    # Full per-query map goes to a side file; the stdout contract line must
+    # stay SHORT — the driver keeps only the last 2000 chars of output, so a
+    # 90-query JSON line gets truncated mid-line and recorded as unparseable
+    # (round 1's BENCH_r01.json: rc=0, parsed=null, tail len=2000).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+            json.dump({"total": total, "sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench_full.json write failed: {e}", file=sys.stderr)
+
+    reported = {n: timings[n] for n in HEADLINE if n in timings}
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": reported,
+            "sf": sf,
+            "n_queries": len(timings),
+        }
+    )
+    # Hard guarantee the contract line survives the driver's 2000-char tail.
+    while len(line) > 1800 and reported:
+        reported.popitem()
+        line = json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": reported,
                 "sf": sf,
+                "n_queries": len(timings),
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

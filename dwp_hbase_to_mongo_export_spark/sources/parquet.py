@@ -28,7 +28,25 @@ TABLES = (
 )
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Make parquet reads work on ANY session, not just ours.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    spark.sql.legacy.parquet.nanosAsLong is on — it is a runtime-settable
+    SQL conf, so the source sets it itself instead of depending on how
+    the caller built the session (the driver's harness builds its own).
+    UTC session timezone keeps collected timestamps bit-identical to the
+    DuckDB oracle's naive-UTC values."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # never fail a read over an unsettable conf
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long
     # (nanosAsLong); truncate to micros like DuckDB's ns->us cast so both
@@ -68,6 +86,7 @@ def load_events_time_range(
     table. The conversion to micros happens after."""
     from datetime import datetime, timezone
 
+    ensure_read_confs(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(raw.dtypes).get("ts") == "bigint":
         to_ns = lambda s: int(

@@ -46,6 +46,9 @@ def stream_table(
     """readStream over a parquet table file. The file source needs a
     directory listing, so the single-file fixture is exposed through a
     per-call temp dir holding a symlink — zero copy."""
+    from ..sources.parquet import ensure_read_confs
+
+    ensure_read_confs(spark)
     src = os.path.join(sf_dir, f"{name}.parquet")
     d = tempfile.mkdtemp(prefix=f"stream_{name}_")
     os.symlink(src, os.path.join(d, f"{name}.parquet"))

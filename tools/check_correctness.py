@@ -20,8 +20,23 @@ import duckdb
 sys.path.insert(0, ".")
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
-from dwp_hbase_to_mongo_export_spark.session import get_spark  # noqa: E402
 from dwp_hbase_to_mongo_export_spark.sources.parquet import TABLES  # noqa: E402
+
+
+def _driver_like_spark():
+    """A deliberately BARE session, like the driver's harness builds —
+    no engine-tuned confs. Loaders must self-provision anything they
+    need (round 1 regression: nanosAsLong only lived in get_spark, so
+    every events query passed locally and failed under the driver)."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("correctness-gate")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
 
 
 def _norm(v):
@@ -55,7 +70,7 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
-    spark = get_spark(cpus=8, shuffle_partitions=8)
+    spark = _driver_like_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
