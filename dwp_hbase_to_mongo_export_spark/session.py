@@ -42,8 +42,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
-        # normalise in sources.parquet.load_table (Spark has no ns timestamps)
+        # testdata events.parquet stores a NAIVE timestamp[us] ts column;
+        # without this Spark 4 infers TIMESTAMP_NTZ, which breaks
+        # unix_micros/watermarks. Read as TIMESTAMP under UTC session tz
+        # (value-identical to the DuckDB oracle's naive-UTC reads).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # guard: a TIMESTAMP(NANOS) fixture degrades to bigint (normalised
+        # in sources.parquet._normalise_ts) instead of failing the read
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Python DataSource filter pushdown (sources/hbase_cells_source.py
         # pushes ts range bounds into its scan) is opt-in in Spark 4.1

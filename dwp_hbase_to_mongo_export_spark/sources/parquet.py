@@ -31,30 +31,47 @@ TABLES = (
 def ensure_read_confs(spark: SparkSession) -> None:
     """Make parquet reads work on ANY session, not just ours.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects outright (PARQUET_TYPE_ILLEGAL) unless
-    spark.sql.legacy.parquet.nanosAsLong is on — it is a runtime-settable
-    SQL conf, so the source sets it itself instead of depending on how
-    the caller built the session (the driver's harness builds its own).
-    UTC session timezone keeps collected timestamps bit-identical to the
-    DuckDB oracle's naive-UTC values."""
+    events.parquet stores a NAIVE timestamp[us] `ts` column (pyarrow
+    confirms, all scale factors). Spark 4's parquet reader defaults
+    spark.sql.parquet.inferTimestampNTZ.enabled=true, so a naive column
+    arrives as TIMESTAMP_NTZ — on which `unix_micros`, watermarks, and
+    interval arithmetic against TIMESTAMP literals all fail analysis.
+    Turning inference OFF reads it as plain TIMESTAMP under the UTC
+    session timezone, which is value-identical to DuckDB's naive-UTC
+    oracle reads. Both are runtime-settable SQL confs, so the source
+    sets them itself instead of depending on how the caller built the
+    session (the driver's harness builds its own). nanosAsLong stays on
+    as a guard so a TIMESTAMP(NANOS) fixture would degrade to bigint
+    (normalised below) instead of failing the read outright."""
     try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # never fail a read over an unsettable conf
 
 
+def _normalise_ts(df: DataFrame) -> DataFrame:
+    """Guard: coerce a `ts` column to plain TIMESTAMP whatever the reader
+    produced — TIMESTAMP_NTZ (a caller session with NTZ inference already
+    baked into a cached plan) or bigint nanos (nanosAsLong fallback)."""
+    for field in df.schema.fields:
+        if field.name != "ts":
+            continue
+        t = field.dataType.simpleString()
+        if t == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            # NTZ -> LTZ cast interprets the naive value in the session tz
+            # (UTC), matching the oracle's naive-UTC semantics exactly.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long
-    # (nanosAsLong); truncate to micros like DuckDB's ns->us cast so both
-    # engines see identical values.
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalise_ts(df)
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -75,27 +92,34 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
 def load_events_time_range(
     spark: SparkSession, sf_dir: str, start: str, end: str
 ) -> DataFrame:
-    """events with ts in [start, end) — the incremental-scan predicate.
+    """events with ts in [start, end) — the incremental-scan predicate
+    (reference: src/main/kotlin/app/batch/HBaseReader.kt:131-150,
+    ``Scan.setTimeRange``).
 
-    The ts column is stored as TIMESTAMP(NANOS), read as bigint
-    (nanosAsLong): filtering on the *converted* timestamp cannot reach
-    the parquet scan (Catalyst can't invert timestamp_micros), so the
-    range predicate is applied to the raw nanos value first — it shows
-    up in PushedFilters and prunes row groups via min/max stats, which
-    at 100 TB is the difference between scanning a day and scanning the
-    table. The conversion to micros happens after."""
+    The range predicate is applied on the column in its AS-READ type
+    BEFORE any normalising cast: Catalyst can't invert a cast/conversion
+    wrapped around the column, so filtering after normalisation would
+    strand the predicate above the scan. Applied first, it lands in
+    PushedFilters and prunes row groups via min/max stats — at 100 TB
+    the difference between scanning a day and scanning the table."""
     from datetime import datetime, timezone
 
     ensure_read_confs(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # nanosAsLong fallback path
         to_ns = lambda s: int(
             datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp() * 1_000_000
         ) * 1_000
-        raw = raw.filter(
+        return raw.filter(
             (F.col("ts") >= F.lit(to_ns(start))) & (F.col("ts") < F.lit(to_ns(end)))
         ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return raw
+    if ts_type == "timestamp_ntz":
+        # push the range on the NTZ column (prunes fine), cast after
+        return raw.filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end).cast("timestamp_ntz"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.filter(
         (F.col("ts") >= F.lit(start).cast("timestamp"))
         & (F.col("ts") < F.lit(end).cast("timestamp"))

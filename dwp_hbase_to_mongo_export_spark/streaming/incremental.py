@@ -46,7 +46,7 @@ def stream_table(
     """readStream over a parquet table file. The file source needs a
     directory listing, so the single-file fixture is exposed through a
     per-call temp dir holding a symlink — zero copy."""
-    from ..sources.parquet import ensure_read_confs
+    from ..sources.parquet import _normalise_ts, ensure_read_confs
 
     ensure_read_confs(spark)
     src = os.path.join(sf_dir, f"{name}.parquet")
@@ -57,12 +57,9 @@ def stream_table(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(d)
-    # events.ts arrives as TIMESTAMP(NANOS) -> bigint under nanosAsLong;
-    # normalise to micros exactly like sources/parquet.load_table.
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # naive-timestamp / nanos `ts` normalised to TIMESTAMP exactly like
+    # the batch path (sources/parquet.py) so watermarks + unix_micros work.
+    return _normalise_ts(df)
 
 
 def incremental_scan_stream(
