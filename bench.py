@@ -141,6 +141,14 @@ def main() -> None:
         )
     print(line)
 
+    # A -1.0 means a query errored — that is a red build, not a slow one.
+    # Exit non-zero so CI / the round driver can't record a green bench
+    # that silently dropped queries (round 2 shipped 14 of these).
+    broken = sorted(n for n, v in timings.items() if v < 0)
+    if broken:
+        print(f"bench FAILED queries: {broken}", file=sys.stderr)
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
