@@ -184,6 +184,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine_lsh",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 2000 AND b.vec_id < 2000
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cosine-dedup path: hyperplane-LSH bucketing composed
+    into the blocked BLAS verify (operators/dedup.embedding_dup_pairs_lsh)
+    — the block grid is an equi-join per (band, bucket), no global
+    crossJoin. The oracle is the EXACT all-pairs cosine: the default
+    24x4-bit banding has measured recall 1.0 on this fixture's
+    qualifying pairs (all near cos 0.4 — the worst case for LSH), so
+    the approximate path is value-checked against exact ground truth."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return dedup.embedding_dup_pairs_lsh(emb, threshold=0.4)
+
+
+@query(
     "similarity_topk_bruteforce",
     oracle="""
     SELECT query_id, neighbor_id, rank FROM (

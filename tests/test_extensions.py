@@ -120,3 +120,18 @@ def test_reduce_latest_matches_window(spark, sf_dir):
     a = keep_latest(ev, ["user_id"], "ts").select("user_id", "event_id").collect()
     b = reduce_latest(ev, ["user_id"], "ts").select("user_id", "event_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_lsh_matches_exact_pairs(spark, emb):
+    """The LSH-bucketed cosine dedup must find exactly the pairs the
+    exact blocked verify finds on the fixture (recall 1.0 at this scale
+    with the default 24x4-bit banding; precision is structurally 1.0)."""
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup.embedding_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert approx == exact

@@ -130,3 +130,16 @@ def test_q2_argmin_join_broadcasts_dims(spark, sf_dir):
     plan = _plan(catalog.QUERIES["q2_min_cost_supplier"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_dedup_has_no_global_cross_join(spark, sf_dir):
+    """embedding_dup_pairs_lsh's block grid must be an equi-join on
+    (band, band_key) — the whole point vs the exact baseline's global
+    block crossJoin."""
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from dwp_hbase_to_mongo_export_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(dedup.embedding_dup_pairs_lsh(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
