@@ -118,12 +118,51 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str) -> Data
     return jaccard_of_sets(sets, pairs, id_col)
 
 
+def _driver_memory_bytes(spark) -> int:
+    """spark.driver.memory as bytes (JVM size-string grammar; default
+    1g like Spark's own default)."""
+    raw = "1g"
+    try:
+        raw = spark.conf.get("spark.driver.memory", "1g") or "1g"
+    except Exception:
+        pass
+    s = raw.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40)):
+        if s.endswith(suffix + "b"):
+            s, mult = s[:-2], m
+            break
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 2**30
+
+
+def broadcast_cutover_docs(
+    spark,
+    bytes_per_doc: int = 2048,
+    driver_mem_fraction: float = 0.05,
+    floor_docs: int = 10_000,
+) -> int:
+    """How many per-doc shingle-set rows may be collected and broadcast:
+    a fraction of spark.driver.memory over the estimated per-doc footprint
+    (<= max_chars 5-grams/doc as numpy string arrays ~ 2 KB), never below
+    a small floor. Config-derived, so a 4 GB driver cuts over to the
+    distributed join ~6x earlier than a 24 GB one instead of sharing one
+    hard-coded constant."""
+    mem = _driver_memory_bytes(spark)
+    return max(floor_docs, int(mem * driver_mem_fraction / bytes_per_doc))
+
+
 def jaccard_of_sets(
     sets: DataFrame,
     pairs: DataFrame,
     id_col: str,
     set_col: str = "gs",
-    broadcast_max_docs: int = 200_000,
+    broadcast_max_docs: int | None = None,
 ) -> DataFrame:
     """Exact jaccard for candidate pairs given per-doc shingle-set arrays
     (id_col, set_col). Two strategies, chosen by build-side size exactly
@@ -150,6 +189,8 @@ def jaccard_of_sets(
     # intersect downstream; AQE's size-based coalescing would run the
     # verify on a handful of tasks, so pin partitions to the core count.
     pairs = ensure_parallelism(pairs)
+    if broadcast_max_docs is None:
+        broadcast_max_docs = broadcast_cutover_docs(pairs.sparkSession)
     # One job decides the strategy AND builds the broadcast side: pull
     # at most max+1 rows — getting max+1 back means "too big, join it".
     probe = sets.select(id_col, set_col).limit(broadcast_max_docs + 1).collect()

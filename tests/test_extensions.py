@@ -135,3 +135,34 @@ def test_embedding_lsh_matches_exact_pairs(spark, emb):
         for r in dedup.embedding_dup_pairs_lsh(emb, threshold=0.4).collect()
     }
     assert approx == exact
+
+
+def test_broadcast_cutover_scales_with_driver_memory(spark):
+    """The jaccard broadcast/join cutover is derived from
+    spark.driver.memory, not a constant — and the two strategies agree
+    on values (join path forced by a tiny cutover)."""
+    base = dedup.broadcast_cutover_docs(spark)
+    assert base >= 10_000
+    assert dedup.broadcast_cutover_docs(spark, driver_mem_fraction=0.10) >= base
+    assert dedup._driver_memory_bytes(spark) > 0
+
+    # compare strategies on a small candidate set
+    from dwp_hbase_to_mongo_export_spark.functions.text import char_shingle_sets
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(F.col("doc_id") < 60)
+    sets = char_shingle_sets(docs, "text", "doc_id").withColumn("gs", F.array_sort("gs"))
+    ids = sets.select("doc_id")
+    pairs = (
+        ids.alias("a").crossJoin(ids.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    via_bcast = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_of_sets(sets, pairs, "doc_id", broadcast_max_docs=10**6).collect()
+    }
+    via_join = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_of_sets(sets, pairs, "doc_id", broadcast_max_docs=1).collect()
+    }
+    assert via_bcast == via_join
