@@ -73,35 +73,48 @@ class ExportStatusService:
 
 
 def snapshot_sender_message(
-    correlation_id: str, topic: str, object_key: str, bucket: str, *, files_exported: int
+    correlation_id: str,
+    topic: str,
+    object_key: str,
+    *,
+    files_exported: int,
+    snapshot_type: str = "full",
+    export_date: str = "",
 ) -> str:
-    """SQSMessagingService.notifySnapshotSender payload shape (kt:20-47)."""
-    return json.dumps(
-        {
-            "shutdown_flag": "true",
-            "correlation_id": correlation_id,
-            "topic_name": topic,
-            "export_date": "",
-            "reprocess_files": "true",
-            "s3_full_folder": object_key,
-            "snapshot_type": "full",
-            "files_exported_count": files_exported,
-        },
-        separators=(",", ":"),
-    )
+    """SQSMessagingService.notifySnapshotSender payload
+    (services.snapshot_sender_payload, kt:62-84): the per-prefix message,
+    or the files_exported=0 variant when nothing was written."""
+    from .services import snapshot_sender_no_files_payload, snapshot_sender_payload
+
+    if files_exported == 0:
+        payload = snapshot_sender_no_files_payload(
+            correlation_id=correlation_id,
+            topic_name=topic,
+            export_date=export_date,
+            reprocess_files=True,
+            shutdown_flag=True,
+            snapshot_type=snapshot_type,
+        )
+    else:
+        payload = snapshot_sender_payload(
+            correlation_id=correlation_id,
+            topic_name=topic,
+            export_date=export_date,
+            reprocess_files=True,
+            shutdown_flag=True,
+            s3_full_folder=object_key,
+            snapshot_type=snapshot_type,
+        )
+    return json.dumps(payload, separators=(",", ":"))
 
 
-def adg_trigger_message(correlation_id: str, snapshot_type: str, export_date: str) -> str:
-    """SQS data-egress / ADG trigger shape (SQSMessagingService.kt:49-74)."""
-    return json.dumps(
-        {
-            "correlation_id": correlation_id,
-            "s3_prefix": "",
-            "snapshot_type": snapshot_type,
-            "export_date": export_date,
-        },
-        separators=(",", ":"),
-    )
+def adg_trigger_message(object_key: str) -> str:
+    """SQS data-egress trigger (services.data_egress_payload,
+    SQSMessagingService.kt:87-99) — an S3-event-shaped envelope naming
+    the exported prefix."""
+    from .services import data_egress_payload
+
+    return json.dumps(data_egress_payload(object_key), separators=(",", ":"))
 
 
 @dataclass
@@ -125,7 +138,6 @@ def run_topic_export(
     snapshot_type: str = "full",
     scan_time_range: tuple[int, int] | None = None,
     blocked_topics: tuple[str, ...] = (),
-    bucket: str = "local",
 ) -> RunReport:
     """One topic end-to-end: pipeline -> encrypted snapshot + manifest
     sinks -> status increments -> terminal status -> message payloads.
@@ -168,27 +180,39 @@ def run_topic_export(
 
     messages = [
         snapshot_sender_message(
-            status_service.correlation_id, topic, f.object_key, bucket, files_exported=len(files)
+            status_service.correlation_id,
+            topic,
+            f.object_key,
+            files_exported=len(files),
+            snapshot_type=snapshot_type,
         )
         for f in files
     ]
-    messages.append(adg_trigger_message(status_service.correlation_id, snapshot_type, ""))
+    messages.append(adg_trigger_message(files[-1].object_key if files else ""))
     messages.append(
         monitoring_message(status_service.correlation_id, status_service.completion(), snapshot_type)
     )
     return RunReport(topic, CollectionStatus.EXPORTED, files=files, metrics=metrics, messages=messages)
 
 
-def monitoring_message(correlation_id: str, status: ExportCompletionStatus, snapshot_type: str) -> str:
-    """SNS monitoring payload (SnsServiceImpl.kt:51-95)."""
-    severity = "Critical" if status == ExportCompletionStatus.COMPLETED_UNSUCCESSFULLY else "Information"
+def monitoring_message(
+    correlation_id: str,
+    status: ExportCompletionStatus,
+    snapshot_type: str,
+    export_date: str = "",
+) -> str:
+    """SNS completion-monitoring payload — delegates to the
+    reference-exact builder (services.completion_monitoring_payload,
+    SnsServiceImpl.kt:99-135: severity Critical + type Information on
+    success, High + Warning otherwise, slack_username HTME)."""
+    from .services import completion_monitoring_payload
+
     return json.dumps(
-        {
-            "severity": severity,
-            "notification_type": severity,
-            "slack_username": "Crown Export Poller",
-            "title_text": f"{snapshot_type} - Export finished - {status.value}",
-            "custom_elements": [{"key": "Correlation Id", "value": correlation_id}],
-        },
+        completion_monitoring_payload(
+            status,
+            correlation_id=correlation_id,
+            snapshot_type=snapshot_type,
+            export_date=export_date,
+        ),
         separators=(",", ":"),
     )

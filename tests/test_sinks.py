@@ -153,7 +153,8 @@ def test_run_topic_export_end_to_end(spark, tmp_path):
     # one snapshot-sender message per file + adg + monitoring
     assert len(report.messages) == len(report.files) + 2
     mon = json.loads(report.messages[-1])
-    assert mon["title_text"].endswith("COMPLETED_SUCCESSFULLY")
+    assert mon["title_text"] == "Full - Export finished - success"
+    assert (mon["severity"], mon["notification_type"]) == ("Critical", "Information")
     assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
 
 
