@@ -40,17 +40,29 @@ from ..functions.crypto import aes_ctr_encrypt
 from ..operators.manifest import MANIFEST_COLUMNS
 
 try:  # lz4 isn't in the base image; gate like the reference's codec profiles
+    import lz4.block as _lz4_block  # type: ignore
     import lz4.frame as _lz4  # type: ignore
 
     HAVE_LZ4 = True
 except ImportError:
     _lz4 = None
+    _lz4_block = None
     HAVE_LZ4 = False
 
+# Codec profiles mirror ContextConfiguration.kt:20-52: bz2Compressor /
+# gzCompressor / framedLZ4Compressor / blockLZ4Compressor. "lz4" is the
+# FRAMED format (FramedLZ4CompressorOutputStream = the interoperable
+# LZ4 frame spec = python lz4.frame); "lz4_block" is the raw BLOCK
+# format (BlockLZ4CompressorOutputStream = python lz4.block, which adds
+# a 4-byte little-endian uncompressed-size prefix the Java stream
+# doesn't — kept because raw blocks are not self-describing and the
+# prefix is what makes the profile round-trippable). Both write the
+# reference's "lz4" file extension.
 _COMPRESSORS = {
     "bz2": (lambda b: _bz2.compress(b), "bz2"),
     "gz": (lambda b: _gzip.compress(b), "gz"),
     "lz4": ((lambda b: _lz4.compress(b)) if HAVE_LZ4 else None, "lz4"),
+    "lz4_block": ((lambda b: _lz4_block.compress(b)) if HAVE_LZ4 else None, "lz4"),
 }
 
 

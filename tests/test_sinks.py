@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import bz2
 import glob
+import pytest
 import gzip
 import os
 
@@ -172,3 +173,46 @@ def test_run_topic_export_blocked(spark):
     assert report.files == [] and report.metrics == {}
     # blocked is a SUCCESSFUL terminal state in the fold (kt:33-58)
     assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
+
+
+@pytest.mark.parametrize("codec", ["lz4", "lz4_block"])
+def test_lz4_codec_profiles(spark, tmp_path, codec):
+    """Both LZ4 profiles from ContextConfiguration.kt:34-50 — framed
+    (lz4.frame) and block (lz4.block) — round-trip decrypt+decompress,
+    and both write the reference's .lz4 extension. Skipped when the lz4
+    lib is absent (not in the base image); the unavailable case below
+    runs either way."""
+    from dwp_hbase_to_mongo_export_spark.sinks import snapshot as snap
+
+    if not snap.HAVE_LZ4:
+        cfg = SnapshotSinkConfig(
+            output_dir=str(tmp_path), topic="db.database.collection",
+            compression=codec, data_key_b64=DATA_KEY_B64,
+            encrypted_data_key_b64="e", kek_id="k",
+        )
+        cells = fixture_cells(spark, n=5)
+        res = export_topic(cells, "db.database.collection")
+        with pytest.raises(ValueError, match="unavailable"):
+            write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
+        pytest.skip("lz4 library not installed")
+
+    import lz4.block as lz4_block
+    import lz4.frame as lz4_frame
+
+    cells = fixture_cells(spark, n=20)
+    res = export_topic(cells, "db.database.collection")
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path), topic="db.database.collection",
+        max_batch_bytes=2000, compression=codec,
+        data_key_b64=DATA_KEY_B64, encrypted_data_key_b64="e", kek_id="k",
+        deterministic_iv=True,
+    )
+    metas = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
+    decomp = lz4_frame.decompress if codec == "lz4" else lz4_block.decompress
+    total = 0
+    for m in metas:
+        assert ".txt.lz4.enc" in m.object_key  # reference extension for both
+        raw = open(os.path.join(str(tmp_path), m.object_key), "rb").read()
+        body = decomp(aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode()))
+        total += len(body.decode().splitlines())
+    assert total == 20
