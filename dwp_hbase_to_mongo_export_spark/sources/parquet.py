@@ -81,12 +81,24 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     pandas-UDF/HOF on one core; CPU-heavy operators call this so compute
     parallelism is decoupled from input file layout. No-op (and no
     shuffle) when the source already has enough splits — the 100 TB
-    case."""
+    case.
+
+    The "already parallel?" probe is df.inputFiles() — an analyzed-plan
+    file-index lookup — NOT df.rdd.getNumPartitions(), which forces a
+    full optimize+physical-plan+RDD conversion per call and composes
+    into real driver-side planning overhead when operators chain.
+    File count under-estimates splits (a big file yields many splits),
+    which only errs toward skipping the repartition at scale — the
+    safe direction: a many-file 100 TB table is never round-robined."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file source: assume narrow, spread it
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_events_time_range(
