@@ -195,6 +195,100 @@ def run_topic_export(
     return RunReport(topic, CollectionStatus.EXPORTED, files=files, metrics=metrics, messages=messages)
 
 
+@dataclass
+class FleetReport:
+    """Outcome of a multi-topic run: per-topic reports, the cross-topic
+    completion fold, and the terminal messages the last finisher sent."""
+
+    reports: dict[str, RunReport]
+    completion: ExportCompletionStatus
+    messages: list[str] = field(default_factory=list)
+
+
+def run_fleet(
+    topics: list[str],
+    cells_for,
+    sink_cfg_for,
+    status_service: ExportStatusService,
+    *,
+    snapshot_type: str = "full",
+    export_date: str = "",
+    s3_prefix: str = "",
+    blocked_topics: tuple[str, ...] = (),
+    unavailable_topics: tuple[str, ...] = (),
+) -> FleetReport:
+    """SURVEY §3.3 fleet semantics: the reference runs ONE JVM per topic
+    (docker-compose.yml:46-105) and coordinates exclusively through the
+    shared status table — every job's afterJob queries ALL rows for its
+    correlation id (TableServiceImpl.kt:16-29) and folds them
+    (DynamoDBExportStatusService.kt:30-46); the LAST finisher (the one
+    whose fold comes back COMPLETED_SUCCESSFULLY) triggers the terminal
+    export-completed + monitoring messages
+    (JobCompletionNotificationListener.kt:47-141).
+
+    Spark form: a driver loop over topics against one SparkSession —
+    each topic's export is its own job (Spark schedules them over the
+    same executors), and the same external-state fold runs after each.
+    `status_service` is the shared table: the in-memory service here, or
+    services.DynamoDbExportStatusService per topic in production.
+    `cells_for(topic)` / `sink_cfg_for(topic)` supply each topic's input
+    frame and sink config. Table-unavailable topics mirror the
+    reference's pre-scan check (HBaseReader.kt table existence):
+    status-only, no job."""
+    reports: dict[str, RunReport] = {}
+    for topic in topics:
+        status_service.set_status(topic, CollectionStatus.EXPORTING)
+    messages: list[str] = []
+    for topic in topics:
+        if topic in unavailable_topics:
+            status_service.set_status(topic, CollectionStatus.TABLE_UNAVAILABLE)
+            reports[topic] = RunReport(topic, CollectionStatus.TABLE_UNAVAILABLE)
+        else:
+            try:
+                reports[topic] = run_topic_export(
+                    cells_for(topic),
+                    topic,
+                    sink_cfg_for(topic),
+                    status_service,
+                    snapshot_type=snapshot_type,
+                    blocked_topics=blocked_topics,
+                )
+            except Exception as e:  # run_topic_export already set EXPORT_FAILED
+                reports[topic] = RunReport(
+                    topic, CollectionStatus.EXPORT_FAILED, metrics={"error": str(e)}
+                )
+        # the reference's afterJob fold runs after EVERY topic; only the
+        # last finisher sees all-successful and routes terminal messages
+        completion = status_service.completion()
+        if completion == ExportCompletionStatus.COMPLETED_SUCCESSFULLY:
+            from .services import export_completed_payload
+
+            messages.append(
+                json.dumps(
+                    export_completed_payload(
+                        correlation_id=status_service.correlation_id,
+                        s3_prefix=s3_prefix,
+                        snapshot_type=snapshot_type,
+                        export_date=export_date,
+                    ),
+                    separators=(",", ":"),
+                )
+            )
+            messages.append(
+                monitoring_message(
+                    status_service.correlation_id, completion, snapshot_type, export_date
+                )
+            )
+    completion = status_service.completion()
+    if completion != ExportCompletionStatus.COMPLETED_SUCCESSFULLY:
+        messages.append(
+            monitoring_message(
+                status_service.correlation_id, completion, snapshot_type, export_date
+            )
+        )
+    return FleetReport(reports, completion, messages)
+
+
 def monitoring_message(
     correlation_id: str,
     status: ExportCompletionStatus,

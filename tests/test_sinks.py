@@ -9,6 +9,7 @@ import bz2
 import glob
 import pytest
 import gzip
+import json
 import os
 
 from dwp_hbase_to_mongo_export_spark.functions.crypto import aes_ctr_decrypt
@@ -216,3 +217,73 @@ def test_lz4_codec_profiles(spark, tmp_path, codec):
         body = decomp(aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode()))
         total += len(body.decode().splitlines())
     assert total == 20
+
+
+def test_run_fleet_last_finisher_routes_terminal_messages(spark, tmp_path):
+    """SURVEY §3.3: per-topic status rows under one correlation id,
+    cross-topic fold after every topic, terminal messages only from the
+    last finisher. Mix: one exporting topic, one blocked, one
+    table-unavailable — all count successful (kt:159-165)."""
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_fleet
+
+    topics = ["db.a.one", "db.blocked.two", "db.gone.three"]
+    svc = ExportStatusService(correlation_id="corr-f")
+
+    def cells_for(topic):
+        return fixture_cells(spark, n=10).coalesce(1)
+
+    def cfg_for(topic):
+        return SnapshotSinkConfig(
+            output_dir=str(tmp_path / topic), topic=topic,
+            compression="gz", data_key_b64=DATA_KEY_B64,
+            encrypted_data_key_b64="e", kek_id="k", deterministic_iv=True,
+        )
+
+    fleet = run_fleet(
+        topics, cells_for, cfg_for, svc,
+        export_date="2024-01-01", s3_prefix="prefix/2024-01-01",
+        blocked_topics=("db.blocked.two",),
+        unavailable_topics=("db.gone.three",),
+    )
+    assert fleet.completion == ECS.COMPLETED_SUCCESSFULLY
+    assert svc.statuses["db.a.one"] == CS.EXPORTED
+    assert svc.statuses["db.blocked.two"] == CS.BLOCKED_TOPIC
+    assert svc.statuses["db.gone.three"] == CS.TABLE_UNAVAILABLE
+    # exactly one terminal pair (export-completed + monitoring), sent by
+    # the LAST finisher — earlier folds saw Exporting rows
+    completed = [m for m in fleet.messages if "additional_step_args" in m]
+    assert len(completed) == 1
+    assert json.loads(completed[0])["overrides"] == {
+        "Name": "analytical-dataset-generator-full"
+    }
+    mons = [m for m in fleet.messages if "title_text" in m and "Export finished" in m]
+    assert len(mons) == 1 and "success" in json.loads(mons[-1])["title_text"]
+
+
+def test_run_fleet_failure_folds_unsuccessfully(spark, tmp_path):
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_fleet
+
+    svc = ExportStatusService(correlation_id="corr-g")
+
+    def cells_for(topic):
+        return fixture_cells(spark, n=5).coalesce(1)
+
+    def cfg_for(topic):
+        if topic == "db.bad.two":
+            return SnapshotSinkConfig(
+                output_dir="/proc/definitely/not/writable", topic=topic,
+                compression="nope",  # unknown codec -> raises in the sink
+                data_key_b64=DATA_KEY_B64, encrypted_data_key_b64="e", kek_id="k",
+            )
+        return SnapshotSinkConfig(
+            output_dir=str(tmp_path / topic), topic=topic, compression="gz",
+            data_key_b64=DATA_KEY_B64, encrypted_data_key_b64="e", kek_id="k",
+        )
+
+    fleet = run_fleet(["db.ok.one", "db.bad.two"], cells_for, cfg_for, svc)
+    assert fleet.completion == ECS.COMPLETED_UNSUCCESSFULLY
+    assert svc.statuses["db.bad.two"] == CS.EXPORT_FAILED
+    assert svc.statuses["db.ok.one"] == CS.EXPORTED
+    mon = json.loads(fleet.messages[-1])
+    assert (mon["severity"], mon["notification_type"]) == ("High", "Warning")
+    assert mon["title_text"].endswith("failed")
