@@ -639,17 +639,37 @@ def embedding_dup_pairs_lsh(
     fixtures' qualifying pairs (all near cos 0.4, the worst case) and
     ~0.999 at sf0.1; raise n_bands / lower band_bits to trade cost for
     recall. Verified cosines are exact, so precision is always 1.0."""
-    banded = emb.select(
+    # Pass 1 is IDS-ONLY: exploding vectors per band would shuffle every
+    # vector n_bands times (24x byte amplification at the default).
+    # Instead explode (id, band, band_key) — a few dozen bytes per row —
+    # count bucket occupancy, and keep only buckets with >= 2 members:
+    # singletons (the overwhelming majority at scale, since band keys
+    # spread 2^band_bits ways per band) cannot produce a pair and are
+    # dropped BEFORE any vector bytes move. Pass 2 joins the surviving
+    # ids back to the (id, vector) projection, so vector bytes shuffle
+    # once per surviving membership, not once per band. The double scan
+    # recomputes the key matmul, which is deliberate: re-reading a
+    # pruned columnar scan is cheaper than caching the corpus at 100 TB.
+    banded_ids = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(
             embedding_band_keys(F.col(vec_col), n_bands, band_bits, n_dims)
         ).alias("band", "band_key"),
     )
+    crowded = (
+        banded_ids.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    surviving = banded_ids.join(crowded, ["band", "band_key"])
+    with_vec = surviving.join(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
     # id-range sub-blocks WITHIN each bucket bound the collect_list rows
     # and keep the matmul operands cache-sized even for a hot bucket.
     blocks = (
-        banded.select(
+        with_vec.select(
             "band",
             "band_key",
             F.floor(F.col("id") / block_size).alias("blk"),
