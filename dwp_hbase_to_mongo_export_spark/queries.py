@@ -429,6 +429,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stratified_sample",
     "doc_token_chunks",
     "corpus_mixture",
+    "sequence_packing",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",

@@ -151,6 +151,77 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN len({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
+             {_GATE_SQL.format(salt='pack:')} % 8 AS shard
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM toks
+    )
+    SELECT shard, CAST(before // 512 AS BIGINT) AS bin_idx,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM w GROUP BY 1, 2
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training bins (512 tokens
+    here) — the step that turns a filtered/deduped corpus into
+    dense fixed-context training examples.
+
+    Packing is OFFSET BINNING: bin = floor(tokens_before / budget) over
+    a deterministic doc order — the prefix-sum form of greedy packing
+    (a bin may overhang by at most one document, which the consumer
+    truncates or splits; exact close-on-overflow packing is inherently
+    sequential and not worth a stateful pass at corpus scale).
+
+    Scale: a GLOBAL ordered prefix sum would serialise the corpus
+    through one window partition — the classic global-window bottleneck
+    — so the corpus is first split into md5-sharded streams (shards are
+    deterministic and independent, like the sampling gates above) and
+    each shard packs in parallel; bin ids are (shard, bin_idx). This is
+    exactly how a multi-worker packer shards at 100 TB."""
+    from .functions.text import normalize_text
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.when(F.length(nt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(nt, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (_gate("pack:") % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin_idx",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512).cast("bigint"),
+    )
+    return binned.groupBy("shard", "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH ordered AS (
