@@ -478,6 +478,79 @@ class SnsService:
 
 
 # --------------------------------------------------------------------------
+# S3 object puts
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class S3ObjectService:
+    """S3ObjectServiceImpl.kt:17-58 + StreamingManifestWriter.kt:23-65
+    against any client exposing boto3 s3 `put_object`.
+
+    Snapshot puts carry the decryption material as USER METADATA — the
+    downstream snapshot-sender reads iv/cipherText/dataKeyEncryptionKeyId
+    off the object, which is why the sink returns per-file metadata rows
+    (sinks/snapshot.py FILE_META_SCHEMA maps 1:1 onto this call).
+    Manifest puts are plain text/plain objects under the manifest
+    prefix."""
+
+    client: Any
+    export_bucket: str
+    topic_name: str
+    snapshot_type: str = "full"
+    retry_sleep: Callable[[float], None] = time.sleep
+    put_counts: dict[str, int] = field(default_factory=dict)
+
+    def put_snapshot_object(
+        self,
+        object_key: str,
+        body: bytes,
+        *,
+        iv: str,
+        ciphertext_key: str,
+        kek_id: str,
+    ) -> None:
+        retrying(
+            lambda: self.client.put_object(
+                Bucket=self.export_bucket,
+                Key=object_key,
+                Body=body,
+                ContentType="binary/octetstream",
+                ContentLength=len(body),
+                Metadata={
+                    "x-amz-meta-title": object_key,
+                    "iv": iv,
+                    "cipherText": ciphertext_key,
+                    "dataKeyEncryptionKeyId": kek_id,
+                    "data_product": self.topic_name,
+                    "data_product_type": self.snapshot_type,
+                },
+            ),
+            sleep=self.retry_sleep,
+        )
+        self._bump("batch_put")
+
+    def put_manifest(
+        self, manifest_bucket: str, manifest_prefix: str, file_name: str, body: bytes
+    ) -> None:
+        retrying(
+            lambda: self.client.put_object(
+                Bucket=manifest_bucket,
+                Key=f"{manifest_prefix}/{file_name}",
+                Body=body,
+                ContentType="text/plain",
+                ContentLength=len(body),
+                Metadata={"x-amz-meta-title": file_name},
+            ),
+            sleep=self.retry_sleep,
+        )
+        self._bump("manifest_put")
+
+    def _bump(self, counter: str) -> None:
+        self.put_counts[counter] = self.put_counts.get(counter, 0) + 1
+
+
+# --------------------------------------------------------------------------
 # Prometheus pushgateway
 # --------------------------------------------------------------------------
 

@@ -327,3 +327,51 @@ def test_orchestration_messages_use_reference_shapes():
 
     egress = json.loads(adg_trigger_message("prefix/f1"))
     assert egress == {"Records": [{"s3": {"object": {"key": "prefix/f1"}}}]}
+
+
+class FakeS3:
+    def __init__(self):
+        self.calls: list[dict] = []
+
+    def put_object(self, **kw):
+        self.calls.append(kw)
+        return {"ETag": "x"}
+
+
+def test_s3_snapshot_put_carries_decryption_metadata():
+    client = FakeS3()
+    service = svc.S3ObjectService(
+        client, export_bucket="exports", topic_name="db.database.collection",
+        snapshot_type="full", retry_sleep=lambda _: None,
+    )
+    service.put_snapshot_object(
+        "prefix/db.database.collection-000-128-000001.txt.gz.enc",
+        b"\x00\x01\x02",
+        iv="aXY=", ciphertext_key="ck", kek_id="kek-1",
+    )
+    (call,) = client.calls
+    assert call["Bucket"] == "exports"
+    assert call["ContentType"] == "binary/octetstream"
+    assert call["ContentLength"] == 3
+    assert call["Metadata"] == {
+        "x-amz-meta-title": "prefix/db.database.collection-000-128-000001.txt.gz.enc",
+        "iv": "aXY=",
+        "cipherText": "ck",
+        "dataKeyEncryptionKeyId": "kek-1",
+        "data_product": "db.database.collection",
+        "data_product_type": "full",
+    }
+    assert service.put_counts == {"batch_put": 1}
+
+
+def test_s3_manifest_put_plain_text():
+    client = FakeS3()
+    service = svc.S3ObjectService(
+        client, export_bucket="exports", topic_name="db.t", retry_sleep=lambda _: None,
+    )
+    service.put_manifest("manifests", "streaming/full", "db.t-000-128-000001.csv", b"a|b\n")
+    (call,) = client.calls
+    assert call["Bucket"] == "manifests"
+    assert call["Key"] == "streaming/full/db.t-000-128-000001.csv"
+    assert call["ContentType"] == "text/plain"
+    assert call["Metadata"] == {"x-amz-meta-title": "db.t-000-128-000001.csv"}
