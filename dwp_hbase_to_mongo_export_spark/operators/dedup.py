@@ -163,6 +163,7 @@ def jaccard_of_sets(
     id_col: str,
     set_col: str = "gs",
     broadcast_max_docs: int | None = None,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact jaccard for candidate pairs given per-doc shingle-set arrays
     (id_col, set_col). Two strategies, chosen by build-side size exactly
@@ -182,7 +183,19 @@ def jaccard_of_sets(
       |pairs| * shingles/doc.
 
     Values are identical either way — exact set intersection, same
-    jaccard arithmetic — so the DuckDB oracles don't change."""
+    jaccard arithmetic — so the DuckDB oracles don't change.
+
+    min_jaccard enables the SIZE-RATIO prefilter (prefix-filtering
+    family, Bayardo et al., public literature): jaccard(A, B) <=
+    min(|A|,|B|)/max(|A|,|B|), so when the caller will drop everything
+    below a threshold t, candidates with min < t*max are provably
+    below t and can be skipped BEFORE the O(|set|) intersect — an exact
+    optimisation, never a result change. It is applied only on the JOIN
+    path, where it is a free codegen'd predicate under the Python
+    verify; in the broadcast kernel the per-pair size lookups measurably
+    cost more than they save (0.3% kill rate on truncated-shingle
+    corpora whose set sizes cluster at the cap), so that path verifies
+    every candidate."""
     from ..sources.parquet import ensure_parallelism
 
     # The pairs frame is BYTE-small but each row costs an O(|set|)
@@ -196,7 +209,7 @@ def jaccard_of_sets(
     probe = sets.select(id_col, set_col).limit(broadcast_max_docs + 1).collect()
     if len(probe) <= broadcast_max_docs:
         return _jaccard_broadcast(probe, pairs)
-    return _jaccard_join(sets, pairs, id_col, set_col)
+    return _jaccard_join(sets, pairs, id_col, set_col, min_jaccard)
 
 
 def _jaccard_broadcast(set_rows: list, pairs: DataFrame) -> DataFrame:
@@ -242,7 +255,11 @@ def _jaccard_broadcast(set_rows: list, pairs: DataFrame) -> DataFrame:
 
 
 def _jaccard_join(
-    sets: DataFrame, pairs: DataFrame, id_col: str, set_col: str
+    sets: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    set_col: str,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     a = sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("ga"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("gb"))
@@ -257,10 +274,16 @@ def _jaccard_join(
             dtype="int64",
         )
 
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    if min_jaccard is not None:
+        # size-ratio prefilter as a codegen'd column predicate BELOW the
+        # Python verify — exact (see jaccard_of_sets docstring)
+        joined = joined.filter(
+            F.least(F.size("ga"), F.size("gb"))
+            >= F.lit(min_jaccard) * F.greatest(F.size("ga"), F.size("gb"))
+        )
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("inter", _inter("ga", "gb"))
+        joined.withColumn("inter", _inter("ga", "gb"))
         .select(
             "id_a",
             "id_b",
@@ -402,9 +425,9 @@ def minhash_lsh_dedup(
         id_col, "bb.band", "bb.band_key"
     )
     pairs = lsh_candidate_pairs(banded, id_col)
-    return jaccard_of_sets(sets, pairs, id_col, set_col="hs").filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_of_sets(
+        sets, pairs, id_col, set_col="hs", min_jaccard=threshold
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
