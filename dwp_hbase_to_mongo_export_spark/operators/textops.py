@@ -97,3 +97,105 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.col(text_col)).alias("fp_raw"),
         F.md5(normalize_text(F.col(text_col))).alias("fp_normalised"),
     )
+
+
+# PII patterns kept deliberately simple and PORTABLE: the same regex
+# string must compile in Spark's codegen'd regexp_replace (Java) and the
+# DuckDB oracle (RE2-style). Order matters — emails before the phone
+# pattern so user@host digits aren't half-eaten.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Chained regexp_replace over the PII patterns — pure JVM codegen,
+    linear in text size. The standard pre-training scrub step: emails,
+    IPv4 addresses, and phone-shaped digit runs become typed tags so
+    downstream tokenisation sees a stable vocabulary item instead of
+    unique identifiers."""
+    out = c
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-kind match counts (regexp_count, codegen'd) — the audit side
+    of redaction: corpora report PII density before/after scrubbing."""
+    return {
+        name: F.regexp_count(c, F.lit(pattern)) for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, public
+    literature): the quality filters that drop boilerplate/spam docs.
+
+    - dup_line_fraction: 1 - distinct lines / lines (split on newline);
+    - dup_gram_fraction: 1 - distinct word 3-grams / word 3-grams over
+      the normalised text (degenerate repetitive text scores high);
+    - top_gram_fraction: occurrences of the most frequent 3-gram over
+      total 3-grams.
+
+    All built-in higher-order-function expressions over per-doc arrays —
+    map-only, no shuffle, no UDF — and all LINEAR(ish) per doc: the
+    top-gram count is a run-length fold over the SORTED gram array
+    (O(g log g)), not a distinct x full-list membership scan (O(g^2) —
+    ruinous on long boilerplate docs, exactly the ones this filter
+    exists to catch). Token arrays are bounded by the truncating
+    normalise exactly like the shingle operators."""
+    nt = normalize_text(F.col(text_col), 512)
+    toks = F.split(nt, " ")
+    n = F.size(toks)
+    grams = F.when(
+        (F.length(nt) > 0) & (n >= 3),
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_grams = F.size(grams)
+    # longest equal-adjacent run over the sorted grams = max occurrence
+    # count of any gram; one linear aggregate, state (prev, run, best)
+    run_state = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top = run_state["best"]
+    return df.select(
+        id_col,
+        F.round(
+            F.when(
+                n_lines > 0,
+                1 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_line_fraction"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                1 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_gram_fraction"),
+        F.round(
+            F.when(n_grams > 0, top / n_grams.cast("double")).otherwise(0.0), 4
+        ).alias("top_gram_fraction"),
+    )

@@ -430,6 +430,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_token_chunks",
     "corpus_mixture",
     "sequence_packing",
+    "text_pii_redact",
+    "text_repetition",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",

@@ -432,6 +432,93 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts (operators/textops.redact_pii): emails,
+    IPv4s, phone-shaped digit runs become typed tags. Pure chained
+    regexp_replace/regexp_count — codegen'd, linear, portable patterns
+    (same regex compiles in Java and RE2, which is what makes the DuckDB
+    oracle byte-exact on the redacted text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = textops.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        textops.redact_pii(F.col("text")).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, substr({_NORM_FULL}, 1, 512) AS nt FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, text, nt,
+             CASE WHEN len(nt) > 0 THEN string_split(nt, ' ') ELSE [] END AS t
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(t) >= 3 AND len(nt) > 0 THEN
+               list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+             ELSE [] END AS g
+      FROM toks
+    ),
+    tops AS (
+      SELECT doc_id, max(c) AS top FROM (
+        SELECT doc_id, g3, count(*) AS c
+        FROM (SELECT doc_id, unnest(g) AS g3 FROM grams)
+        GROUP BY doc_id, g3
+      ) GROUP BY doc_id
+    )
+    SELECT gr.doc_id,
+           round(CASE WHEN len(string_split(gr.text, chr(10))) > 0 THEN
+             1 - len(list_distinct(string_split(gr.text, chr(10)))) * 1.0
+               / len(string_split(gr.text, chr(10)))
+             ELSE 0.0 END, 4) AS dup_line_fraction,
+           round(CASE WHEN len(gr.g) > 0 THEN
+             1 - len(list_distinct(gr.g)) * 1.0 / len(gr.g)
+             ELSE 0.0 END, 4) AS dup_gram_fraction,
+           round(CASE WHEN len(gr.g) > 0 THEN
+             COALESCE(tops.top, 0) * 1.0 / len(gr.g) ELSE 0.0 END, 4)
+             AS top_gram_fraction
+    FROM grams gr LEFT JOIN tops ON tops.doc_id = gr.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality metrics
+    (operators/textops.repetition_features): duplicate-line fraction,
+    duplicate word-3-gram fraction, and top-gram share — the filters
+    that catch boilerplate and degenerate spam. Spark side is a linear
+    run-length fold over sorted gram arrays (no shuffle, no UDF); the
+    oracle reaches the same max-occurrence count via explode+group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_features(docs)
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""
