@@ -166,3 +166,45 @@ def test_broadcast_cutover_scales_with_driver_memory(spark):
         for r in dedup.jaccard_of_sets(sets, pairs, "doc_id", broadcast_max_docs=1).collect()
     }
     assert via_bcast == via_join
+
+
+def test_pii_redaction_on_crafted_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "call +44 (0)20 7946-0958 today"),
+            (4, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        textops.redact_pii(F.col("text")).alias("red"),
+        *[v.alias(k) for k, v in textops.pii_counts(F.col("text")).items()],
+    ).collect()}
+    assert rows[1].red == "mail <EMAIL> now" and rows[1].email == 1
+    assert rows[2].red == "server at <IP> responded" and rows[2].ipv4 == 1
+    assert rows[3].red == "call <PHONE> today" and rows[3].phone == 1
+    assert rows[4].red == "clean text with no identifiers"
+    assert rows[4].email == rows[4].ipv4 == rows[4].phone == 0
+
+
+def test_repetition_features_on_crafted_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),     # one gram repeated
+            (2, "all words here are fully distinct"),  # no repetition
+            (3, "line\nline\nline"),                   # duplicate lines
+            (4, ""),                                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.repetition_features(df).collect()}
+    # 6 tokens -> 4 grams, all "spam spam spam": dup 3/4, top 4/4
+    assert rows[1].dup_gram_fraction == 0.75
+    assert rows[1].top_gram_fraction == 1.0
+    assert rows[2].dup_gram_fraction == 0.0
+    assert rows[2].top_gram_fraction == 0.25  # 4 distinct grams, max count 1
+    assert rows[3].dup_line_fraction == round(1 - 1 / 3, 4)
+    assert rows[4].dup_gram_fraction == 0.0 and rows[4].top_gram_fraction == 0.0
