@@ -219,3 +219,34 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantisation: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) — the standard storage/bandwidth
+    lever for embedding corpora (4x smaller than float32; at 100 TB
+    that is the difference between caching the corpus and not).
+
+    Pure higher-order-function expressions — linear, no UDF, no
+    shuffle. floor(x + 0.5) (round-half-toward-+inf) instead of
+    round() because engines disagree on banker's rounding; this exact
+    form is portable, which is what lets the DuckDB oracle reproduce
+    the quantised vectors bit-for-bit. Returns (id, scale, q); cosine
+    on dequantised vectors stays within ~1% of exact for 64-dim
+    unit-ish vectors (pinned in tests)."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        maxabs > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * 127.0 / maxabs + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col),
+        (maxabs / 127.0).alias("scale"),
+        q.alias("q"),
+    )

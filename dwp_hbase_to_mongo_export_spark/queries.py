@@ -432,6 +432,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sequence_packing",
     "text_pii_redact",
     "text_repetition",
+    "embedding_quantize_int8",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",

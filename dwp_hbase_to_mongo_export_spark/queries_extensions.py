@@ -336,6 +336,32 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, k=5, n_planes=8, n_dims=64, max_query_id=10)
 
 
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 2000
+    ),
+    m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
+    )
+    SELECT vec_id, maxabs / 127.0 AS scale,
+           CASE WHEN maxabs > 0 THEN
+             list_transform(e, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT))
+           ELSE list_transform(e, x -> 0) END AS q
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantisation
+    (operators/similarity.quantize_int8) — the 4x storage/bandwidth
+    lever for embedding corpora; portable floor(x+0.5) rounding makes
+    the oracle bit-exact on the quantised vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return similarity.quantize_int8(emb)
+
+
 def _stoplist_sql(lang: str) -> str:
     from .functions.text import STOPWORDS
 

@@ -208,3 +208,23 @@ def test_repetition_features_on_crafted_docs(spark):
     assert rows[2].top_gram_fraction == 0.25  # 4 distinct grams, max count 1
     assert rows[3].dup_line_fraction == round(1 - 1 / 3, 4)
     assert rows[4].dup_gram_fraction == 0.0 and rows[4].top_gram_fraction == 0.0
+
+
+def test_int8_quantization_cosine_error_bounded(spark, emb):
+    """Dequantised cosine must track exact cosine closely (int8 with
+    per-vector scale: worst-case element error 0.5/127 of max|v|)."""
+    import numpy as np
+
+    q = {r.vec_id: (r.scale, np.array(r.q)) for r in similarity.quantize_int8(emb).collect()}
+    v = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ids = sorted(v)[:50]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    errs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            da, db = q[a][1] * q[a][0], q[b][1] * q[b][0]
+            errs.append(abs(cos(da, db) - cos(v[a], v[b])))
+    assert max(errs) < 0.01, f"max dequantised-cosine error {max(errs)}"
