@@ -143,3 +143,13 @@ def test_embedding_lsh_dedup_has_no_global_cross_join(spark, sf_dir):
     plan = _plan(dedup.embedding_dup_pairs_lsh(emb))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """The shard-parallel packer must shuffle ONCE (on shard): the
+    window and both aggregate phases are co-partitioned, so a second
+    Exchange in the plan means the shard design broke."""
+    from dwp_hbase_to_mongo_export_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["sequence_packing"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
