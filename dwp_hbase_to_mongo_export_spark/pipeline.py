@@ -44,14 +44,18 @@ def export_topic(
     scan_time_range: tuple[int, int] | None = None,
     blocked_topics: tuple[str, ...] = (),
     dedup_versions: bool = False,
+    observe_metrics: bool = True,
 ) -> ExportResult:
     """The full reference dataflow over a cells DataFrame.
 
     scan_time_range maps to the incremental-mode Scan.setTimeRange
     (HBaseReader.kt:131-150): a pushed-down ts filter. dedup_versions
     reinstates latest-version-per-key when the source materialises all
-    versions.
-    """
+    versions. observe_metrics=False skips the Observation nodes — pass
+    it when `cells` is a STREAMING DataFrame (the batch Observation
+    helper can't wait on a streaming query; every other operator in the
+    DAG is streaming-safe, which is the point: incremental export is
+    the same plan on a readStream)."""
     if topic in blocked_topics:
         raise BlockedTopicError(f"Provided topic is blocked so cannot be processed: '{topic}'")
 
@@ -71,20 +75,23 @@ def export_topic(
     # frames still see every record.
     from pyspark.sql import Observation
 
-    obs_parsed = Observation()
-    parsed = parsed.observe(
-        obs_parsed,
-        F.count(F.lit(1)).alias("records_read"),
-        F.sum(F.col("valid").cast("long")).alias("records_valid"),
-    )
+    obs_parsed = obs_norm = None
+    if observe_metrics:
+        obs_parsed = Observation()
+        parsed = parsed.observe(
+            obs_parsed,
+            F.count(F.lit(1)).alias("records_read"),
+            F.sum(F.col("valid").cast("long")).alias("records_valid"),
+        )
     valid, quarantined = split_valid(parsed)
     normalised = decrypt_and_normalise(valid)
-    obs_norm = Observation()
-    normalised = normalised.observe(
-        obs_norm,
-        F.sum(F.col("error").isNotNull().cast("long")).alias("records_failed"),
-        F.sum(F.when(F.col("error").isNull(), F.length("db_object"))).alias("bytes_normalised"),
-    )
+    if observe_metrics:
+        obs_norm = Observation()
+        normalised = normalised.observe(
+            obs_norm,
+            F.sum(F.col("error").isNotNull().cast("long")).alias("records_failed"),
+            F.sum(F.when(F.col("error").isNull(), F.length("db_object"))).alias("bytes_normalised"),
+        )
     good, failed = split_normalised(normalised)
 
     good = good.withColumn(

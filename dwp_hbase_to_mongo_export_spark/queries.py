@@ -399,6 +399,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_stream_join",
     "streaming_session_windows",
     "streaming_hbase_source_scan",
+    "streaming_export_pipeline",
     "hbase_source_scan",
     "key_range_partition_stats",
     "sanitise_strings",

@@ -61,12 +61,18 @@ def _encrypt_udf(payload: pd.Series, okey: pd.Series) -> pd.DataFrame:
 _encrypt_udf = _encrypt_udf.asNondeterministic()
 
 
-def build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_cells(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
     from .sources.parquet import ensure_parallelism
 
     # the whole pipeline is narrow (pandas-UDF crypto both ways): spread
-    # the single small input split across cores up front
-    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    # the single small input split across cores up front. A caller may
+    # inject a STREAMING orders frame — the cell construction below is
+    # pure projections, identical on either execution mode.
+    if orders is None:
+        orders = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    o = orders
     service = LocalKeyService()
     encrypted_key = service.encrypt_data_key(MASTER_KEK_ID, DATA_KEY_B64)
     k = F.col("o_orderkey").cast("string")
@@ -154,3 +160,54 @@ def export_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("manifest_id"),
         F.col("originalId").alias("original_id"),
     )
+
+
+@query(
+    "streaming_export_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS d,
+             o_orderpriority AS note,
+             o_orderkey % 2 = 0 AS even
+      FROM orders
+    )
+    SELECT k AS okey,
+           CASE WHEN even THEN
+             '{"_id":{"record_id":"' || k || '"},"createdDateTime":{"d_date":"' || d ||
+             '"},"note":"' || note || '","_lastModifiedDateTime":{"d_date":"' || d || '"}}'
+           ELSE
+             '{"createdDateTime":{"d_date":"' || d || '"},"note":"' || note ||
+             '","_lastModifiedDateTime":{"d_date":"' || d || '"},"_id":{"d_oid":"' || k || '"}}'
+           END AS db_object,
+           CASE WHEN even THEN '{"record_id":"' || k || '"}'
+                ELSE '{"$oid":"' || k || '"}' END AS manifest_id,
+           CASE WHEN even THEN '{"record_id":"' || k || '"}'
+                ELSE k END AS original_id
+    FROM base
+    """,
+)
+def streaming_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME export DAG as export_pipeline_e2e executed as a
+    Structured Streaming query: orders arrive through a file-source
+    readStream, the cell construction + envelope parse + mandatory-field
+    gate + AES-CTR decrypt + normalise + sanitise chain is the identical
+    plan (every operator in it is streaming-safe — narrow projections
+    and Arrow-batched UDFs), and an AvailableNow drain must reproduce
+    the batch oracle byte-for-byte. This is the reference's incremental
+    mode taken to its Spark-native conclusion: continuous export is not
+    a second code path, it is the batch plan on a stream
+    (HBaseReader.kt:131-150's time-range resume contract becomes the
+    stream's checkpointed offset)."""
+    from .streaming.incremental import run_available_now, stream_table
+
+    orders = stream_table(spark, sf_dir, "orders")
+    cells = build_cells(spark, sf_dir, orders=orders)
+    res = export_topic(cells.drop("okey"), TOPIC, observe_metrics=False)
+    out = res.extra["sink_frame"].select(
+        F.regexp_extract("id", r"(\d+)", 1).alias("okey"),
+        F.col("db_object"),
+        F.col("id").alias("manifest_id"),
+        F.col("originalId").alias("original_id"),
+    )
+    return run_available_now(out, state_partitions=None)
