@@ -216,6 +216,9 @@ def run_fleet(
     s3_prefix: str = "",
     blocked_topics: tuple[str, ...] = (),
     unavailable_topics: tuple[str, ...] = (),
+    messaging=None,
+    sns=None,
+    push_gateway=None,
 ) -> FleetReport:
     """SURVEY §3.3 fleet semantics: the reference runs ONE JVM per topic
     (docker-compose.yml:46-105) and coordinates exclusively through the
@@ -234,7 +237,16 @@ def run_fleet(
     `cells_for(topic)` / `sink_cfg_for(topic)` supply each topic's input
     frame and sink config. Table-unavailable topics mirror the
     reference's pre-scan check (HBaseReader.kt table existence):
-    status-only, no job."""
+    status-only, no job.
+
+    Optional service adapters (services.py — or fakes) make the terminal
+    routing REAL instead of payload-only: `messaging`
+    (SqsMessagingService) gets one notify_snapshot_sender per exported
+    file prefix (or the no-files variant), `sns` (SnsService) gets the
+    export-completed + completion-monitoring publishes from the last
+    finisher (and topic-failed messages as failures happen), and
+    `push_gateway` (PushGatewayService) gets push_final_metrics at the
+    end — JobCompletionNotificationListener.kt:47-141's routing."""
     reports: dict[str, RunReport] = {}
     for topic in topics:
         status_service.set_status(topic, CollectionStatus.EXPORTING)
@@ -257,6 +269,17 @@ def run_fleet(
                 reports[topic] = RunReport(
                     topic, CollectionStatus.EXPORT_FAILED, metrics={"error": str(e)}
                 )
+                if sns is not None:
+                    sns.send_topic_failed_monitoring_message()
+        # per-topic snapshot-sender notifications ride the topic loop,
+        # exactly like afterJob's per-file sends
+        if messaging is not None:
+            report = reports[topic]
+            if report.status == CollectionStatus.EXPORTED and report.files:
+                for f in report.files:
+                    messaging.notify_snapshot_sender(f.object_key)
+            elif report.status == CollectionStatus.EXPORTED:
+                messaging.notify_snapshot_sender_no_files_exported()
         # the reference's afterJob fold runs after EVERY topic; only the
         # last finisher sees all-successful and routes terminal messages
         completion = status_service.completion()
@@ -279,6 +302,9 @@ def run_fleet(
                     status_service.correlation_id, completion, snapshot_type, export_date
                 )
             )
+            if sns is not None:
+                sns.send_export_completed_successfully_message()
+                sns.send_completion_monitoring_message(completion)
     completion = status_service.completion()
     if completion != ExportCompletionStatus.COMPLETED_SUCCESSFULLY:
         messages.append(
@@ -286,6 +312,10 @@ def run_fleet(
                 status_service.correlation_id, completion, snapshot_type, export_date
             )
         )
+        if sns is not None:
+            sns.send_completion_monitoring_message(completion)
+    if push_gateway is not None:
+        push_gateway.push_final_metrics()
     return FleetReport(reports, completion, messages)
 
 

@@ -287,3 +287,58 @@ def test_run_fleet_failure_folds_unsuccessfully(spark, tmp_path):
     mon = json.loads(fleet.messages[-1])
     assert (mon["severity"], mon["notification_type"]) == ("High", "Warning")
     assert mon["title_text"].endswith("failed")
+
+
+def test_run_fleet_drives_service_adapters(spark, tmp_path):
+    """With real adapters injected (recording fakes underneath), the
+    fleet routes per-file SQS notifications, SNS terminal publishes, and
+    the final pushgateway push — kt:47-141's afterJob wiring."""
+    import json as _json
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_fleet
+    from dwp_hbase_to_mongo_export_spark import services as services_mod
+    from tests.test_services import FakePusher, FakeSns, FakeSqs
+
+    sqs_client, sns_client, pusher = FakeSqs(), FakeSns(), FakePusher()
+    messaging = services_mod.SqsMessagingService(
+        sqs_client, topic_name="db.a.one",
+        snapshot_sender_queue_url="q1.fifo", data_egress_queue_url="q2",
+        correlation_id="corr-h", retry_sleep=lambda _: None,
+    )
+    sns = services_mod.SnsService(
+        sns_client, correlation_id="corr-h", monitoring_topic_arn="arn:mon",
+        full_topic_arn="arn:full", retry_sleep=lambda _: None,
+    )
+    pg = services_mod.PushGatewayService(
+        pusher, correlation_id="corr-h", snapshot_type="full",
+        topic_name="db.a.one", instance_name="i-1", export_date="2024-01-01",
+        sleep=lambda _: None,
+    )
+    svc_status = ExportStatusService(correlation_id="corr-h")
+
+    def cells_for(topic):
+        return fixture_cells(spark, n=8).coalesce(1)
+
+    def cfg_for(topic):
+        return SnapshotSinkConfig(
+            output_dir=str(tmp_path / topic), topic=topic, compression="gz",
+            data_key_b64=DATA_KEY_B64, encrypted_data_key_b64="e", kek_id="k",
+            deterministic_iv=True,
+        )
+
+    fleet = run_fleet(
+        ["db.a.one"], cells_for, cfg_for, svc_status,
+        messaging=messaging, sns=sns, push_gateway=pg,
+    )
+    assert fleet.completion == ECS.COMPLETED_SUCCESSFULLY
+    # one FIFO send per exported file
+    n_files = len(fleet.reports["db.a.one"].files)
+    assert n_files > 0 and len(sqs_client.calls) == n_files
+    assert all(c["QueueUrl"] == "q1.fifo" for c in sqs_client.calls)
+    # terminal SNS: export-completed to the full ARN + completion monitoring
+    arns = [c["TopicArn"] for c in sns_client.calls]
+    assert arns == ["arn:full", "arn:mon"]
+    assert "additional_step_args" in sns_client.calls[0]["Message"]
+    mon = _json.loads(sns_client.calls[1]["Message"])
+    assert mon["title_text"].endswith("success")
+    # pushgateway final push + delete
+    assert len(pusher.pushes) == 1 and len(pusher.deletes) == 1
