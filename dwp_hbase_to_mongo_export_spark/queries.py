@@ -434,6 +434,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_pii_redact",
     "text_repetition",
     "embedding_quantize_int8",
+    "dedup_clusters_alternating",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",

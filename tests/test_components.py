@@ -4,6 +4,8 @@ one propagation round."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dwp_hbase_to_mongo_export_spark.operators.components import (
     connected_components,
     dedup_clusters,
@@ -37,3 +39,34 @@ def test_dedup_clusters_keeper_and_size(spark):
     assert rows[9]["cluster_size"] == 3
     assert rows[20]["is_keeper"] and rows[20]["cluster_size"] == 2
     assert not rows[21]["is_keeper"]
+
+
+def test_alternating_matches_propagation_on_fixture_pairs(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.operators import dedup
+    from dwp_hbase_to_mongo_export_spark.operators.components import (
+        connected_components,
+        connected_components_alternating,
+    )
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.25).select("id_a", "id_b")
+    a = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    b = {(r.node, r.component) for r in connected_components_alternating(pairs).collect()}
+    assert a == b
+
+
+def test_alternating_converges_on_deep_chain(spark):
+    """A 120-node path graph has diameter 119 — min-label propagation
+    needs ~119 rounds (over its max_iter), the star alternation O(log n).
+    Ground truth: every node collapses to component 0."""
+    from dwp_hbase_to_mongo_export_spark.operators.components import (
+        connected_components_alternating,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    out = {(r.node, r.component) for r in
+           connected_components_alternating(chain, max_iter=12).collect()}
+    assert out == {(i, 0) for i in range(120)}
