@@ -219,6 +219,9 @@ def run_fleet(
     messaging=None,
     sns=None,
     push_gateway=None,
+    product_status=None,
+    export_prefix: str = "",
+    pdm_common_model_site_prefix: str = "",
 ) -> FleetReport:
     """SURVEY §3.3 fleet semantics: the reference runs ONE JVM per topic
     (docker-compose.yml:46-105) and coordinates exclusively through the
@@ -278,6 +281,9 @@ def run_fleet(
             if report.status == CollectionStatus.EXPORTED and report.files:
                 for f in report.files:
                     messaging.notify_snapshot_sender(f.object_key)
+                # data-egress/RIS message names the topic's file prefix
+                # (JobCompletionNotificationListener.kt:117-121)
+                messaging.send_data_egress_message(f"{export_prefix}/{topic}-")
             elif report.status == CollectionStatus.EXPORTED:
                 messaging.notify_snapshot_sender_no_files_exported()
         # the reference's afterJob fold runs after EVERY topic; only the
@@ -306,14 +312,35 @@ def run_fleet(
                 sns.send_export_completed_successfully_message()
                 sns.send_completion_monitoring_message(completion)
     completion = status_service.completion()
+    terminal = completion in (
+        ExportCompletionStatus.COMPLETED_SUCCESSFULLY,
+        ExportCompletionStatus.COMPLETED_UNSUCCESSFULLY,
+    )
     if completion != ExportCompletionStatus.COMPLETED_SUCCESSFULLY:
         messages.append(
             monitoring_message(
                 status_service.correlation_id, completion, snapshot_type, export_date
             )
         )
-        if sns is not None:
+        # monitoring publishes only on TERMINAL folds (kt:138-142);
+        # in-progress / not-completed runs stay silent
+        if sns is not None and terminal:
             sns.send_completion_monitoring_message(completion)
+    # PDM common-model trigger: incremental runs with a configured site
+    # prefix message data egress on either terminal state (kt:106-112)
+    if (
+        messaging is not None
+        and terminal
+        and snapshot_type == "incremental"
+        and pdm_common_model_site_prefix
+    ):
+        messaging.send_data_egress_message(pdm_common_model_site_prefix)
+    # run-level product status row other pipeline stages poll (kt:126-135)
+    if product_status is not None and terminal:
+        if completion == ExportCompletionStatus.COMPLETED_SUCCESSFULLY:
+            product_status.set_completed_status()
+        else:
+            product_status.set_failed_status()
     if push_gateway is not None:
         push_gateway.push_final_metrics()
     return FleetReport(reports, completion, messages)

@@ -217,6 +217,41 @@ class DynamoDbExportStatusService:
         self.counters[counter] = self.counters.get(counter, 0) + 1
 
 
+@dataclass
+class DynamoDbProductStatusService:
+    """DynamoDBProductStatusService.kt:16-61: the run-level product
+    status row other pipeline stages watch — key (Correlation_Id,
+    DataProduct="HTME") in the data_pipeline_metadata table,
+    `SET #y = :x` with #y -> Status."""
+
+    client: Any
+    correlation_id: str
+    table_name: str = "data_pipeline_metadata"
+    retry_sleep: Callable[[float], None] = time.sleep
+
+    def _set_status(self, status: str) -> dict:
+        return retrying(
+            lambda: self.client.update_item(
+                TableName=self.table_name,
+                Key={
+                    "Correlation_Id": {"S": self.correlation_id},
+                    "DataProduct": {"S": "HTME"},
+                },
+                UpdateExpression="SET #y = :x",
+                ExpressionAttributeNames={"#y": "Status"},
+                ExpressionAttributeValues={":x": {"S": status}},
+                ReturnValues="ALL_NEW",
+            ),
+            sleep=self.retry_sleep,
+        )
+
+    def set_completed_status(self) -> None:
+        self._set_status("COMPLETED")
+
+    def set_failed_status(self) -> None:
+        self._set_status("FAILED")
+
+
 # --------------------------------------------------------------------------
 # SQS messaging
 # --------------------------------------------------------------------------

@@ -375,3 +375,23 @@ def test_s3_manifest_put_plain_text():
     assert call["Key"] == "streaming/full/db.t-000-128-000001.csv"
     assert call["ContentType"] == "text/plain"
     assert call["Metadata"] == {"x-amz-meta-title": "db.t-000-128-000001.csv"}
+
+
+def test_product_status_request_shape():
+    client = FakeDynamo()
+    service = svc.DynamoDbProductStatusService(
+        client, correlation_id="corr-1", retry_sleep=lambda _: None
+    )
+    service.set_completed_status()
+    name, kw = client.calls[0]
+    assert name == "update_item"
+    assert kw == {
+        "TableName": "data_pipeline_metadata",
+        "Key": {"Correlation_Id": {"S": "corr-1"}, "DataProduct": {"S": "HTME"}},
+        "UpdateExpression": "SET #y = :x",
+        "ExpressionAttributeNames": {"#y": "Status"},
+        "ExpressionAttributeValues": {":x": {"S": "COMPLETED"}},
+        "ReturnValues": "ALL_NEW",
+    }
+    service.set_failed_status()
+    assert client.calls[1][1]["ExpressionAttributeValues"] == {":x": {"S": "FAILED"}}

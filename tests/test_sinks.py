@@ -330,10 +330,13 @@ def test_run_fleet_drives_service_adapters(spark, tmp_path):
         messaging=messaging, sns=sns, push_gateway=pg,
     )
     assert fleet.completion == ECS.COMPLETED_SUCCESSFULLY
-    # one FIFO send per exported file
+    # one FIFO send per exported file + the topic's data-egress message
     n_files = len(fleet.reports["db.a.one"].files)
-    assert n_files > 0 and len(sqs_client.calls) == n_files
-    assert all(c["QueueUrl"] == "q1.fifo" for c in sqs_client.calls)
+    assert n_files > 0 and len(sqs_client.calls) == n_files + 1
+    fifo = [c for c in sqs_client.calls if c["QueueUrl"] == "q1.fifo"]
+    egress = [c for c in sqs_client.calls if c["QueueUrl"] == "q2"]
+    assert len(fifo) == n_files and len(egress) == 1
+    assert "db.a.one-" in egress[0]["MessageBody"]
     # terminal SNS: export-completed to the full ARN + completion monitoring
     arns = [c["TopicArn"] for c in sns_client.calls]
     assert arns == ["arn:full", "arn:mon"]
