@@ -345,3 +345,41 @@ def test_run_fleet_drives_service_adapters(spark, tmp_path):
     assert mon["title_text"].endswith("success")
     # pushgateway final push + delete
     assert len(pusher.pushes) == 1 and len(pusher.deletes) == 1
+
+
+def test_sink_metas_map_onto_s3_adapter(spark, tmp_path):
+    """The sink's per-file metadata rows carry exactly what the S3
+    object put needs (iv/cipherText/kekId as user metadata) — prove the
+    1:1 mapping by feeding real sink output through the adapter."""
+    from dwp_hbase_to_mongo_export_spark import services as services_mod
+    from tests.test_services import FakeS3
+
+    cells = fixture_cells(spark, n=20)
+    res = export_topic(cells, "db.database.collection")
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path), topic="db.database.collection",
+        max_batch_bytes=2000, compression="gz", data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="enc-key-b64", kek_id="local-kek-1",
+        deterministic_iv=True,
+    )
+    metas = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
+    client = FakeS3()
+    s3 = services_mod.S3ObjectService(
+        client, export_bucket="exports", topic_name="db.database.collection",
+        retry_sleep=lambda _: None,
+    )
+    for m in metas:
+        body = open(os.path.join(str(tmp_path), m.object_key), "rb").read()
+        s3.put_snapshot_object(
+            m.object_key, body, iv=m.iv, ciphertext_key=m.ciphertext_key,
+            kek_id=m.kek_id,
+        )
+    assert len(client.calls) == len(metas) > 1
+    for call, m in zip(client.calls, metas):
+        assert call["Key"] == m.object_key
+        # on-disk bytes = compressed+encrypted (data_size_bytes);
+        # batch_size_bytes is the UNCOMPRESSED roll size
+        assert call["ContentLength"] == m.data_size_bytes
+        assert call["Metadata"]["iv"] == m.iv
+        assert call["Metadata"]["cipherText"] == "enc-key-b64"
+        assert call["Metadata"]["dataKeyEncryptionKeyId"] == "local-kek-1"
