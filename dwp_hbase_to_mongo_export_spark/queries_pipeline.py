@@ -170,7 +170,7 @@ def export_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
              strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS d,
              o_orderpriority AS note,
              o_orderkey % 2 = 0 AS even
-      FROM orders
+      FROM orders WHERE o_orderkey < 40000
     )
     SELECT k AS okey,
            CASE WHEN even THEN
@@ -198,10 +198,17 @@ def streaming_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode taken to its Spark-native conclusion: continuous export is not
     a second code path, it is the batch plan on a stream
     (HBaseReader.kt:131-150's time-range resume contract becomes the
-    stream's checkpointed offset)."""
+    stream's checkpointed offset).
+
+    Input is bounded to a CONSTANT orderkey range (like the other
+    cost-capped catalog queries) so bench times stay comparable across
+    scale factors — the per-row crypto otherwise scales the timing
+    linearly with SF while demonstrating nothing new."""
     from .streaming.incremental import run_available_now, stream_table
 
-    orders = stream_table(spark, sf_dir, "orders")
+    orders = stream_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 40000
+    )
     cells = build_cells(spark, sf_dir, orders=orders)
     res = export_topic(cells.drop("okey"), TOPIC, observe_metrics=False)
     out = res.extra["sink_frame"].select(
