@@ -43,6 +43,10 @@ HEADLINE = [
     "session_windows",
     "streaming_windowed_counts",
     "streaming_stateful_latest",
+    "dedup_embedding_cosine_lsh",
+    "dedup_clusters_alternating",
+    "streaming_export_pipeline",
+    "sequence_packing",
 ]
 
 
