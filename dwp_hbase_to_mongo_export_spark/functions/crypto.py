@@ -91,3 +91,128 @@ def local_key_service() -> LocalKeyService:
     if _LOCAL_SERVICE is None:
         _LOCAL_SERVICE = LocalKeyService()
     return _LOCAL_SERVICE
+
+
+class DataKeyDecryptionException(Exception):
+    """DKS answered 400: the key material is bad — NOT retryable
+    (Exceptions.kt / HttpKeyService.kt:121-129)."""
+
+
+class DataKeyServiceUnavailableException(Exception):
+    """DKS unreachable or non-200/201/400 — retryable
+    (HttpKeyService.kt:131-139)."""
+
+
+def _urllib_transport(method: str, url: str, body: str | None, content_type: str):
+    """Default transport: (status_code, response_text) via stdlib urllib.
+    Production mTLS would pass an ssl.SSLContext-wrapping transport
+    instead (SecureHttpClientProvider.kt); tests inject fakes."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=body.encode() if body is not None else None,
+        method=method,
+        headers={"Content-Type": content_type} if body is not None else {},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:  # noqa: S310 — caller-config URL
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+class HttpKeyService(KeyService):
+    """DKS wire adapter (HttpKeyService.kt:26-160):
+
+    - batch_data_key(): GET {url}/datakey?correlationId=... -> 201 with
+      {dataKeyEncryptionKeyId, plaintextDataKey, ciphertextDataKey};
+      memoised — ONE data key per run (kt:43-49, @Synchronized memo);
+    - decrypt_key(kekId, encryptedKey): POST
+      {url}/datakey/actions/decrypt?keyId=...&correlationId=... with the
+      encrypted key as text/plain -> 200 plaintextDataKey; 400 raises
+      DataKeyDecryptionException (permanent), anything else
+      DataKeyServiceUnavailableException (retried 5x, 1 s x2 backoff);
+      results cached by "{encryptedKey}/{kekId}" exactly like
+      kt:100-104.
+
+    The transport is injectable ((method, url, body, content_type) ->
+    (status, text)); the default uses stdlib urllib so no HTTP library
+    dependency is added."""
+
+    def __init__(self, base_url: str, transport=None, retry_sleep=None):
+        import time as _time
+
+        self._base = base_url.rstrip("/")
+        self._transport = transport or _urllib_transport
+        self._sleep = retry_sleep or _time.sleep
+        self._cache: dict[str, str] = {}
+        self._data_key: dict | None = None
+
+    def _retrying(self, fn):
+        attempt, wait = 0, 1.0
+        while True:
+            try:
+                return fn()
+            except DataKeyServiceUnavailableException:
+                attempt += 1
+                if attempt >= 5:
+                    raise
+                self._sleep(wait)
+                wait *= 2.0
+
+    def batch_data_key(self) -> dict:
+        if self._data_key is None:
+            self._data_key = self._retrying(self._fetch_data_key)
+        return self._data_key
+
+    def _fetch_data_key(self) -> dict:
+        import json as _json
+        import uuid as _uuid
+
+        url = f"{self._base}/datakey?correlationId={_uuid.uuid4()}"
+        try:
+            status, text = self._transport("GET", url, None, "text/plain")
+        except Exception as e:  # noqa: BLE001 — network errors are retryable
+            raise DataKeyServiceUnavailableException(str(e)) from e
+        if status != 201:
+            raise DataKeyServiceUnavailableException(
+                f"data key service returned bad status code '{status}'"
+            )
+        return _json.loads(text)
+
+    def decrypt_key(self, kek_id: str, encrypted_key_b64: str) -> str:
+        cache_key = f"{encrypted_key_b64}/{kek_id}"
+        if cache_key not in self._cache:
+            self._cache[cache_key] = self._retrying(
+                lambda: self._decrypt_remote(kek_id, encrypted_key_b64)
+            )
+        return self._cache[cache_key]
+
+    def _decrypt_remote(self, kek_id: str, encrypted_key_b64: str) -> str:
+        import json as _json
+        import urllib.parse
+        import uuid as _uuid
+
+        url = (
+            f"{self._base}/datakey/actions/decrypt"
+            f"?keyId={urllib.parse.quote(kek_id, safe='')}"
+            f"&correlationId={_uuid.uuid4()}"
+        )
+        try:
+            status, text = self._transport("POST", url, encrypted_key_b64, "text/plain")
+        except Exception as e:  # noqa: BLE001
+            raise DataKeyServiceUnavailableException(str(e)) from e
+        if status == 200:
+            return _json.loads(text)["plaintextDataKey"]
+        if status == 400:
+            raise DataKeyDecryptionException(
+                f"data key service returned status code '{status}'"
+            )
+        raise DataKeyServiceUnavailableException(
+            f"data key service returned status code '{status}'"
+        )
+
+    def clear_cache(self) -> None:
+        self._cache = {}

@@ -395,3 +395,52 @@ def test_product_status_request_shape():
     }
     service.set_failed_status()
     assert client.calls[1][1]["ExpressionAttributeValues"] == {":x": {"S": "FAILED"}}
+
+
+def test_http_key_service_contract():
+    from dwp_hbase_to_mongo_export_spark.functions.crypto import (
+        DataKeyDecryptionException,
+        DataKeyServiceUnavailableException,
+        HttpKeyService,
+    )
+
+    calls = []
+
+    def transport(method, url, body, content_type):
+        calls.append((method, url, body))
+        if "/datakey/actions/decrypt" in url:
+            if body == "bad":
+                return 400, "no"
+            return 200, '{"dataKeyEncryptionKeyId":"kek-1","plaintextDataKey":"pt==","ciphertextDataKey":"ct=="}'
+        return 201, '{"dataKeyEncryptionKeyId":"kek-1","plaintextDataKey":"new==","ciphertextDataKey":"enc=="}'
+
+    svc_k = HttpKeyService("https://dks:8443", transport=transport, retry_sleep=lambda _: None)
+    # one data key per run: memoised across calls (kt:43-49)
+    k1, k2 = svc_k.batch_data_key(), svc_k.batch_data_key()
+    assert k1 is k2 and k1["plaintextDataKey"] == "new=="
+    assert sum("/datakey?" in u for _, u, _b in calls) == 1
+
+    # decrypt: request shape + cache by encryptedKey/kekId (kt:100-104)
+    assert svc_k.decrypt_key("kek/1", "enc==") == "pt=="
+    assert svc_k.decrypt_key("kek/1", "enc==") == "pt=="
+    decrypts = [(m, u, b) for m, u, b in calls if "actions/decrypt" in u]
+    assert len(decrypts) == 1  # second call served from cache
+    m, u, b = decrypts[0]
+    assert m == "POST" and b == "enc=="
+    assert "keyId=kek%2F1" in u and "correlationId=" in u
+
+    # 400 is permanent: no retries, distinct exception
+    with pytest.raises(DataKeyDecryptionException):
+        svc_k.decrypt_key("kek-1", "bad")
+    assert len([1 for m2, u2, b2 in calls if b2 == "bad"]) == 1
+
+    # unavailability retries 5x with doubling backoff then raises
+    sleeps = []
+    down = HttpKeyService(
+        "https://dks:8443",
+        transport=lambda *a: (503, "down"),
+        retry_sleep=sleeps.append,
+    )
+    with pytest.raises(DataKeyServiceUnavailableException):
+        down.batch_data_key()
+    assert sleeps == [1.0, 2.0, 4.0, 8.0]
