@@ -150,3 +150,32 @@ def test_bad_decrypted_data_skipped_not_failed(spark):
     assert res.records.count() == 1
     failed = res.failed.collect()
     assert len(failed) == 1 and "ValidationError" in failed[0].error
+
+
+def test_cli_main_exports_topic(spark, tmp_path):
+    """python -m dwp_hbase_to_mongo_export_spark contract: one JSON
+    report line, exit 0, encrypted snapshots + aligned manifests on
+    disk (main() reuses the live test session via getOrCreate)."""
+    import json
+
+    from dwp_hbase_to_mongo_export_spark.__main__ import main
+
+    out = str(tmp_path / "cli")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "--topic", "db.pipedb.pipecoll",
+            "--source", "/root/testdata/sf0.001",
+            "--output", out,
+        ])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["status"] == "Exported"
+    assert report["metrics"]["records_read"] == 1500
+    assert report["completion"] == "COMPLETED_SUCCESSFULLY"
+    assert report["files"]
+    for f in report["files"]:
+        assert (tmp_path / "cli" / f).exists()
