@@ -108,3 +108,88 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.col("meta.n_bytes") / 100).cast("int") + 1
     idx = F.explode(F.sequence(F.lit(0), F.least(n_frames, F.lit(300)), F.lit(every_n)))
     return media.select("media_id", idx.alias("frame_idx"))
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("codec", T.StringType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_channels", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_audio_columns(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake AUDIO table from documents: payload bytes stand
+    in for PCM frames; meta carries codec/sample-rate/channels and a
+    duration derived as if the payload were 16-bit PCM
+    (duration_ms = bytes * 1000 / (rate * channels * 2), integer-
+    truncated). Same columnar design as the image table: duration/codec
+    filters prune without touching payload bytes."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    rate = (
+        F.when(F.col(id_col) % 3 == 0, 8000)
+        .when(F.col(id_col) % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    channels = F.when(F.col(id_col) % 2 == 0, 1).otherwise(2).cast("int")
+    n_bytes = F.octet_length(payload).cast("long")
+    duration = F.expr(
+        "(octet_length(encode(text, 'utf-8')) * 1000) div "
+        "((CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END) "
+        "* (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) * 2)"
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.when(F.col(id_col) % 3 == 0, "wav")
+            .when(F.col(id_col) % 3 == 1, "mp3")
+            .otherwise("flac")
+            .alias("codec"),
+            rate.alias("sample_rate"),
+            channels.alias("n_channels"),
+            n_bytes.alias("n_bytes"),
+            duration.alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def audio_segment_plan(
+    audio: DataFrame, segment_ms: int = 50, max_segments: int = 300
+) -> DataFrame:
+    """Fixed-duration audio segmentation plumbing: per item emit
+    (media_id, seg_idx, start_ms, end_ms) rows for segment_ms windows
+    over the metadata duration — the audio analogue of
+    frame_sample_plan, with the same bounded fan-out (<= max_segments
+    rows per item regardless of file length). Pure column arithmetic
+    off the metadata struct: planning touches ZERO payload bytes, so at
+    100 TB the segment plan is a metadata-only scan that each decode
+    task then uses to seek into its payload range."""
+    n_seg = F.least(
+        ((F.col("meta.duration_ms") + segment_ms - 1) / segment_ms).cast("long"),
+        F.lit(max_segments).cast("long"),
+    )
+    seg = F.explode(
+        F.when(n_seg > 0, F.sequence(F.lit(0).cast("long"), n_seg - 1)).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return audio.select("media_id", F.col("meta.duration_ms").alias("dur"), seg.alias("seg_idx")).select(
+        "media_id",
+        "seg_idx",
+        (F.col("seg_idx") * segment_ms).alias("start_ms"),
+        F.least(F.col("seg_idx") * segment_ms + segment_ms, F.col("dur")).alias("end_ms"),
+    )

@@ -435,6 +435,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_repetition",
     "embedding_quantize_int8",
     "dedup_clusters_alternating",
+    "multimodal_audio_segments",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",

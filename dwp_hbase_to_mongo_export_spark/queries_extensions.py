@@ -588,6 +588,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS media_id,
+             (octet_length(encode(text)) * 1000) //
+             ((CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)
+              * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) * 2) AS dur
+      FROM documents
+    ),
+    segs AS (
+      SELECT media_id, dur,
+             unnest(range(0, least((dur + 49) // 50, 300))) AS seg_idx
+      FROM audio
+    )
+    SELECT media_id, seg_idx, seg_idx * 50 AS start_ms,
+           least(seg_idx * 50 + 50, dur) AS end_ms
+    FROM segs
+    """,
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing (operators/multimodal.attach_audio_columns
+    + audio_segment_plan): 50 ms windows over a 16-bit-PCM-derived
+    duration, bounded fan-out, planned entirely from the metadata struct
+    — payload bytes untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = multimodal.attach_audio_columns(docs)
+    return multimodal.audio_segment_plan(audio, segment_ms=50, max_segments=300)
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES},

@@ -228,3 +228,18 @@ def test_int8_quantization_cosine_error_bounded(spark, emb):
             da, db = q[a][1] * q[a][0], q[b][1] * q[b][0]
             errs.append(abs(cos(da, db) - cos(v[a], v[b])))
     assert max(errs) < 0.01, f"max dequantised-cosine error {max(errs)}"
+
+
+def test_audio_segment_plan_bounded_and_contiguous(spark, docs):
+    audio = multimodal.attach_audio_columns(docs.limit(40))
+    segs = multimodal.audio_segment_plan(audio, segment_ms=50, max_segments=10)
+    rows = segs.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r)
+    for media_id, ss in per.items():
+        assert len(ss) <= 10
+        ss.sort(key=lambda r: r.seg_idx)
+        for i, r in enumerate(ss):
+            assert r.seg_idx == i and r.start_ms == i * 50
+            assert r.end_ms <= r.start_ms + 50 and r.end_ms > r.start_ms
