@@ -260,12 +260,13 @@ def run_available_now(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -275,4 +276,10 @@ def run_available_now(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # the drain is complete and the result lives in the memory sink:
+        # the checkpoint is dead state — remove it so repeated runs
+        # (bench loops, test suites) don't litter /tmp with offset logs
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
