@@ -199,3 +199,67 @@ def repetition_features(
             F.when(n_grams > 0, top / n_grams.cast("double")).otherwise(0.0), 4
         ).alias("top_gram_fraction"),
     )
+
+
+def word_ngrams(c: Column, n: int = 8, max_chars: int | None = 512) -> Column:
+    """Distinct word n-grams of normalised (optionally truncated) text as
+    an array column — narrow, bounded, no explode."""
+    nt = normalize_text(c, max_chars)
+    toks = F.split(nt, " ")
+    cnt = F.size(toks)
+    return F.when(
+        (F.length(nt) > 0) & (cnt >= n),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Test-set DECONTAMINATION (the n-gram-overlap method used for
+    LLM training corpora, e.g. GPT-3 appendix C / Dolma — public
+    literature): flag every corpus document sharing >= min_hits distinct
+    word n-grams with ANY benchmark document. Returns
+    (doc_id, n_contaminated_grams, contaminated).
+
+    Scale shape: benchmark n-grams are DISTINCT-ed and joined on the
+    gram — the benchmark side is tiny relative to the corpus (eval sets
+    are KBs against TBs), so Catalyst broadcasts it and the corpus is
+    never shuffled; per-doc gram arrays are bounded by the truncating
+    normalise. The corpus side explodes bounded gram rows, the join is
+    a broadcast semi-ish equi-join, and the count aggregates map-side.
+    A left join keeps clean documents (contaminated = false) so the
+    output is a per-document verdict, not just the flagged subset."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -436,6 +436,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_quantize_int8",
     "dedup_clusters_alternating",
     "multimodal_audio_segments",
+    "decontaminate_corpus",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",

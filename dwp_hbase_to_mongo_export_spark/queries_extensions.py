@@ -587,6 +587,51 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_512 = f"substr({_NORM_FULL}, 1, 512)"
+
+_WORD_8GRAMS = f"""
+      SELECT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split({_NORM_512}, ' ')) - 6),
+                 i -> array_to_string(string_split({_NORM_512}, ' ')[i:i+7], ' ')
+               ))) AS g
+        FROM documents
+        WHERE len({_NORM_512}) > 0
+          AND len(string_split({_NORM_512}, ' ')) >= 8
+      )
+"""
+
+
+@query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH grams AS ({_WORD_8GRAMS}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_contaminated_grams
+      FROM corpus c JOIN bench USING (g) GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+           COALESCE(h.n_contaminated_grams, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/textops.decontaminate): every
+    97th document stands in for a benchmark/eval set; corpus documents
+    sharing any distinct word 8-gram with it are flagged. The benchmark
+    gram set is broadcast — the corpus side never shuffles, which is the
+    whole design at eval-set-vs-100 TB proportions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.decontaminate(corpus, bench, n=8, min_hits=1)
+
+
 @query(
     "multimodal_audio_segments",
     oracle="""

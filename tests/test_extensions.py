@@ -243,3 +243,22 @@ def test_audio_segment_plan_bounded_and_contiguous(spark, docs):
         for i, r in enumerate(ss):
             assert r.seg_idx == i and r.start_ms == i * 50
             assert r.end_ms <= r.start_ms + 50 and r.end_ms > r.start_ms
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta end marker")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "completely different content with no overlap at all here ok"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.decontaminate(corpus, bench, n=8).collect()}
+    assert out[1].contaminated and out[1].n_contaminated_grams >= 1
+    assert not out[2].contaminated and out[2].n_contaminated_grams == 0
+    assert not out[3].contaminated  # too short to have any 8-gram
