@@ -390,8 +390,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "session_windows",
     "asof_click_attribution",
     "range_join_click_to_purchase",
-    # never driver-checked before round 3
+    # round-3 additions: never driver-checked anywhere yet
     "dedup_embedding_cosine_lsh",
+    "sequence_packing",
+    "text_pii_redact",
+    "text_repetition",
+    "embedding_quantize_int8",
+    "dedup_clusters_alternating",
+    "multimodal_audio_segments",
+    "decontaminate_corpus",
+    "streaming_export_pipeline",
+    # never driver-checked before round 3
     "export_pipeline_e2e",
     "streaming_incremental_scan",
     "streaming_stateful_latest",
@@ -399,7 +408,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_stream_join",
     "streaming_session_windows",
     "streaming_hbase_source_scan",
-    "streaming_export_pipeline",
     "hbase_source_scan",
     "key_range_partition_stats",
     "sanitise_strings",
@@ -430,13 +438,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stratified_sample",
     "doc_token_chunks",
     "corpus_mixture",
-    "sequence_packing",
-    "text_pii_redact",
-    "text_repetition",
-    "embedding_quantize_int8",
-    "dedup_clusters_alternating",
-    "multimodal_audio_segments",
-    "decontaminate_corpus",
     # round-2 greens kept in-window as regression spot-checks
     "q1_pricing_summary",
     "envelope_extract",
