@@ -188,6 +188,20 @@ def run_topic_export(
         )
         for f in files
     ]
+    if not files:
+        # the reference sends noFilesExportedMessage when an export
+        # succeeds with zero files (SQSMessagingService.kt:62-84) — the
+        # payload inventory must include it, mirroring run_fleet's
+        # notify_snapshot_sender_no_files_exported adapter branch
+        messages.append(
+            snapshot_sender_message(
+                status_service.correlation_id,
+                topic,
+                "",
+                files_exported=0,
+                snapshot_type=snapshot_type,
+            )
+        )
     messages.append(adg_trigger_message(files[-1].object_key if files else ""))
     messages.append(
         monitoring_message(status_service.correlation_id, status_service.completion(), snapshot_type)
@@ -218,6 +232,8 @@ def run_fleet(
     unavailable_topics: tuple[str, ...] = (),
     messaging=None,
     sns=None,
+    messaging_for=None,
+    sns_for=None,
     push_gateway=None,
     product_status=None,
     export_prefix: str = "",
@@ -254,7 +270,24 @@ def run_fleet(
     for topic in topics:
         status_service.set_status(topic, CollectionStatus.EXPORTING)
     messages: list[str] = []
+
+    # The reference runs one JVM (one config, hence one topic_name) per
+    # topic; a single-instance adapter here would stamp EVERY topic's
+    # payloads/MessageGroupId with the one constructor topic. Per-topic
+    # factories (messaging_for/sns_for, like cells_for/sink_cfg_for) are
+    # the faithful form; absent a factory, rebind the shared adapter's
+    # topic_name inside the loop so multi-topic fleets stay correct.
+    def _adapter_for(t, factory, singleton):
+        if factory is not None:
+            return factory(t)
+        if singleton is not None and hasattr(singleton, "topic_name"):
+            singleton.topic_name = t
+        return singleton
+
+    messaging_t, sns_t = messaging, sns
     for topic in topics:
+        messaging_t = _adapter_for(topic, messaging_for, messaging)
+        sns_t = _adapter_for(topic, sns_for, sns)
         if topic in unavailable_topics:
             status_service.set_status(topic, CollectionStatus.TABLE_UNAVAILABLE)
             reports[topic] = RunReport(topic, CollectionStatus.TABLE_UNAVAILABLE)
@@ -268,24 +301,32 @@ def run_fleet(
                     snapshot_type=snapshot_type,
                     blocked_topics=blocked_topics,
                 )
-            except Exception as e:  # run_topic_export already set EXPORT_FAILED
+            except Exception as e:
+                # run_topic_export sets EXPORT_FAILED only for sink-write
+                # failures; cells_for(topic) / plan construction can raise
+                # before any write, which would leave the topic Exporting
+                # and the completion fold IN_PROGRESS forever. Set it here
+                # unconditionally (idempotent when the sink already did),
+                # like the reference marks failure on ANY job failure
+                # (JobCompletionNotificationListener.afterJob).
+                status_service.set_status(topic, CollectionStatus.EXPORT_FAILED)
                 reports[topic] = RunReport(
                     topic, CollectionStatus.EXPORT_FAILED, metrics={"error": str(e)}
                 )
-                if sns is not None:
-                    sns.send_topic_failed_monitoring_message()
+                if sns_t is not None:
+                    sns_t.send_topic_failed_monitoring_message()
         # per-topic snapshot-sender notifications ride the topic loop,
         # exactly like afterJob's per-file sends
-        if messaging is not None:
+        if messaging_t is not None:
             report = reports[topic]
             if report.status == CollectionStatus.EXPORTED and report.files:
                 for f in report.files:
-                    messaging.notify_snapshot_sender(f.object_key)
+                    messaging_t.notify_snapshot_sender(f.object_key)
                 # data-egress/RIS message names the topic's file prefix
                 # (JobCompletionNotificationListener.kt:117-121)
-                messaging.send_data_egress_message(f"{export_prefix}/{topic}-")
+                messaging_t.send_data_egress_message(f"{export_prefix}/{topic}-")
             elif report.status == CollectionStatus.EXPORTED:
-                messaging.notify_snapshot_sender_no_files_exported()
+                messaging_t.notify_snapshot_sender_no_files_exported()
         # the reference's afterJob fold runs after EVERY topic; only the
         # last finisher sees all-successful and routes terminal messages
         completion = status_service.completion()
@@ -308,9 +349,12 @@ def run_fleet(
                     status_service.correlation_id, completion, snapshot_type, export_date
                 )
             )
-            if sns is not None:
-                sns.send_export_completed_successfully_message()
-                sns.send_completion_monitoring_message(completion)
+            if sns_t is not None:
+                # the LAST finisher routes the terminal publishes with
+                # its own (current-topic) adapter, as that topic's JVM
+                # would in the reference
+                sns_t.send_export_completed_successfully_message()
+                sns_t.send_completion_monitoring_message(completion)
     completion = status_service.completion()
     terminal = completion in (
         ExportCompletionStatus.COMPLETED_SUCCESSFULLY,
@@ -324,17 +368,17 @@ def run_fleet(
         )
         # monitoring publishes only on TERMINAL folds (kt:138-142);
         # in-progress / not-completed runs stay silent
-        if sns is not None and terminal:
-            sns.send_completion_monitoring_message(completion)
+        if sns_t is not None and terminal:
+            sns_t.send_completion_monitoring_message(completion)
     # PDM common-model trigger: incremental runs with a configured site
     # prefix message data egress on either terminal state (kt:106-112)
     if (
-        messaging is not None
+        messaging_t is not None
         and terminal
         and snapshot_type == "incremental"
         and pdm_common_model_site_prefix
     ):
-        messaging.send_data_egress_message(pdm_common_model_site_prefix)
+        messaging_t.send_data_egress_message(pdm_common_model_site_prefix)
     # run-level product status row other pipeline stages poll (kt:126-135)
     if product_status is not None and terminal:
         if completion == ExportCompletionStatus.COMPLETED_SUCCESSFULLY:

@@ -374,88 +374,79 @@ _register_extra_modules()
 
 
 # The driver's per-round correctness gate checks a ~50-query PREFIX of
-# this catalog (CORRECTNESS_r02 = first 50 of the round-2 order), while
-# tests/test_catalog_oracle.py remains the all-queries backstop. Rotate
-# the prefix each round so every query accumulates driver-checked
-# evidence: round 3 front-loads (a) the six queries that failed round 2
-# on the TIMESTAMP_NTZ bug — proving the fix at the driver — and (b)
-# everything the round-1/2 windows never sampled (streaming family,
-# q2/q8/q11/q12/q20/q21, validation + reference-ops, window/analytics
-# extras), then a handful of round-2 greens as regression spot-checks.
-_DRIVER_WINDOW_PRIORITY = [
-    # round-2 failures, now fixed
-    "latest_per_key",
-    "time_range_scan",
-    "manifest_projection",
-    "session_windows",
-    "asof_click_attribution",
-    "range_join_click_to_purchase",
-    # round-3 additions: never driver-checked anywhere yet
-    "dedup_embedding_cosine_lsh",
-    "sequence_packing",
-    "text_pii_redact",
-    "text_repetition",
-    "embedding_quantize_int8",
-    "dedup_clusters_alternating",
-    "multimodal_audio_segments",
-    "decontaminate_corpus",
-    "streaming_export_pipeline",
-    # never driver-checked before round 3
-    "export_pipeline_e2e",
-    "streaming_incremental_scan",
-    "streaming_stateful_latest",
-    "streaming_windowed_counts",
-    "streaming_stream_join",
-    "streaming_session_windows",
-    "streaming_hbase_source_scan",
-    "hbase_source_scan",
-    "key_range_partition_stats",
-    "sanitise_strings",
-    "id_reverse_engineer",
-    "business_audit_lift",
-    "equality_wrap",
-    "validation_quarantine",
-    "db_collection_fallback",
-    "date_fallback_chain",
-    "conditional_field_drop",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_suppliers",
+# the catalog as surfaced by __spark_entry__.queries(), while
+# tests/test_catalog_oracle.py remains the all-queries backstop.
+# QUERIES/ORACLE themselves stay in stable registration order for every
+# internal consumer (bench, plan audit, local oracle suite); the gate
+# window is explicit data that ONLY __spark_entry__ applies when handing
+# the catalog to the external driver.
+#
+# Round-4 window: lead with the four queries lacking an all-true driver
+# row across rounds 1-3 (q12 oracle-typing fix, quantize_int8 array-
+# column fix, and the two queries the round-3 reorder displaced), then
+# every query whose most recent driver evidence is round 1/2 (stale),
+# then the freshest round-3 greens as regression spot-checks.
+DRIVER_WINDOW = [
+    # never all-true at the driver before round 4
     "q12_shipping_lateness",
-    "q20_promo_part_suppliers",
-    "q21_sole_late_supplier",
-    "moving_avg_and_gaps",
-    "pivot_event_counts",
-    "cube_revenue",
-    "grouping_sets_revenue",
-    "range_frame_trailing_sum",
-    "ranking_family",
-    "cdc_apply_changelog",
-    "stat_aggregates",
-    "embedding_norms",
-    "user_days_click_no_purchase",
-    "user_days_click_and_purchase",
-    "stratified_sample",
+    "embedding_quantize_int8",
     "doc_token_chunks",
     "corpus_mixture",
-    # round-2 greens kept in-window as regression spot-checks
+    # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "similarity_topk_ivf",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "date_canonicalise",
+    "q4_order_priority",
+    "customers_without_orders",
+    "topk_orders_per_customer",
+    "revenue_rollup",
+    "distinct_users_per_day",
+    "median_value_by_type",
+    "salted_skew_agg",
+    "streaming_dedup",
+    "percentiles_by_type",
+    "udtf_split_sentences",
+    "distinct_users_kmv",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_near",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "token_counts",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "dedup_clusters",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    # round-3 greens kept in-window as regression spot-checks
+    "dedup_embedding_cosine_lsh",
+    "sequence_packing",
 ]
 
 
-def _apply_driver_window_order() -> None:
-    ordered = [n for n in _DRIVER_WINDOW_PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _DRIVER_WINDOW_PRIORITY
-    ]
-    for registry in (QUERIES, ORACLE):
-        snapshot = dict(registry)
-        registry.clear()
-        registry.update({n: snapshot[n] for n in ordered if n in snapshot})
-
-
-_apply_driver_window_order()
+def driver_window_order(names: list[str] | None = None) -> list[str]:
+    """Catalog names with the DRIVER_WINDOW prefix first, remaining
+    registration order preserved. Pure function over explicit data —
+    callers opt in; the registries are never mutated."""
+    base = list(QUERIES) if names is None else list(names)
+    in_window = [n for n in DRIVER_WINDOW if n in base]
+    return in_window + [n for n in base if n not in set(in_window)]

@@ -347,9 +347,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
     )
     SELECT vec_id, maxabs / 127.0 AS scale,
-           CASE WHEN maxabs > 0 THEN
-             list_transform(e, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT))
-           ELSE list_transform(e, x -> 0) END AS q
+           '[' || array_to_string(
+             CASE WHEN maxabs > 0 THEN
+               list_transform(e, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT))
+             ELSE list_transform(e, x -> 0) END, ',') || ']' AS q
     FROM m
     """,
 )
@@ -357,9 +358,24 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantisation
     (operators/similarity.quantize_int8) — the 4x storage/bandwidth
     lever for embedding corpora; portable floor(x+0.5) rounding makes
-    the oracle bit-exact on the quantised vectors."""
+    the oracle bit-exact on the quantised vectors.
+
+    The quantised vector is serialised to a canonical '[1,2,...]'
+    string for the gate: the comparison harness canonicalises results
+    through pandas sort/hash, which cannot hash array-typed cells, so
+    catalog query outputs carry no top-level array/map columns (pinned
+    by tests/test_catalog_lint.py). Library users call
+    similarity.quantize_int8 directly for the typed array."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    return similarity.quantize_int8(emb)
+    out = similarity.quantize_int8(emb)
+    return out.withColumn(
+        "q",
+        F.concat(
+            F.lit("["),
+            F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ","),
+            F.lit("]"),
+        ),
+    )
 
 
 def _stoplist_sql(lang: str) -> str:

@@ -53,16 +53,22 @@ except ImportError:
 # gzCompressor / framedLZ4Compressor / blockLZ4Compressor. "lz4" is the
 # FRAMED format (FramedLZ4CompressorOutputStream = the interoperable
 # LZ4 frame spec = python lz4.frame); "lz4_block" is the raw BLOCK
-# format (BlockLZ4CompressorOutputStream = python lz4.block, which adds
-# a 4-byte little-endian uncompressed-size prefix the Java stream
-# doesn't — kept because raw blocks are not self-describing and the
-# prefix is what makes the profile round-trippable). Both write the
-# reference's "lz4" file extension.
+# format (BlockLZ4CompressorOutputStream). store_size=False drops
+# python-lz4's 4-byte little-endian uncompressed-size prefix so the
+# bytes match the Java block stream exactly — a reference-side consumer
+# can decode these files. Raw blocks are not self-describing, so the
+# decompressor needs the uncompressed size externally: the sink records
+# it as batch_size_bytes in the per-file metadata row, exactly the hint
+# a consumer passes to lz4.block.decompress(uncompressed_size=...).
+# Both profiles write the reference's "lz4" file extension.
 _COMPRESSORS = {
     "bz2": (lambda b: _bz2.compress(b), "bz2"),
     "gz": (lambda b: _gzip.compress(b), "gz"),
     "lz4": ((lambda b: _lz4.compress(b)) if HAVE_LZ4 else None, "lz4"),
-    "lz4_block": ((lambda b: _lz4_block.compress(b)) if HAVE_LZ4 else None, "lz4"),
+    "lz4_block": (
+        (lambda b: _lz4_block.compress(b, store_size=False)) if HAVE_LZ4 else None,
+        "lz4",
+    ),
 }
 
 

@@ -1,0 +1,95 @@
+"""Driver-harness compatibility lint over the whole query catalog.
+
+The external gate canonicalises results through pandas
+(``DataFrame.sort_values`` over all columns + value hashing), which
+
+* cannot hash cells holding Python lists/dicts — so no catalog query may
+  emit a top-level array/map/struct column (round-3 failure:
+  ``embedding_quantize_int8``), and
+* converts DuckDB HUGEINT (int128, e.g. ``sum(int32)``) to float64,
+  which hashes differently from Spark's BIGINT — so oracle result
+  schemas must stick to driver-safe scalar types (round-3 failure:
+  ``q12_shipping_lateness``).
+
+Both round-3 driver failures were interface mismatches the local gate
+tolerated; this lint makes them un-reintroducible.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from dwp_hbase_to_mongo_export_spark import queries as catalog
+from dwp_hbase_to_mongo_export_spark.sources.parquet import TABLES
+
+# DuckDB result types the driver's pandas canonicaliser round-trips
+# faithfully. Notably absent: HUGEINT/UHUGEINT (-> float64), DECIMAL
+# (-> object/float), any LIST/STRUCT/MAP (unhashable in sort_values).
+_SAFE_DUCK_TYPES = {
+    "BOOLEAN",
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "FLOAT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP_NS",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+_COMPLEX_SPARK = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(catalog.ORACLE))
+def test_oracle_schema_driver_safe(name, duck):
+    desc = duck.execute(f"DESCRIBE ({catalog.ORACLE[name]})").fetchall()
+    offending = {
+        col: typ for col, typ, *_ in desc if typ.upper() not in _SAFE_DUCK_TYPES
+    }
+    assert not offending, (
+        f"{name}: oracle emits driver-unsafe DuckDB types {offending}; "
+        "CAST to BIGINT/DOUBLE/VARCHAR or serialise arrays to strings"
+    )
+
+
+def test_spark_outputs_have_no_complex_columns(spark, sf_dir):
+    offending = {}
+    for name, fn in catalog.QUERIES.items():
+        bad = {
+            f.name: f.dataType.simpleString()
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, _COMPLEX_SPARK)
+        }
+        if bad:
+            offending[name] = bad
+    assert not offending, (
+        f"catalog queries emit array/map/struct columns the driver "
+        f"canonicaliser cannot hash: {offending}"
+    )
+
+
+def test_driver_window_is_valid():
+    assert len(catalog.DRIVER_WINDOW) == len(set(catalog.DRIVER_WINDOW))
+    unknown = [n for n in catalog.DRIVER_WINDOW if n not in catalog.QUERIES]
+    assert not unknown, f"DRIVER_WINDOW names not in catalog: {unknown}"
+    order = catalog.driver_window_order()
+    assert order[: len(catalog.DRIVER_WINDOW)] == [
+        n for n in catalog.DRIVER_WINDOW if n in catalog.QUERIES
+    ]
+    assert sorted(order) == sorted(catalog.QUERIES)

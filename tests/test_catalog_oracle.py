@@ -13,7 +13,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from check_correctness import value_hash  # noqa: E402
+from check_correctness import pandas_rows, value_hash  # noqa: E402
 
 from dwp_hbase_to_mongo_export_spark import queries as catalog  # noqa: E402
 from dwp_hbase_to_mongo_export_spark.sources.parquet import TABLES  # noqa: E402
@@ -31,10 +31,10 @@ def duck(sf_dir):
 def test_oracle_match(name, spark, sf_dir, duck):
     sdf = catalog.QUERIES[name](spark, sf_dir)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    srows = pandas_rows(sdf.toPandas())
     res = duck.execute(catalog.ORACLE[name])
     dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    drows = pandas_rows(res.df())
     assert len(srows) == len(drows), f"rowcount {len(srows)} != {len(drows)}"
     assert sorted(scols) == sorted(dcols)
     assert value_hash(srows, scols) == value_hash(drows, dcols)

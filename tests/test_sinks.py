@@ -209,13 +209,28 @@ def test_lz4_codec_profiles(spark, tmp_path, codec):
         deterministic_iv=True,
     )
     metas = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
-    decomp = lz4_frame.decompress if codec == "lz4" else lz4_block.decompress
+    if codec == "lz4":
+        decomp = lambda data, m: lz4_frame.decompress(data)  # noqa: E731
+    else:
+        # block profile matches the Java BlockLZ4CompressorOutputStream
+        # byte format (no python-lz4 size prefix); the uncompressed size
+        # comes from the sink's metadata row, as a consumer would use it
+        decomp = lambda data, m: lz4_block.decompress(  # noqa: E731
+            data, uncompressed_size=m.batch_size_bytes
+        )
     total = 0
     for m in metas:
         assert ".txt.lz4.enc" in m.object_key  # reference extension for both
         raw = open(os.path.join(str(tmp_path), m.object_key), "rb").read()
-        body = decomp(aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode()))
+        body = decomp(
+            aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode()), m
+        )
         total += len(body.decode().splitlines())
+        if codec == "lz4_block":
+            # no 4-byte LE size header: re-compressing the body with
+            # store_size=False must reproduce the file bytes exactly
+            plain = aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode())
+            assert plain == lz4_block.compress(body, store_size=False)
     assert total == 20
 
 
@@ -383,3 +398,117 @@ def test_sink_metas_map_onto_s3_adapter(spark, tmp_path):
         assert call["Metadata"]["iv"] == m.iv
         assert call["Metadata"]["cipherText"] == "enc-key-b64"
         assert call["Metadata"]["dataKeyEncryptionKeyId"] == "local-kek-1"
+
+
+def test_run_fleet_prewrite_failure_reaches_terminal_fold(spark, tmp_path):
+    """A topic whose cells_for raises BEFORE any sink write must still be
+    marked EXPORT_FAILED so the completion fold terminates — otherwise
+    the row stays Exporting and the fold answers IN_PROGRESS forever,
+    and none of the terminal routing (monitoring publish, product-status
+    FAILED, PDM trigger) ever fires. Mirrors the reference's
+    JobCompletionNotificationListener marking failure on ANY job
+    failure, not only write failures."""
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_fleet
+
+    svc_status = ExportStatusService(correlation_id="corr-pw")
+
+    def cells_for(topic):
+        if topic == "db.bad.two":
+            raise RuntimeError("scan planning blew up before any write")
+        return fixture_cells(spark, n=5).coalesce(1)
+
+    def cfg_for(topic):
+        return SnapshotSinkConfig(
+            output_dir=str(tmp_path / topic), topic=topic, compression="gz",
+            data_key_b64=DATA_KEY_B64, encrypted_data_key_b64="e", kek_id="k",
+        )
+
+    fleet = run_fleet(["db.ok.one", "db.bad.two"], cells_for, cfg_for, svc_status)
+    assert svc_status.statuses["db.bad.two"] == CS.EXPORT_FAILED
+    assert fleet.completion == ECS.COMPLETED_UNSUCCESSFULLY  # terminal, not IN_PROGRESS
+    assert "scan planning" in fleet.reports["db.bad.two"].metrics["error"]
+
+
+def test_run_fleet_multi_topic_adapter_binding(spark, tmp_path):
+    """Multi-topic fleet with ONE shared SQS adapter: every payload's
+    topic_name and the FIFO MessageGroupId must name the topic being
+    exported, not the adapter's constructor topic (the reference gets
+    this for free by running one JVM per topic). Covers both forms:
+    the rebind of a shared adapter and a messaging_for factory."""
+    from dwp_hbase_to_mongo_export_spark import services as services_mod
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_fleet
+    from tests.test_services import FakeSqs
+
+    topics = ["db.a.one", "db.b.two"]
+
+    def cells_for(topic):
+        return fixture_cells(spark, n=6).coalesce(1)
+
+    def cfg_for(topic):
+        return SnapshotSinkConfig(
+            output_dir=str(tmp_path / topic), topic=topic, compression="gz",
+            data_key_b64=DATA_KEY_B64, encrypted_data_key_b64="e", kek_id="k",
+            deterministic_iv=True,
+        )
+
+    def groups_and_names(client):
+        groups, names = set(), set()
+        for call in client.calls:
+            if call["QueueUrl"] == "q1.fifo":
+                groups.add(call["MessageGroupId"])
+                names.add(json.loads(call["MessageBody"])["topic_name"])
+        return groups, names
+
+    # (a) one shared adapter, topic_name rebound inside the loop
+    shared_client = FakeSqs()
+    shared = services_mod.SqsMessagingService(
+        shared_client, topic_name="db.a.one",
+        snapshot_sender_queue_url="q1.fifo", data_egress_queue_url="q2",
+        correlation_id="corr-mt", retry_sleep=lambda _: None,
+    )
+    svc_a = ExportStatusService(correlation_id="corr-mt")
+    run_fleet(topics, cells_for, cfg_for, svc_a, messaging=shared)
+    groups, names = groups_and_names(shared_client)
+    assert groups == {"db_a_one", "db_b_two"}
+    assert names == {"db.a.one", "db.b.two"}
+
+    # (b) per-topic factory, like cells_for/sink_cfg_for
+    clients = {}
+
+    def messaging_for(topic):
+        clients[topic] = FakeSqs()
+        return services_mod.SqsMessagingService(
+            clients[topic], topic_name=topic,
+            snapshot_sender_queue_url="q1.fifo", data_egress_queue_url="q2",
+            correlation_id="corr-mt2", retry_sleep=lambda _: None,
+        )
+
+    svc_b = ExportStatusService(correlation_id="corr-mt2")
+    run_fleet(topics, cells_for, cfg_for, svc_b, messaging_for=messaging_for)
+    for topic in topics:
+        groups, names = groups_and_names(clients[topic])
+        assert groups == {topic.replace(".", "_")} and names == {topic}
+
+
+def test_run_topic_export_no_files_message_in_inventory(spark, tmp_path):
+    """Zero-file success must put the files_exported=0 snapshot-sender
+    payload in the report's message inventory (the reference's
+    noFilesExportedMessage) — previously only the run_fleet adapter
+    branch sent it and the payload-inventory path omitted it."""
+    from dwp_hbase_to_mongo_export_spark.orchestration import run_topic_export
+
+    svc_status = ExportStatusService(correlation_id="corr-nf")
+    cells = fixture_cells(spark, n=5).filter("1=0")  # valid plan, no rows
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path), topic="db.database.collection",
+        compression="gz", data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="e", kek_id="k",
+    )
+    report = run_topic_export(cells, "db.database.collection", cfg, svc_status)
+    assert report.status == CS.EXPORTED and report.files == []
+    no_files = [
+        json.loads(m) for m in report.messages
+        if '"files_exported"' in m and json.loads(m).get("files_exported") == 0
+    ]
+    assert len(no_files) == 1
+    assert no_files[0]["topic_name"] == "db.database.collection"

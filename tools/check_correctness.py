@@ -40,20 +40,40 @@ def _driver_like_spark():
 
 
 def _norm(v):
-    if v is None:
+    """Driver-faithful cell canonicalisation.
+
+    Two deliberate strictnesses, both lessons from round 3 where the
+    looser local gate passed queries the driver failed:
+
+    * float and int hash DIFFERENTLY even when numerically equal
+      (no ``18870.0 -> "18870"`` collapse): DuckDB HUGEINT (int128,
+      e.g. un-cast ``sum(int32)``) reaches the driver's pandas frame as
+      float64 while Spark's BIGINT stays int64, and the driver hashes
+      them apart (q12_shipping_lateness). Oracles must CAST.
+    * list/dict cells raise TypeError, like pandas ``sort_values`` does
+      in the driver's canonicaliser (embedding_quantize_int8). Catalog
+      queries must serialise arrays to strings.
+    """
+    import numpy as np
+
+    if v is None or v is getattr(__import__("pandas"), "NaT", None):
         return "NULL"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, float):
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise TypeError(
+            f"unhashable type: {type(v).__name__!r} (driver canonicaliser "
+            "cannot sort/hash array cells)"
+        )
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, (datetime, date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
 
 
@@ -65,6 +85,22 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows via a pandas frame, as the driver materialises both sides —
+    this is where DuckDB HUGEINT becomes float64 and Spark BIGINT stays
+    int64, so hashing through here reproduces the driver's typing.
+    Also runs the driver's ``sort_values`` over all columns first, so
+    unhashable array cells crash here exactly as they crash there."""
+    import pandas as pd
+
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        rows.append(tuple(None if v is pd.NaT else v for v in tup))
+    return rows
 
 
 def main() -> int:
@@ -84,7 +120,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -96,7 +132,7 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            drows = pandas_rows(res.df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
