@@ -263,3 +263,59 @@ def decontaminate(
             ),
         )
     )
+
+
+def boilerplate_ngram_df(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """CORPUS-INTERNAL boilerplate detection by n-gram document
+    frequency (the CCNet/C4-style counterpart to decontaminate's
+    corpus-vs-benchmark overlap — public literature): an n-gram that
+    appears in >= min_df distinct documents is boilerplate (headers,
+    footers, licence blurbs, mirrored navigation); each document is
+    scored by the fraction of its distinct n-grams that are common.
+    Returns (doc_id, n_grams, n_common_grams, boilerplate_fraction).
+
+    Scale shape: per-doc gram arrays are DISTINCT and bounded by the
+    truncating normalise, so the exploded gram relation is ~O(tokens).
+    Document frequency is count(*) per gram (grams are distinct within
+    a doc, so plain count == distinct-doc count — no countDistinct
+    state). Both the DF aggregation and the grams⋈common join shuffle
+    on the SAME key (g), so the exchange is reused, and the common-gram
+    side shrinks by the min_df filter before joining. The final per-doc
+    counts shuffle once on doc_id. No driver-side data, no UDF."""
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    common = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    tot = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams.join(common, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common_grams"))
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_common = F.coalesce(F.col("n_common_grams"), F.lit(0))
+    return (
+        corpus.select(id_col)
+        .join(tot, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_grams.alias("n_grams"),
+            n_common.alias("n_common_grams"),
+            F.round(
+                F.when(n_grams > 0, n_common / n_grams.cast("double")).otherwise(0.0),
+                4,
+            ).alias("boilerplate_fraction"),
+        )
+    )

@@ -392,6 +392,11 @@ DRIVER_WINDOW = [
     "embedding_quantize_int8",
     "doc_token_chunks",
     "corpus_mixture",
+    # new in round 4 — need first driver evidence
+    "train_val_split",
+    "corpus_global_shuffle",
+    "text_boilerplate_df",
+    "corpus_filter_pipeline",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

@@ -783,3 +783,105 @@ def dedup_clusters_alternating_query(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+@query(
+    "text_boilerplate_df",
+    oracle=f"""
+    WITH grams AS ({_WORD_8GRAMS}),
+    df AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 3),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, count(*) AS n_common_grams
+      FROM grams JOIN df USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           COALESCE(h.n_common_grams, 0) AS n_common_grams,
+           ROUND(CASE WHEN COALESCE(t.n_grams, 0) > 0
+                      THEN COALESCE(h.n_common_grams, 0) / CAST(t.n_grams AS DOUBLE)
+                      ELSE 0 END, 4) AS boilerplate_fraction
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def text_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate scoring
+    (operators/textops.boilerplate_ngram_df): documents scored by the
+    fraction of their distinct word 8-grams appearing in >= 3 documents
+    corpus-wide — the document-frequency counterpart to
+    decontaminate_corpus's benchmark-overlap check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.boilerplate_ngram_df(docs, n=8, min_df=3)
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_NORM_FULL} AS nt,
+             len(text) AS n_chars_measured,
+             CASE WHEN len({_NORM_FULL}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_FULL}, ' ')) END AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, nt, n_tokens,
+             round(least(n_tokens / 100.0, 1.0) * 0.4
+                   + least(CASE WHEN n_tokens > 0 THEN
+                       len(list_filter(string_split(nt, ' '), t -> list_contains({_stoplist_sql('en')}, t))) * 1.0 / n_tokens
+                     ELSE 0.0 END * 5, 1.0) * 0.3
+                   + (1 - least(CASE WHEN n_chars_measured > 0
+                                     THEN punct * 1.0 / n_chars_measured
+                                     ELSE 0.0 END * 10, 1.0)) * 0.3, 4) AS quality_score
+      FROM base
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality_score,
+             row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) > 1 AS is_dup
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           n_tokens < 20 AS too_short,
+           quality_score < 0.5 AS low_quality,
+           is_dup,
+           NOT (n_tokens < 20 OR quality_score < 0.5 OR is_dup) AS keep
+    FROM ranked
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4/Gopher-style corpus filter verdict: per document a
+    keep/drop decision with the REASON flags kept (too_short /
+    low_quality / exact normalised dup, first-by-doc_id wins) — the
+    composition a real pipeline ships, not just the individual signals.
+
+    Scale: quality features are scan-fused codegen expressions (zero
+    shuffle); the only exchange is the hash-partition on the normalised
+    fingerprint for the keep-first window — the same single shuffle
+    exact dedup pays, reused here for the dup flag. Keeping per-reason
+    flags (instead of filtering) is deliberate: at 100 TB the audit of
+    WHY documents dropped is as valuable as the surviving corpus, and
+    downstream can filter on `keep` with zero recompute."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = textops.quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    fp = textops.fingerprint(docs).select("doc_id", "fp_normalised")
+    w = Window.partitionBy("fp_normalised").orderBy("doc_id")
+    dup = fp.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", (F.col("rk") > 1).alias("is_dup")
+    )
+    too_short = F.col("n_tokens") < 20
+    low_quality = F.col("quality_score") < 0.5
+    return (
+        q.join(dup, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            too_short.alias("too_short"),
+            low_quality.alias("low_quality"),
+            "is_dup",
+            (~(too_short | low_quality | F.col("is_dup"))).alias("keep"),
+        )
+    )

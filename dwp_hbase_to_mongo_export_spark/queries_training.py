@@ -222,6 +222,92 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(md5('split:' || {_NORM}), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/validation split, keyed on the
+    NORMALISED CONTENT (md5 of the whitespace/punct-normalised text),
+    not the row id — so exact and whitespace-variant duplicates always
+    land in the SAME split, closing the most common train/val leakage
+    hole. (For near-dup safety, gate on the dedup-cluster keeper id from
+    dedup_clusters instead — same construction, one extra join.)
+
+    Scale: map-only; the gate is a codegen'd expression fused into the
+    scan — no shuffle, no state, reproducible across engines, retries,
+    and cluster sizes (the reason to avoid rand(), as with the sampling
+    gates above)."""
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), normalize_text(F.col("text")))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(gate < 90, "train").otherwise("val").alias("split"),
+    )
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 16) AS shuffle_key,
+           CAST(CAST(('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS INT) AS shard
+    FROM documents
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle: every document gets a
+    deterministic md5-derived shuffle key (seed 42 in the salt) and a
+    shard assignment; range-repartitioning by the key then sorting
+    within partitions yields a full random-but-reproducible corpus
+    order — the step before sequence_packing fixes the token stream.
+
+    Scale: ONE range shuffle (repartitionByRange samples key quantiles,
+    so output files are evenly sized regardless of input skew), then a
+    partition-local sort — never a global orderBy through one reducer.
+    Reshuffling with a new seed is a salt change; the md5 key means the
+    order is identical on any cluster size or retry."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string"))), 1, 16
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 32
+    ).cast("int")
+    keyed = docs.select(
+        "doc_id", key.alias("shuffle_key"), shard.alias("shard")
+    )
+    return keyed.repartitionByRange(8, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH ordered AS (
