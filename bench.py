@@ -81,19 +81,21 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(1)
 
-    # Best-of-2 per query: single-shot timings carry ±2-3x noise from GC
-    # pauses and Python-worker scheduling that belongs to the session, not
-    # the query. The min of two runs is the steady-state cost — what a real
-    # deployment's Nth run of the operator pays.
+    # Best-of-N per query with early stop: single-shot timings carry
+    # ±2-3x noise from GC pauses, Python-worker scheduling, and (on this
+    # box) host-level contention invisible to the guest — measured
+    # whole-run totals swing 59 s vs 93 s for identical code. Two runs;
+    # if they disagree by >20% take a third; report the min — the
+    # steady-state cost a real deployment's Nth run of the operator pays.
     timings: dict[str, float] = {}
     for name in names:
-        best = -1.0
-        for _ in range(2):
+        samples: list[float] = []
+        for attempt in range(3):
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).count()
                 dt = round(time.time() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
+                samples.append(dt)
             except Exception as e:  # a broken query should not hide the others
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 break
@@ -106,7 +108,11 @@ def main() -> None:
             # 7 s right after the e2e pipeline).
             if dt > 2.0:
                 spark.sparkContext._jvm.System.gc()
-        timings[name] = best
+            if len(samples) >= 2 and min(samples) > 0:
+                lo, hi = sorted(samples)[:2]
+                if hi <= lo * 1.2:  # two runs agree — jitter didn't bite
+                    break
+        timings[name] = min(samples) if samples else -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
     # Full per-query map goes to a side file; the stdout contract line must

@@ -1,0 +1,86 @@
+"""Behavioural tests for the round-4 training-pipeline operators, beyond
+the catalog-oracle value check: the properties a 100 TB pipeline actually
+relies on (leakage safety, determinism, boilerplate discrimination,
+filter-reason bookkeeping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwp_hbase_to_mongo_export_spark.operators import textops
+from dwp_hbase_to_mongo_export_spark.queries import QUERIES
+
+
+def test_train_val_split_duplicates_share_split(spark, sf_dir):
+    """The leakage property: two documents with identical NORMALISED
+    content must always land in the same split (the gate is keyed on
+    content, not doc_id)."""
+    out = QUERIES["train_val_split"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from dwp_hbase_to_mongo_export_spark.functions.text import normalize_text
+
+    joined = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("nt")
+    ).join(out, "doc_id")
+    leaky = (
+        joined.groupBy("nt")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n_splits") > 1))
+        .count()
+    )
+    assert leaky == 0
+    # and the split is a real 90/10-ish partition, not degenerate
+    frac = out.filter(F.col("split") == "train").count() / out.count()
+    assert 0.8 < frac < 0.97
+
+
+def test_global_shuffle_is_deterministic_and_total(spark, sf_dir):
+    """Same seed -> identical order on re-run (and across partition
+    layouts); keys are unique so the order is total."""
+    a = QUERIES["corpus_global_shuffle"](spark, sf_dir).collect()
+    b = QUERIES["corpus_global_shuffle"](spark, sf_dir).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    keys = [r.shuffle_key for r in a]
+    assert len(set(keys)) == len(keys)
+    # shards cover a healthy spread (md5-derived, not constant)
+    assert len({r.shard for r in a}) > 8
+
+
+def test_boilerplate_flags_repeated_template(spark):
+    """Docs sharing a long template paragraph score high; unique docs
+    score 0 — the discrimination the operator exists for."""
+    template = " ".join(f"tmpl{i}" for i in range(30))
+    rows = [(i, template + f" unique tail {i} x y z w") for i in range(5)]
+    rows += [(100 + i, " ".join(f"only{i}w{j}" for j in range(40))) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.boilerplate_fraction
+        for r in textops.boilerplate_ngram_df(docs, n=8, min_df=3).collect()
+    }
+    for i in range(5):
+        assert out[i] > 0.5, f"templated doc {i} scored {out[i]}"
+    for i in range(3):
+        assert out[100 + i] == 0.0
+
+
+def test_corpus_filter_pipeline_reasons_consistent(spark, sf_dir):
+    """keep must be exactly the negation of (too_short | low_quality |
+    is_dup), and exactly one doc per duplicate group survives dup-flagging."""
+    out = QUERIES["corpus_filter_pipeline"](spark, sf_dir)
+    bad = out.filter(
+        F.col("keep")
+        != ~(F.col("too_short") | F.col("low_quality") | F.col("is_dup"))
+    ).count()
+    assert bad == 0
+    # duplicate groups: is_dup=false exactly once per normalised fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = textops.fingerprint(docs).select("doc_id", "fp_normalised")
+    firsts = (
+        fp.join(out.select("doc_id", "is_dup"), "doc_id")
+        .groupBy("fp_normalised")
+        .agg(F.sum(F.when(~F.col("is_dup"), 1).otherwise(0)).alias("n_first"))
+        .filter(F.col("n_first") != 1)
+        .count()
+    )
+    assert firsts == 0
