@@ -47,6 +47,10 @@ HEADLINE = [
     "dedup_clusters_alternating",
     "streaming_export_pipeline",
     "sequence_packing",
+    "train_val_split",
+    "corpus_global_shuffle",
+    "text_boilerplate_df",
+    "corpus_filter_pipeline",
 ]
 
 

@@ -153,3 +153,49 @@ def test_sequence_packing_single_exchange(spark, sf_dir):
 
     plan = _plan(QUERIES["sequence_packing"](spark, sf_dir), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_train_val_split_is_map_only_and_pruned(spark, sf_dir):
+    """The content-keyed split gate is a scan-fused expression: no
+    exchange at all, and column pruning limits the read to
+    (doc_id, text, source)."""
+    plan = _plan(catalog.QUERIES["train_val_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_global_shuffle_is_single_range_exchange(spark, sf_dir):
+    """One rangepartitioning exchange (the seeded reshuffle), a
+    partition-local sort, and nothing global: a global orderBy would
+    show a second exchange or a singlepartition sort."""
+    plan = _plan(catalog.QUERIES["corpus_global_shuffle"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan
+    # sortWithinPartitions prints `Sort [...], false, 0` — the false is
+    # global=false; a global sort here would serialise the corpus
+    import re
+
+    sort_line = next(ln for ln in plan.splitlines() if "Sort [shuffle_key" in ln)
+    assert re.search(r"\],\s*false,", sort_line), sort_line
+
+
+def test_boilerplate_df_reuses_gram_exchange(spark, sf_dir):
+    """The DF aggregation and the grams-to-common join both key on the
+    gram; the per-doc aggregates key on doc_id. The plan must stay
+    hash-equi-join shaped — no nested-loop fallback, no cartesian."""
+    plan = _plan(catalog.QUERIES["text_boilerplate_df"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_filter_pipeline_single_shuffle(spark, sf_dir):
+    """Quality features are scan-fused; the only exchange is the
+    fingerprint hash-partition for the keep-first window (the final
+    doc_id join broadcasts or reuses it — never a second wide shuffle
+    of the corpus text)."""
+    plan = _plan(catalog.QUERIES["corpus_filter_pipeline"](spark, sf_dir), "simple")
+    # hashpartitioning on the fingerprint for the dedup window, plus at
+    # most the join's repartition of the narrow (doc_id, flags) side
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan
