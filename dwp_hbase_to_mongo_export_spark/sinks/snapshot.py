@@ -110,6 +110,25 @@ class SnapshotSinkConfig:
     kek_id: str = ""
     export_prefix: str = ""
     deterministic_iv: bool = False  # tests only
+    # partition id -> (start, stop) key-range bounds for file naming.
+    # The reference names snapshots {topic}-{start}-{stop}-{seq:06d}
+    # with the PARTITION'S KEY RANGE (S3StreamingWriter.kt:95-101 reads
+    # start/stop from the HBasePartitioner execution context); when the
+    # sink frame flows narrow from the key-range-planned source, pass
+    # key_range_naming(scan_width) here to reproduce that contract.
+    # None falls back to (pid, pid) — stable but not range-named.
+    partition_ranges: dict | None = None
+
+
+def key_range_naming(scan_width: int = 5) -> dict[int, tuple[int, int]]:
+    """pid -> (start, stop) for the hbase_cells_source partition grid:
+    partition i scans first-key-byte range [i*w, min(i*w+w, 256)) —
+    identical to HBaseCellsReader.partitions(), so file names line up
+    with the ranges the reference's partitioner would print."""
+    w = scan_width
+    return {
+        i: (lo, min(lo + w, 256)) for i, lo in enumerate(range(0, 256, w))
+    }
 
 
 def _csv_escape(v: str) -> str:
@@ -141,6 +160,7 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
     enc_key = cfg.encrypted_data_key_b64
     kek = cfg.kek_id
     det_iv = cfg.deterministic_iv
+    ranges = cfg.partition_ranges
     suffix = f".txt.{ext}.enc" if data_key else f".txt.{ext}"
 
     os.makedirs(out_dir, exist_ok=True)
@@ -149,9 +169,10 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
     def flush(pid: int, seq: int, lines: list[bytes], manifest_lines: list[str], nbytes: int):
         body = b"".join(lines)
         comp = compress(body)
+        start, stop = (ranges or {}).get(pid, (pid, pid))
         meta = {
-            "object_key": f"{topic}-{pid:03d}-{pid:03d}-{seq:06d}{suffix}",
-            "manifest_key": f"{topic}-{pid:03d}-{pid:03d}-{seq:06d}.csv",
+            "object_key": f"{topic}-{start:03d}-{stop:03d}-{seq:06d}{suffix}",
+            "manifest_key": f"{topic}-{start:03d}-{stop:03d}-{seq:06d}.csv",
             "records_in_batch": len(lines),
             "batch_size_bytes": nbytes,
             "iv": "",

@@ -512,3 +512,49 @@ def test_run_topic_export_no_files_message_in_inventory(spark, tmp_path):
     ]
     assert len(no_files) == 1
     assert no_files[0]["topic_name"] == "db.database.collection"
+
+
+def test_key_range_file_naming(spark, tmp_path):
+    """With partition_ranges supplied, snapshot/manifest names carry the
+    partition's KEY-RANGE bounds — the reference's
+    {topic}-{start}-{stop}-{seq:06d} contract (S3StreamingWriter.kt:95-101
+    reads start/stop from the HBasePartitioner execution context) —
+    instead of the (pid, pid) fallback."""
+    from dwp_hbase_to_mongo_export_spark.sinks.snapshot import key_range_naming
+
+    cells = fixture_cells(spark, n=30)
+    res = export_topic(cells, "db.database.collection")
+    sink_frame = res.extra["sink_frame"].repartition(4)
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path), topic="db.database.collection",
+        compression="gz", data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="e", kek_id="k", deterministic_iv=True,
+        partition_ranges=key_range_naming(scan_width=64),
+    )
+    metas = write_encrypted_snapshots(sink_frame, cfg)
+    names = sorted(m.object_key for m in metas)
+    # 4 partitions -> ranges (0,64) (64,128) (128,192) (192,256)
+    expected_prefixes = {
+        "db.database.collection-000-064-",
+        "db.database.collection-064-128-",
+        "db.database.collection-128-192-",
+        "db.database.collection-192-256-",
+    }
+    got_prefixes = {n.rsplit("-", 1)[0] + "-" for n in names}
+    assert got_prefixes <= expected_prefixes
+    assert all(n.endswith(".txt.gz.enc") for n in names)
+    # golden EXACT key list for the deterministic single-partition case,
+    # mirroring UberTestSpec.kt:140-142's S3 object-key assertion
+    cfg1 = SnapshotSinkConfig(
+        output_dir=str(tmp_path / "one"), topic="db.database.collection",
+        max_batch_bytes=2000, compression="gz", data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="e", kek_id="k", deterministic_iv=True,
+        partition_ranges={0: (0, 256)},
+    )
+    metas1 = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg1)
+    keys1 = [m.object_key for m in metas1]
+    assert keys1 == [
+        f"db.database.collection-000-256-{i:06d}.txt.gz.enc"
+        for i in range(len(keys1))
+    ]
+    assert len(keys1) > 1  # the 2000-byte cap actually rolled
