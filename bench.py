@@ -51,6 +51,7 @@ HEADLINE = [
     "corpus_global_shuffle",
     "text_boilerplate_df",
     "corpus_filter_pipeline",
+    "text_unigram_logprob",
 ]
 
 

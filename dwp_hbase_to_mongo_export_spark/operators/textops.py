@@ -319,3 +319,59 @@ def boilerplate_ngram_df(
             ).alias("boilerplate_fraction"),
         )
     )
+
+
+def unigram_logprob(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the LM-perplexity
+    quality filter of CCNet/Wikipedia-filtering pipelines (public
+    literature), in its exactly-reproducible unigram form: p(t) =
+    count(t)/total over the corpus itself, each document scored by the
+    mean log-probability of its tokens (low = rare/garbled vocabulary,
+    high = common fluent vocabulary). Returns
+    (doc_id, n_tokens, avg_logprob, perplexity).
+
+    Scale shape: the frequency table is VOCABULARY-sized, not
+    corpus-sized — millions of rows at 100 TB, so Catalyst broadcasts it
+    under the join threshold and the corpus-side token stream never
+    shuffles for the lookup (above threshold it degrades to the same
+    token-keyed equi-join as the boilerplate operator). The total-count
+    scalar rides a broadcast crossJoin (the q11 threshold pattern); the
+    per-doc mean is one aggregation on doc_id. Perplexity is
+    exp(-round(avg)) so the derived column is bit-stable given the
+    rounded mean."""
+    from ..functions.text import normalize_text
+
+    toks = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "t")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 3).alias("avg_logprob"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+            F.round(F.exp(-F.coalesce("avg_logprob", F.lit(0.0))), 3).alias(
+                "perplexity"
+            ),
+        )
+    )

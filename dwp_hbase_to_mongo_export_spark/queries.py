@@ -397,6 +397,7 @@ DRIVER_WINDOW = [
     "corpus_global_shuffle",
     "text_boilerplate_df",
     "corpus_filter_pipeline",
+    "text_unigram_logprob",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

@@ -885,3 +885,36 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~(too_short | low_quality | F.col("is_dup"))).alias("keep"),
         )
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_FULL}, ' ')) AS t
+      FROM documents WHERE len({_NORM_FULL}) > 0
+    ),
+    tokens AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    freq AS (SELECT t, count(*) AS c FROM tokens GROUP BY t),
+    total AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(ln(c * 1.0 / n)), 3) AS avg_logprob
+      FROM tokens JOIN freq USING (t) CROSS JOIN total
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.avg_logprob, 0.0) AS avg_logprob,
+           round(exp(-COALESCE(s.avg_logprob, 0.0)), 3) AS perplexity
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring (operators/textops.unigram_logprob):
+    the reproducible form of the CCNet-style LM-perplexity quality
+    filter — vocabulary-sized frequency table broadcast, corpus never
+    shuffled for the lookup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.unigram_logprob(docs)

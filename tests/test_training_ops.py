@@ -84,3 +84,17 @@ def test_corpus_filter_pipeline_reasons_consistent(spark, sf_dir):
         .count()
     )
     assert firsts == 0
+
+
+def test_unigram_logprob_ranks_rare_vocab_lower(spark):
+    """A document of corpus-common tokens must out-score (higher mean
+    log-prob, lower perplexity) one of corpus-rare tokens — the signal
+    the LM-quality filter exists for."""
+    common = " ".join(["the quick brown fox"] * 10)
+    rows = [(i, common) for i in range(8)]
+    rows.append((99, "zxqv wvut kjhg plmn"))  # tokens appearing once each
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in textops.unigram_logprob(docs).collect()}
+    assert out[0].avg_logprob > out[99].avg_logprob
+    assert out[0].perplexity < out[99].perplexity
+    assert out[99].n_tokens == 4
