@@ -398,6 +398,7 @@ DRIVER_WINDOW = [
     "text_boilerplate_df",
     "corpus_filter_pipeline",
     "text_unigram_logprob",
+    "dedup_incremental_batch",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

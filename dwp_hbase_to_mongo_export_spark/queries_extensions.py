@@ -918,3 +918,38 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled for the lookup."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.unigram_logprob(docs)
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_FULL}) AS f FROM documents
+    ),
+    corpus AS (SELECT f FROM fp WHERE doc_id % 10 <> 9),
+    batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 = 9)
+    SELECT b.doc_id, b.f AS fp_normalised
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: which documents of a NEW batch (here
+    every doc_id ending in 9) are unseen against the EXISTING corpus —
+    the decision every nightly 100 TB ingest makes before appending.
+
+    Spark shape: normalised-fingerprint anti-join. The batch side is the
+    small side (a day's crawl vs the corpus), so it hash-shuffles on the
+    16-byte fingerprint against the corpus's fingerprint projection —
+    never the corpus text; with a fingerprint INDEX table maintained
+    across runs (the natural production layout, bucketed by fp), the
+    corpus side prunes to its fingerprint column alone and the join
+    co-locates on the bucket. LEFT ANTI keeps exactly the unseen batch
+    rows; deterministic md5 means retries make identical decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = textops.fingerprint(docs).select("doc_id", "fp_normalised")
+    corpus = fp.filter(F.col("doc_id") % 10 != 9).select("fp_normalised")
+    batch = fp.filter(F.col("doc_id") % 10 == 9)
+    return batch.join(corpus, "fp_normalised", "left_anti").select(
+        "doc_id", "fp_normalised"
+    )
