@@ -16,6 +16,8 @@ import time
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -54,9 +56,7 @@ def _norm(v):
       in the driver's canonicaliser (embedding_quantize_int8). Catalog
       queries must serialise arrays to strings.
     """
-    import numpy as np
-
-    if v is None or v is getattr(__import__("pandas"), "NaT", None):
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (list, tuple, dict, np.ndarray)):
         raise TypeError(
@@ -93,8 +93,6 @@ def pandas_rows(pdf) -> list[tuple]:
     int64, so hashing through here reproduces the driver's typing.
     Also runs the driver's ``sort_values`` over all columns first, so
     unhashable array cells crash here exactly as they crash there."""
-    import pandas as pd
-
     if len(pdf.columns):
         pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
     rows = []
