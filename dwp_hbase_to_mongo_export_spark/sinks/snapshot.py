@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.crypto import aes_ctr_encrypt
+from ..functions.crypto import aes_ctr_decrypt, aes_ctr_encrypt
 from ..operators.manifest import MANIFEST_COLUMNS
 
 try:  # lz4 isn't in the base image; gate like the reference's codec profiles
@@ -244,3 +244,89 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
         yield _pd.DataFrame([m.asDict() for m in metas], columns=[f.name for f in FILE_META_SCHEMA])
 
     return records.mapInPandas(write_partition, FILE_META_SCHEMA).collect()
+
+
+def read_encrypted_snapshots(
+    spark,
+    snapshot_dir: str,
+    data_key_b64: str | None = None,
+) -> DataFrame:
+    """The CONSUMER side of the snapshot contract: read a directory of
+    size-rolled (optionally encrypted) snapshot files back into a
+    DataFrame of (object_key, db_object) line-JSON records — what every
+    downstream reader of the reference's export (snapshot-sender, ADG)
+    does with S3 objects + their .metadata.json
+    (S3ObjectServiceImpl.kt:24-47 writes iv/ciphertext/kek as user
+    metadata; the sink here mirrors it as a sidecar file).
+
+    Spark shape: binaryFile scan of the snapshot objects (metadata and
+    manifest sidecars filtered out by pathGlobFilter), then ONE
+    mapInPandas pass that per file reads the sidecar IV, AES-CTR
+    decrypts, decompresses by the file's codec extension, and splits
+    lines — a map-only DAG whose parallelism is the file count, exactly
+    how a 20k-file 100 TB export fans out. The data key is passed once
+    from the driver (the broadcast-one-key invariant in reverse);
+    plaintext profiles need no key.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt.*")
+        .load(snapshot_dir)
+        # the glob also matches the "<object>.metadata.json" sidecars —
+        # they are read per-file inside the decode pass, not as rows
+        .filter(~F.col("path").endswith(".metadata.json"))
+        .select(F.col("path"), F.col("content"))
+    )
+
+    def decode_partition(batches):
+        import bz2 as _bz2d
+        import gzip as _gzipd
+        import os as _os
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_keys: list[str] = []
+            out_lines: list[str] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = path[len("file:") :] if path.startswith("file:") else path
+                key = _os.path.basename(local)
+                payload = bytes(content)
+                if key.endswith(".enc"):
+                    if data_key_b64 is None:
+                        raise ValueError(f"{key}: encrypted snapshot, no data key")
+                    with open(local + ".metadata.json") as fh:
+                        iv = _json.load(fh)["iv"]
+                    ct_b64 = base64.b64encode(payload).decode("ascii")
+                    payload = aes_ctr_decrypt(data_key_b64, iv, ct_b64)
+                    stem = key[: -len(".enc")]
+                else:
+                    stem = key
+                codec = stem.rsplit(".", 1)[-1]
+                if codec == "bz2":
+                    payload = _bz2d.decompress(payload)
+                elif codec == "gz":
+                    payload = _gzipd.decompress(payload)
+                elif codec == "lz4":
+                    if not HAVE_LZ4:
+                        raise ValueError("lz4 library unavailable")
+                    # framed first; raw block (no frame magic) falls back
+                    # to the size hint from the aligned manifest row count
+                    try:
+                        payload = _lz4.decompress(payload)
+                    except RuntimeError:
+                        payload = _lz4_block.decompress(
+                            payload, uncompressed_size=256 * 1024 * 1024
+                        )
+                else:
+                    raise ValueError(f"{key}: unknown codec {codec!r}")
+                lines = payload.decode("utf-8").splitlines()
+                out_keys.extend([key] * len(lines))
+                out_lines.extend(lines)
+            yield _pd.DataFrame({"object_key": out_keys, "db_object": out_lines})
+
+    return files.mapInPandas(decode_partition, "object_key string, db_object string")

@@ -558,3 +558,41 @@ def test_key_range_file_naming(spark, tmp_path):
         for i in range(len(keys1))
     ]
     assert len(keys1) > 1  # the 2000-byte cap actually rolled
+
+
+def test_read_encrypted_snapshots_roundtrip(spark, tmp_path):
+    """Consumer-side contract: read_encrypted_snapshots over a sink
+    output directory recovers EXACTLY the written records — the
+    distributed decrypt∘decompress∘split that every downstream reader
+    of the export performs."""
+    from dwp_hbase_to_mongo_export_spark.sinks.snapshot import (
+        read_encrypted_snapshots,
+    )
+
+    cells = fixture_cells(spark, n=40)
+    res = export_topic(cells, "db.database.collection")
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path), topic="db.database.collection",
+        max_batch_bytes=2000, compression="gz", data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="e", kek_id="k", deterministic_iv=True,
+    )
+    metas = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
+    assert len(metas) > 1
+    back = read_encrypted_snapshots(spark, str(tmp_path), DATA_KEY_B64)
+    rows = back.collect()
+    assert len(rows) == 40
+    written = sorted(r.db_object for r in res.extra["sink_frame"].collect())
+    assert sorted(r.db_object for r in rows) == written
+    # per-file record counts line up with the sink's metadata rows
+    by_key = back.groupBy("object_key").count().collect()
+    assert {r.object_key: r["count"] for r in by_key} == {
+        m.object_key: m.records_in_batch for m in metas
+    }
+    # plaintext profile needs no key
+    cfg2 = SnapshotSinkConfig(
+        output_dir=str(tmp_path / "plain"), topic="db.database.collection",
+        max_batch_bytes=10**9, compression="bz2",
+    )
+    write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg2)
+    back2 = read_encrypted_snapshots(spark, str(tmp_path / "plain"))
+    assert back2.count() == 40
