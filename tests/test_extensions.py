@@ -12,12 +12,19 @@ from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # unpersist at module teardown: a leaked cache entry substitutes
+    # InMemoryTableScan for the file scan in LATER test modules, which
+    # breaks test_plans' ReadSchema column-pruning assertions.
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup_on_duplicated_corpus(spark, docs):

@@ -28,7 +28,11 @@ N = 200
 
 @pytest.fixture(scope="module")
 def cells(spark):
-    return fixture_cells(spark, n=N, topic="db.database.collection").cache()
+    # unpersist at teardown so the cache entry can't substitute into
+    # later modules' plans (see tests/test_extensions.py fixtures).
+    df = fixture_cells(spark, n=N, topic="db.database.collection").cache()
+    yield df
+    df.unpersist()
 
 
 def test_full_export_id_roundtrip(spark, cells):
