@@ -52,6 +52,11 @@ HEADLINE = [
     "text_boilerplate_df",
     "corpus_filter_pipeline",
     "text_unigram_logprob",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "similarity_topk_ivf_trained",
+    "tfidf_top_terms",
+    "bm25_search",
 ]
 
 

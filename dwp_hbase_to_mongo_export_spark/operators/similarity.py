@@ -78,6 +78,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_id: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: an inverted file over coarse
     centroids. Every vector is assigned to its nearest centroid (one
@@ -86,13 +87,20 @@ def ivf_topk(
     candidates. At 100 TB the corpus is hash-partitioned by centroid id,
     so a probe touches nprobe/|centroids| of the data.
 
-    Centroids here are a deterministic id-stride subset of the corpus
-    (reproducible for the oracle); a production deployment would drop in
-    sampled k-means centroids — the dataflow is identical.
+    Centroids default to a deterministic id-stride subset of the corpus
+    (reproducible for the oracle); pass ``centroids`` — any
+    (cent_id, cent_vec) frame, e.g. clustering.centroids_df output —
+    to use trained k-means centroids instead. The dataflow is identical.
     Returns (query_id, neighbor_id, rank)."""
-    cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(centroids.columns[0]).alias("cent_id"),
+            F.col(centroids.columns[1]).alias("cent_vec"),
+        )
+    else:
+        cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         """top-n centroids per row of df by cosine; ties by cent_id."""

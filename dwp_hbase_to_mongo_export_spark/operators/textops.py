@@ -375,3 +375,117 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def _doc_tokens(
+    corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, t) exploded non-empty normalised tokens — shared by the
+    tf-idf / BM25 term-statistics operators."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+
+
+def tfidf_top_terms(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-N terms by tf-idf (idf = ln(N/df)) — the classic
+    IR keyword extractor. Returns (doc_id, term, score, rank); ties
+    break by term for determinism.
+
+    Scale shape: term stats are VOCABULARY-sized — df is one count per
+    distinct (doc, term) pair keyed on the term, broadcast back onto the
+    per-doc tf rows (above threshold it degrades to a term-keyed
+    equi-join); the N scalar rides a broadcast crossJoin (the q11
+    pattern). The only corpus-sized shuffle is the (doc, term) tf
+    aggregation, map-side combined; the final top-N is a per-doc window
+    over ~vocabulary-bounded rows."""
+    from pyspark.sql.window import Window
+
+    toks = _doc_tokens(corpus, text_col, id_col)
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t"))
+    return (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            id_col,
+            F.col("t").alias("term"),
+            F.round("score", 3).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_search(
+    corpus: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """BM25 keyword search: top-N documents for a bag-of-terms query
+    (Robertson/Sparck Jones; the Okapi BM25 formula with the standard
+    ln(1 + (N-df+0.5)/(df+0.5)) idf). Returns
+    (doc_id, n_terms_matched, score).
+
+    Determinism: per-term contributions are summed in engine-dependent
+    order, so the ranking keys on the 6-decimal-rounded score (float
+    noise is ~1e-15 relative — quantised away), ties by doc_id.
+
+    Scale shape: only rows whose term is IN the query survive the
+    explode filter — the scored relation is |query| * df rows, not the
+    corpus; doc lengths are one corpus-sized map-side-combined count;
+    avgdl/N are one-row broadcast scalars; the global top-N is
+    TakeOrdered (per-partition heads + driver merge), never a single
+    giant sort partition."""
+    toks = _doc_tokens(corpus, text_col, id_col)
+    dlen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dlen.agg(F.round(F.avg("dl"), 6).alias("avgdl"))
+    n = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toks.filter(F.col("t").isin(list(query_terms)))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dlen, id_col)
+        .join(F.broadcast(avgdl))
+        .join(F.broadcast(n))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum(contrib), 6).alias("score6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score6"), F.asc(id_col))
+        .limit(top_n)
+        .select(id_col, "n_terms_matched", F.round("score6", 3).alias("score"))
+    )

@@ -341,6 +341,7 @@ def _register_extra_modules() -> None:
     (called at the bottom of this file, after `query` exists)."""
     from . import (  # noqa: F401
         queries_analytics,
+        queries_clustering,
         queries_extensions,
         queries_joins,
         queries_pipeline,
@@ -399,6 +400,11 @@ DRIVER_WINDOW = [
     "corpus_filter_pipeline",
     "text_unigram_logprob",
     "dedup_incremental_batch",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "similarity_topk_ivf_trained",
+    "tfidf_top_terms",
+    "bm25_search",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

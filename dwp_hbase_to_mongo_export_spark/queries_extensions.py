@@ -953,3 +953,72 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "fp_normalised", "left_anti").select(
         "doc_id", "fp_normalised"
     )
+
+
+_TOKENS_CTE = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_FULL}, ' ')) AS t
+      FROM documents WHERE len({_NORM_FULL}) > 0
+    ),
+    tokens AS (SELECT doc_id, t FROM tok WHERE t <> '')
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tokens GROUP BY doc_id, t),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, t AS term, round(score, 3) AS score, rank FROM (
+      SELECT tf.doc_id, tf.t, tf.tf * ln(n.n_docs * 1.0 / d.df) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n_docs * 1.0 / d.df) DESC, tf.t) AS rank
+      FROM tf JOIN df d ON d.t = tf.t CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (operators/textops
+    .tfidf_top_terms) — vocabulary-sized df stats broadcast onto the
+    per-doc tf rows; the only corpus-sized shuffle is the (doc, term)
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, top_n=3)
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+    avgdl AS (SELECT round(avg(dl), 6) AS avgdl FROM dlen),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tokens
+           WHERE t IN ('table', 'scan', 'merge') GROUP BY doc_id, t),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, count(*) AS n_terms_matched,
+             round(sum(
+               ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl))
+             ), 6) AS score6
+      FROM tf JOIN df d ON d.t = tf.t
+              JOIN dlen dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN avgdl a CROSS JOIN n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms_matched, round(score6, 3) AS score
+    FROM scored ORDER BY score6 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search for a 3-term query (operators/textops
+    .bm25_search): the scored relation is |query|*df rows, never the
+    corpus; the global top-10 is TakeOrdered. Ranking keys on the
+    6-decimal-rounded score so engine summation order can't reorder
+    near-ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bm25_search(docs, ["table", "scan", "merge"], top_n=10)

@@ -1,0 +1,95 @@
+"""Unit tests for the k-means clustering family: Lloyd-iteration
+quality invariants, SemDeDup precision/recall structure, trained-IVF
+recall, and plan shape of the map-only assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwp_hbase_to_mongo_export_spark.operators import clustering, dedup, similarity
+from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
+
+
+def test_kmeans_partitions_everything(spark, emb):
+    cents = clustering.kmeans_fit(emb, k=8, iters=2)
+    a = clustering.assign_to_centroids(emb, cents)
+    assert a.count() == emb.count()  # every vector assigned exactly once
+    clusters = {c for c, _ in cents}
+    assigned = {r.cluster for r in a.select("cluster").distinct().collect()}
+    assert assigned <= clusters
+
+
+def test_kmeans_iterations_do_not_decrease_mean_similarity(spark, emb):
+    """Lloyd's update is non-decreasing in the k-means objective; with
+    cosine assignment + mean update on near-normalised data, the mean
+    assigned similarity should not get materially worse per iteration."""
+
+    def mean_cos(iters: int) -> float:
+        cents = clustering.kmeans_fit(emb, k=8, iters=iters)
+        a = clustering.assign_to_centroids(emb, cents)
+        return a.agg(F.avg("cos_to_centroid")).collect()[0][0]
+
+    m1, m2 = mean_cos(1), mean_cos(2)
+    assert m2 >= m1 - 1e-6
+
+
+def test_assignment_is_map_only(spark, emb):
+    """The argmax over literal centroids must not shuffle or join —
+    the whole point of driver-side centroid round-tripping."""
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    plan = clustering.assign_to_centroids(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_is_subset_of_exact_pairs(spark, emb):
+    """Cluster blocking may MISS cross-cluster pairs but must never
+    invent one: every reported pair must be a true >=threshold cosine
+    pair (full precision), with the cosine agreeing with the exact
+    operator's value."""
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    sem = clustering.semantic_dedup_pairs(emb, k=8, iters=2, threshold=0.4).collect()
+    assert len(sem) > 0
+    for r in sem:
+        assert (r.id_a, r.id_b) in exact
+        assert abs(r.cos - exact[(r.id_a, r.id_b)]) < 1e-9
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark, emb):
+    """Trained centroids should give the nprobe=2 IVF at least as much
+    recall structure as the stride placeholder: compare against exact
+    top-5 for the first 10 queries."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, k=5, max_query_id=10).collect()
+    }
+    cents = clustering.kmeans_fit(emb, k=8, iters=2)
+    cdf = clustering.centroids_df(spark, cents)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, k=5, nprobe=2, max_query_id=10, centroids=cdf
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall {recall:.2f}"
+
+
+def test_centroids_df_shape(spark, emb):
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    cdf = clustering.centroids_df(spark, cents)
+    assert cdf.columns == ["cluster", "centroid"]
+    rows = cdf.collect()
+    assert len(rows) == len(cents) <= 4
+    assert all(len(r.centroid) == 64 for r in rows)

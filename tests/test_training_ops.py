@@ -98,3 +98,36 @@ def test_unigram_logprob_ranks_rare_vocab_lower(spark):
     assert out[0].avg_logprob > out[99].avg_logprob
     assert out[0].perplexity < out[99].perplexity
     assert out[99].n_tokens == 4
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.operators import textops
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.tfidf_top_terms(docs, top_n=3)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc with tokens gets exactly <=3 rows, ranks 1..n contiguous
+    for doc_rows in by_doc.values():
+        ranks = sorted(r.rank for r in doc_rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # scores are non-increasing in rank
+        srt = sorted(doc_rows, key=lambda r: r.rank)
+        assert all(a.score >= b.score for a, b in zip(srt, srt[1:]))
+
+
+def test_bm25_matches_only_query_terms_and_is_bounded(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.operators import textops
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.bm25_search(docs, ["table", "scan", "merge"], top_n=10).collect()
+    assert 0 < len(out) <= 10
+    assert all(1 <= r.n_terms_matched <= 3 for r in out)
+    assert all(r.score > 0 for r in out)
+    # a query of absent terms returns nothing
+    empty = textops.bm25_search(docs, ["zzzabsent"], top_n=10).collect()
+    assert empty == []
