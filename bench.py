@@ -57,6 +57,8 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "tfidf_top_terms",
     "bm25_search",
+    "winnowing_overlap",
+    "corpus_temperature_mix",
 ]
 
 

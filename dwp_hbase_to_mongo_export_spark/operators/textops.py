@@ -489,3 +489,91 @@ def bm25_search(
         .limit(top_n)
         .select(id_col, "n_terms_matched", F.round("score6", 3).alias("score"))
     )
+
+
+def winnowing_fingerprints(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local-fingerprinting algorithm — public literature): hash
+    every char k-gram, then keep the MINIMUM hash of each sliding
+    window of `window` consecutive k-grams. Guarantees any shared
+    substring of length >= k + window - 1 contributes at least one
+    SHARED fingerprint — the partial-overlap detector that whole-doc
+    md5 (fingerprint) and set-jaccard (minhash) are not.
+
+    Returns (id, fp) exploded distinct fingerprints. Fully narrow until
+    the explode: the k-gram hash array and the per-window minima are
+    higher-order-function transforms over the (max_chars-truncated)
+    text — no shuffle, bounded per-doc fan-out, all JVM-side."""
+    s = normalize_text(F.col(text_col), max_chars)
+    base = corpus.select(F.col(id_col), s.alias("s")).filter(
+        F.length("s") >= k + window - 1
+    )
+    idx = F.sequence(F.lit(1), F.length("s") - (k - 1))
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("s").substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    base = base.select(F.col(id_col), hashes.alias("hs"))
+    widx = F.sequence(F.lit(1), F.size("hs") - (window - 1))
+    fps = F.array_distinct(
+        F.transform(widx, lambda j: F.array_min(F.slice(F.col("hs"), j, window)))
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnowing_overlap_pairs(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    max_chars: int = 256,
+    max_df: int | None = None,
+    df_fraction: float = 0.04,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Partial-overlap candidate pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared), n_shared >= min_shared.
+
+    Scale shape: fingerprints with document frequency above the cap are
+    dropped BEFORE the self-join — the winnowing analogue of the
+    boilerplate guard (a corpus-common fingerprint would otherwise
+    contribute df^2 join rows); the surviving join is equi on the
+    fingerprint with both sides shrunk, then one (id_a, id_b)
+    aggregation. All counts, no document bodies, move through the
+    shuffles. The cap defaults to max(20, df_fraction * |corpus|) —
+    CORPUS-RELATIVE, because absolute document frequencies grow
+    linearly with corpus size and a fixed cap silently degrades to
+    zero recall at scale; the corpus size rides a one-row broadcast
+    onto the (fp, df) relation, never the corpus itself."""
+    fps = winnowing_fingerprints(
+        corpus, text_col=text_col, id_col=id_col, k=k, window=window,
+        max_chars=max_chars,
+    )
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        cap = F.lit(max_df)
+    else:
+        ncnt = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+        dfreq = dfreq.join(F.broadcast(ncnt))
+        cap = F.greatest(F.lit(20), F.ceil(df_fraction * F.col("n_corpus")))
+    rare = dfreq.filter(F.col("df") <= cap).select("fp")
+    good = fps.join(rare, "fp")
+    a = good.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = good.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -405,6 +405,8 @@ DRIVER_WINDOW = [
     "similarity_topk_ivf_trained",
     "tfidf_top_terms",
     "bm25_search",
+    "winnowing_overlap",
+    "corpus_temperature_mix",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

@@ -1022,3 +1022,38 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-ties."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bm25_search(docs, ["table", "scan", "merge"], top_n=10)
+
+
+@query(
+    "winnowing_overlap",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM} AS s FROM documents WHERE len({_NORM}) >= 8
+    ),
+    arr AS (
+      SELECT doc_id, list_transform(range(1, len(s) - 3), i ->
+               CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8)) AS BIGINT))
+               AS hs
+      FROM norm
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - 2), j ->
+               list_aggregate(hs[j:j+3], 'min')))) AS fp
+      FROM arr
+    ),
+    rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+             WHERE df <= greatest(20, CAST(ceil(0.04 * (SELECT count(*) FROM documents)) AS BIGINT))),
+    good AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM good a JOIN good b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+)
+def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) partial-overlap pairs — shared local minima of
+    windowed k-gram hashes, with corpus-common fingerprints dropped
+    before the self-join (operators/textops.winnowing_overlap_pairs).
+    Catches substring-level overlap (quotes, mirrored passages) that
+    whole-doc hashing and set-jaccard both miss."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.winnowing_overlap_pairs(docs, min_shared=5)

@@ -339,3 +339,91 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming op the tumbling-window query can't express."""
     s = streaming.session_window_counts(spark, sf_dir, gap="1 hour", watermark="2 days")
     return streaming.run_available_now(s)
+
+
+_GATE10K_SQL = "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars) AS mass
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(mass)) AS total_w, sum(n_docs) AS n_total FROM stats),
+    thr AS (
+      SELECT source, n_docs,
+             CAST(round(10000 * least(1.0,
+               (0.5 * t.n_total * sqrt(mass) / t.total_w) / n_docs)) AS BIGINT)
+               AS threshold
+      FROM stats CROSS JOIN tot t
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN thr ON thr.source = d.source
+      WHERE {_GATE10K_SQL.format(salt='mixT:')} < thr.threshold
+      GROUP BY d.source
+    )
+    SELECT t.source, t.n_docs, COALESCE(k.n_kept, 0) AS n_kept, t.threshold
+    FROM thr t LEFT JOIN kept k ON k.source = t.source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (the count^alpha reweighting
+    of multilingual/multi-domain LM training — public literature, e.g.
+    the alpha-sampling of GPT/NLLB data pipelines; alpha=0.5 via sqrt so
+    both engines' pow is correctly-rounded IEEE): per-source sampling
+    rates are derived FROM the corpus (source token mass), small sources
+    are up-weighted relative to their share, and each document passes a
+    deterministic md5 gate against its source's 1e4-resolution
+    threshold. Returns (source, n_docs, n_kept, threshold).
+
+    Scale: two corpus passes — one map-side-combined (source) stats
+    aggregation (|sources| rows, broadcast back), one map-only gated
+    scan. The gate threshold is data-derived but per-SOURCE, so the
+    second pass is still a fused scan filter; re-weighting (new alpha)
+    changes only the tiny stats join side."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("mass")
+    )
+    tot = stats.agg(
+        F.sum(F.sqrt("mass")).alias("total_w"), F.sum("n_docs").alias("n_total")
+    )
+    rate = (0.5 * F.col("n_total") * F.sqrt("mass") / F.col("total_w")) / F.col(
+        "n_docs"
+    )
+    thr = (
+        stats.join(F.broadcast(tot))
+        .withColumn(
+            "threshold",
+            F.round(10000 * F.least(F.lit(1.0), rate)).cast("bigint"),
+        )
+        .select("source", "n_docs", "threshold")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mixT:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept = (
+        docs.join(F.broadcast(thr), "source")
+        .filter(gate < F.col("threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "threshold",
+        )
+    )

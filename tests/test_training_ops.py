@@ -131,3 +131,50 @@ def test_bm25_matches_only_query_terms_and_is_bounded(spark, sf_dir):
     # a query of absent terms returns nothing
     empty = textops.bm25_search(docs, ["zzzabsent"], top_n=10).collect()
     assert empty == []
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_long_overlap(spark):
+    """The winnowing invariant: two docs sharing a substring of length
+    >= k + window - 1 (= 8) share at least one fingerprint."""
+    from dwp_hbase_to_mongo_export_spark.operators import textops
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"omega psi chi {shared} phi upsilon"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = textops.winnowing_fingerprints(docs)
+    a = {r.fp for r in fps.filter("doc_id = 1").collect()}
+    b = {r.fp for r in fps.filter("doc_id = 2").collect()}
+    c = {r.fp for r in fps.filter("doc_id = 3").collect()}
+    assert a & b, "overlapping docs must share a fingerprint"
+    pairs = textops.winnowing_overlap_pairs(docs, max_df=10, min_shared=2).collect()
+    assert any(r.id_a == 1 and r.id_b == 2 for r in pairs)
+    assert not any(r.id_b == 3 or r.id_a == 3 for r in pairs)
+    assert len(a & c) <= 1  # unrelated docs share ~nothing
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """A source with less token mass must get a keep-threshold at least
+    as high (relative to its size) as a heavier source: with alpha<1 the
+    sampling rate is monotonically DECREASING in mass per doc."""
+    import dwp_hbase_to_mongo_export_spark.queries as catalog
+
+    out = {
+        r.source: r
+        for r in catalog.QUERIES["corpus_temperature_mix"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(out) == 20
+    for r in out.values():
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.threshold <= 10000
+    # overall keep fraction lands near the 50% target
+    kept = sum(r.n_kept for r in out.values())
+    total = sum(r.n_docs for r in out.values())
+    assert 0.3 <= kept / total <= 0.7
