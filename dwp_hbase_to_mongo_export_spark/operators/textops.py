@@ -554,11 +554,19 @@ def winnowing_overlap_pairs(
     CORPUS-RELATIVE, because absolute document frequencies grow
     linearly with corpus size and a fixed cap silently degrades to
     zero recall at scale; the corpus size rides a one-row broadcast
-    onto the (fp, df) relation, never the corpus itself."""
+    onto the (fp, df) relation, never the corpus itself.
+
+    The (id, fp) relation is persisted memory-and-disk: it feeds three
+    consumers (df counts, both self-join sides) that would otherwise
+    each re-run the md5 k-gram pipeline over the corpus; per doc it is
+    <= max_chars/window fingerprints, a small constant factor of corpus
+    size, and it spills rather than OOMing (the minhash precedent)."""
+    from pyspark import StorageLevel
+
     fps = winnowing_fingerprints(
         corpus, text_col=text_col, id_col=id_col, k=k, window=window,
         max_chars=max_chars,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         cap = F.lit(max_df)

@@ -73,8 +73,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means fingerprint after 2 iterations:
     cluster sizes pin the assignment, avg_cos pins the maximised
     similarities, centroid_norm pins the centroid values. Scale: each
-    iteration is one map-only codegen'd assignment pass plus one
-    map-side-combined (cluster, dim) aggregation — the corpus never
+    iteration is one map-only Arrow-batched matmul assignment pass plus
+    one map-side-combined (cluster, dim) aggregation — the corpus never
     shuffles; centroids round-trip the driver as k x d scalars (the
     MLlib pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
