@@ -154,3 +154,43 @@ def business_audit_transform(decrypted_json: str, message_last_modified: str) ->
     context["TIME_STAMP"] = message_last_modified
     context["TIME_STAMP_ORIG"] = message_last_modified
     return dumps_compact(context)
+
+
+_WRAPPER_KEYS = frozenset({"$oid", "d_oid", "$date", "d_date"})
+
+
+def unwrap_extended_json(obj):
+    """The INVERSE of the normalisation wrappers — what a consumer of
+    the reference's snapshot output does to get typed values back:
+    every single-key {"$oid": v} / {"$date": v} object (and their
+    sanitised d_oid/d_date forms, which is how they actually appear in
+    the on-disk payload after SanitisationProcessor.kt:20-24 rewrites
+    '$' to 'd_') collapses recursively to its value. Non-wrapper
+    objects, arrays, and scalars pass through unchanged."""
+    if isinstance(obj, dict):
+        if len(obj) == 1:
+            k = next(iter(obj))
+            if k in _WRAPPER_KEYS:
+                return unwrap_extended_json(obj[k])
+        return {k: unwrap_extended_json(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [unwrap_extended_json(v) for v in obj]
+    return obj
+
+
+def unwrap_record(json_str: str) -> tuple[str, str | None, str | None]:
+    """(canonical_doc, id, last_modified) for one exported db_object
+    line: unwrap all extended-JSON wrappers, re-serialise key-sorted
+    compact (JsonUtils.kt:7-15 canonical form), and surface the two
+    fields every downstream consumer needs — the record id (scalar as
+    itself, object ids as canonical JSON) and the last-modified
+    instant."""
+    obj = unwrap_extended_json(json.loads(json_str))
+    doc = json.dumps(obj, sort_keys=True, separators=(",", ":"))
+    rid = obj.get("_id") if isinstance(obj, dict) else None
+    if rid is not None and not isinstance(rid, str):
+        rid = json.dumps(rid, sort_keys=True, separators=(",", ":"))
+    lm = obj.get("_lastModifiedDateTime") if isinstance(obj, dict) else None
+    if not isinstance(lm, str):
+        lm = None
+    return doc, rid, lm

@@ -407,6 +407,7 @@ DRIVER_WINDOW = [
     "bm25_search",
     "winnowing_overlap",
     "corpus_temperature_mix",
+    "export_unwrap_roundtrip",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

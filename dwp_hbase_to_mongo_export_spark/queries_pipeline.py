@@ -218,3 +218,46 @@ def streaming_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("originalId").alias("original_id"),
     )
     return run_available_now(out, state_partitions=None)
+
+
+@query(
+    "export_unwrap_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS d,
+             o_orderpriority AS note,
+             o_orderkey % 2 = 0 AS even
+      FROM orders
+    )
+    SELECT k AS okey,
+           CASE WHEN even THEN
+             '{"_id":{"record_id":"' || k || '"},"_lastModifiedDateTime":"' || d ||
+             '","createdDateTime":"' || d || '","note":"' || note || '"}'
+           ELSE
+             '{"_id":"' || k || '","_lastModifiedDateTime":"' || d ||
+             '","createdDateTime":"' || d || '","note":"' || note || '"}'
+           END AS doc,
+           CASE WHEN even THEN '{"record_id":"' || k || '"}' ELSE k END AS recovered_id,
+           d AS last_modified
+    FROM base
+    """,
+)
+def export_unwrap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full circle: export pipeline output (extended JSON with the
+    sanitised d_oid/d_date wrappers) fed through the consumer-side
+    unwrap (operators/transformation.unwrap_records) must recover the
+    original typed values — scalar ids, object ids, and canonical
+    dates. The oracle constructs the expected UNWRAPPED key-sorted
+    documents directly from orders, so the wrap -> sanitise -> unwrap
+    chain is pinned as the identity on everything but the wrappers."""
+    from .operators.transformation import unwrap_records
+
+    cells = build_cells(spark, sf_dir)
+    res = export_topic(cells.drop("okey"), TOPIC)
+    sink = res.extra["sink_frame"].select(
+        F.regexp_extract("id", r"(\d+)", 1).alias("okey"), "db_object"
+    )
+    return unwrap_records(sink).select(
+        "okey", "doc", "recovered_id", "last_modified"
+    )

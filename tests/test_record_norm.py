@@ -360,3 +360,33 @@ def test_row_key_roundtrip():
     key = jsonfns.make_row_key('{"record_id": "00042"}')
     assert jsonfns.strip_key_hash(key) == '{"record_id": "00042"}'
     assert len(key) == 4 + len('{"record_id": "00042"}')
+
+
+def test_unwrap_extended_json_inverse():
+    """unwrap is the inverse of the wrap chain on wrapper nodes and the
+    identity elsewhere — including nested arrays and both the raw and
+    sanitised wrapper spellings."""
+    from dwp_hbase_to_mongo_export_spark.functions.record_norm import (
+        unwrap_extended_json,
+        unwrap_record,
+    )
+
+    assert unwrap_extended_json({"$oid": "a"}) == "a"
+    assert unwrap_extended_json({"d_oid": "a"}) == "a"
+    assert unwrap_extended_json({"$date": "x"}) == "x"
+    assert unwrap_extended_json({"d_date": "x"}) == "x"
+    # multi-key objects containing a wrapper-ish key are NOT wrappers
+    assert unwrap_extended_json({"$oid": "a", "b": 1}) == {"$oid": "a", "b": 1}
+    # recursion through arrays and nesting
+    assert unwrap_extended_json([{"d_date": "t"}, {"k": {"$oid": "z"}}]) == [
+        "t",
+        {"k": "z"},
+    ]
+    doc, rid, lm = unwrap_record(
+        '{"_id":{"d_oid":"9"},"_lastModifiedDateTime":{"d_date":"T1"},"v":2}'
+    )
+    assert doc == '{"_id":"9","_lastModifiedDateTime":"T1","v":2}'
+    assert rid == "9" and lm == "T1"
+    # object id stays canonical JSON
+    _, rid2, _ = unwrap_record('{"_id":{"record_id":"4"}}')
+    assert rid2 == '{"record_id":"4"}'

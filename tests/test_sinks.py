@@ -596,3 +596,31 @@ def test_read_encrypted_snapshots_roundtrip(spark, tmp_path):
     write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg2)
     back2 = read_encrypted_snapshots(spark, str(tmp_path / "plain"))
     assert back2.count() == 40
+
+
+def test_snapshot_read_then_unwrap_recovers_typed_values(spark, tmp_path):
+    """The full consumer chain: snapshot files -> read_encrypted_snapshots
+    -> unwrap_records recovers scalar/object ids and dates from the
+    sanitised d_oid/d_date wrappers in the on-disk payload."""
+    from dwp_hbase_to_mongo_export_spark.operators.transformation import (
+        unwrap_records,
+    )
+    from dwp_hbase_to_mongo_export_spark.sinks.snapshot import (
+        read_encrypted_snapshots,
+    )
+
+    cells = fixture_cells(spark, n=20)
+    res = export_topic(cells, "db.database.collection")
+    cfg = SnapshotSinkConfig(
+        output_dir=str(tmp_path), topic="db.database.collection",
+        max_batch_bytes=10**9, compression="gz", data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64="e", kek_id="k", deterministic_iv=True,
+    )
+    write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
+    back = unwrap_records(read_encrypted_snapshots(spark, str(tmp_path), DATA_KEY_B64))
+    rows = back.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.recovered_id is not None
+        assert "d_oid" not in r.doc and "d_date" not in r.doc
+        assert r.last_modified is None or "T" in r.last_modified
