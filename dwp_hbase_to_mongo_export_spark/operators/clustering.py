@@ -99,10 +99,16 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    tol: float | None = None,
 ) -> Centroids:
     """Lloyd's k-means: ``iters`` rounds of assign + per-dimension mean.
     Returns the final centroids (cluster id -> vector); clusters that
     lose every member simply drop out, identically on both engines.
+    With ``tol`` set, iteration stops early once the max absolute
+    per-component centroid shift falls below it (a driver-side
+    comparison of the rounded centroids — deterministic, so early-
+    stopped runs are as reproducible as fixed-count ones; the catalog
+    oracle uses the fixed-count contract).
 
     Each iteration costs one corpus scan + one (cluster, dim)-keyed
     aggregation whose shuffle is k x d partial rows per partition; the
@@ -132,7 +138,17 @@ def kmeans_fit(
         by: dict[int, list[float]] = {}
         for r in rows:
             by.setdefault(r["cluster"], [0.0] * d)[r["pos"]] = r["m"]
-        cents = sorted(by.items())
+        new_cents = sorted(by.items())
+        if tol is not None and len(new_cents) == len(cents):
+            shift = max(
+                abs(x - y)
+                for (_, ov), (_, nv) in zip(cents, new_cents)
+                for x, y in zip(ov, nv)
+            )
+            if shift < tol:
+                cents = new_cents
+                break
+        cents = new_cents
     return cents
 
 
@@ -175,6 +191,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs found WITHIN k-means clusters only
     — (cluster, id_a, id_b, cos). The cluster equi-join bounds the
@@ -184,39 +201,51 @@ def semantic_dedup_pairs(
     governed by cluster granularity rather than band collision
     probability (the LSH alternative in dedup.embedding_dup_pairs_lsh).
 
-    The verify is ONE BLAS matmul per cluster inside mapInPandas (the
-    vectorized exception to "UDFs are slow" — same rationale and same
-    numerics as dedup._block_cosine_kernel, which the exact-pairs
-    oracle already value-checks): per-pair cost is a fused
-    multiply-add, 2-3 orders faster than interpreted per-pair HOF
-    cosine. Each cluster is gathered into one task; for clusters too
-    big for one task at 100 TB, compose the id-range sub-blocking of
-    dedup.embedding_dup_pairs_lsh's per-bucket grid — the dataflow is
-    unchanged."""
+    The verify is a BLAS matmul per (cluster, block-pair) inside
+    mapInPandas (the vectorized exception to "UDFs are slow" — same
+    rationale and same numerics as dedup._block_cosine_kernel, which
+    the exact-pairs oracle already value-checks): per-pair cost is a
+    fused multiply-add, 2-3 orders faster than interpreted per-pair
+    HOF cosine. Clusters are SUB-BLOCKED into id-range blocks of
+    ``block_size`` rows with an upper-triangle block grid per cluster,
+    so a skewed giant cluster becomes many bounded tasks instead of
+    one straggler — no task ever gathers more than 2*block_size
+    vectors, whatever the cluster size distribution. The blocking is
+    invisible in the output (the id_a < id_b mask dedups the diagonal
+    and orients cross-block pairs identically)."""
     import pandas as pd  # noqa: F401 — documents the mapInPandas dependency
 
     cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    grouped = (
+    blocks = (
         assign_to_centroids(emb, cents, vec_col=vec_col)
         .select(
             "cluster",
+            F.floor(F.col(id_col) / block_size).alias("blk"),
             F.struct(
                 F.col(id_col).alias("id"), F.col(vec_col).alias("v")
             ).alias("r"),
         )
-        .groupBy("cluster")
+        .groupBy("cluster", "blk")
         .agg(F.collect_list("r").alias("rows"))
     )
-    pairs = grouped.mapInPandas(
-        _cluster_cosine_kernel(threshold),
+    a = blocks.select(
+        "cluster", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = blocks.select(
+        "cluster", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    grid = a.join(b, "cluster").filter(F.col("blk_a") <= F.col("blk_b"))
+    pairs = grid.mapInPandas(
+        _cluster_block_cosine_kernel(threshold),
         "cluster bigint, id_a bigint, id_b bigint, cos double",
     )
     return pairs.select("cluster", "id_a", "id_b", F.round("cos", 3).alias("cos"))
 
 
-def _cluster_cosine_kernel(threshold: float):
-    """mapInPandas kernel over (cluster, rows) groups: one BLAS matmul
-    per cluster, emit upper-triangle (id_a < id_b, cos >= threshold)."""
+def _cluster_block_cosine_kernel(threshold: float):
+    """mapInPandas kernel over (cluster, rows_a, rows_b) block-pair rows:
+    one BLAS matmul per block pair, emit (id_a < id_b, cos >= threshold)
+    with the cluster id passed through."""
 
     def _kernel(batches):
         import numpy as np
@@ -224,16 +253,21 @@ def _cluster_cosine_kernel(threshold: float):
 
         for pdf in batches:
             out = {"cluster": [], "id_a": [], "id_b": [], "cos": []}
-            for cl, rows in zip(pdf["cluster"], pdf["rows"]):
-                ids = np.array([r["id"] for r in rows], dtype=np.int64)
-                m = np.array([r["v"] for r in rows], dtype=np.float64)
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
-                sim = m @ m.T
-                mask = (sim >= threshold) & (ids[:, None] < ids[None, :])
+            for cl, rows_a, rows_b in zip(
+                pdf["cluster"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ida = np.array([r["id"] for r in rows_a], dtype=np.int64)
+                idb = np.array([r["id"] for r in rows_b], dtype=np.int64)
+                ma = np.array([r["v"] for r in rows_a], dtype=np.float64)
+                mb = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sim = ma @ mb.T
+                mask = (sim >= threshold) & (ida[:, None] < idb[None, :])
                 ii, jj = np.nonzero(mask)
                 out["cluster"].append(np.full(len(ii), cl, dtype=np.int64))
-                out["id_a"].append(ids[ii])
-                out["id_b"].append(ids[jj])
+                out["id_a"].append(ida[ii])
+                out["id_b"].append(idb[jj])
                 out["cos"].append(sim[ii, jj])
             yield pd.DataFrame(
                 {

@@ -150,3 +150,65 @@ def test_sanitise_invariants(s):
     assert "$" not in out
     assert "\\u0000" not in out
     assert "_archivedDateTime" not in out and "_archived" not in out
+
+
+# --- wrap -> sanitise -> unwrap identity -----------------------------------
+
+_safe_key = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+).filter(lambda k: k not in {"_id", "_lastModifiedDateTime", "_archivedDateTime",
+                             "_removedDateTime", "createdDateTime"})
+_safe_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ", max_size=20
+)
+_scalar = st.one_of(_safe_text, st.integers(-10**6, 10**6), st.booleans(), st.none())
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(_safe_key, children, max_size=3),
+    ),
+    max_leaves=8,
+)
+_doc = st.dictionaries(_safe_key, _value, min_size=0, max_size=4)
+_id_strat = st.one_of(
+    _safe_text.filter(lambda s: s != ""),
+    st.dictionaries(_safe_key, _safe_text, min_size=1, max_size=2),
+)
+
+
+@given(_doc, _id_strat, _dt)
+@settings(max_examples=200, deadline=None)
+def test_wrap_sanitise_unwrap_recovers_values(doc, rid, dt):
+    """normalise_payload wraps ids/dates, sanitise rewrites $ -> d_, and
+    unwrap_record must recover the original scalar values: the chain is
+    the identity on everything except wrapper nodes. Independent of the
+    pipeline code paths — pure-function composition."""
+    from dwp_hbase_to_mongo_export_spark.functions.jsonfns import dumps_compact
+    from dwp_hbase_to_mongo_export_spark.functions.record_norm import (
+        normalise_payload,
+        sanitise,
+        unwrap_record,
+    )
+
+    created = dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+    payload = dict(doc)
+    payload["_id"] = rid
+    payload["createdDateTime"] = created
+    rec = normalise_payload(json.dumps(payload), "unused")
+    out_doc, out_id, out_lm = unwrap_record(
+        sanitise(dumps_compact(rec.db_object), "db", "coll")
+    )
+    back = json.loads(out_doc)
+    # id recovered: scalar as itself, object id as canonical JSON
+    if isinstance(rid, str):
+        assert out_id == rid
+    else:
+        assert json.loads(out_id) == rid
+    # created date recovered as the canonical instant
+    assert back["createdDateTime"] == created
+    # lastModified falls back to createdDateTime here, and is surfaced
+    assert out_lm == created
+    # every other original key survives with its value intact
+    for k, v in doc.items():
+        assert back[k] == v

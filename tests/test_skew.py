@@ -94,3 +94,40 @@ def test_alternating_bounds_rounds_on_chain(spark):
     ).first()
     assert (got.c, got.n) == (1, n)
     assert out.filter(F.col("component") != 0).count() == 0
+
+
+def test_semantic_dedup_giant_cluster_is_sub_blocked(spark):
+    """Skew drill: one cluster attracting ~everything must not become a
+    single straggler task. With block_size=32, a 100-vector cluster
+    fans out into an upper-triangle block grid, and the output is
+    IDENTICAL to the unblocked result."""
+    import numpy as np
+
+    from dwp_hbase_to_mongo_export_spark.operators import clustering
+
+    rng = [
+        (i, [1.0 + 0.001 * (i % 7), 0.002 * i, 1.0, 0.0]) for i in range(100)
+    ] + [(100 + j, [0.0, 1.0, 0.0, float(j)]) for j in range(4)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+
+    blocked = clustering.semantic_dedup_pairs(
+        emb, k=4, iters=1, threshold=0.9, block_size=32
+    )
+    unblocked = clustering.semantic_dedup_pairs(
+        emb, k=4, iters=1, threshold=0.9, block_size=10**9
+    )
+    rb = {(r.cluster, r.id_a, r.id_b, r.cos) for r in blocked.collect()}
+    ru = {(r.cluster, r.id_a, r.id_b, r.cos) for r in unblocked.collect()}
+    assert rb == ru and len(rb) > 100
+    # the giant cluster's grid really is split: >1 block-pair task input
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    a = clustering.assign_to_centroids(emb, cents)
+    from pyspark.sql import functions as F
+
+    blk_counts = (
+        a.select("cluster", F.floor(F.col("vec_id") / 32).alias("blk"))
+        .groupBy("cluster")
+        .agg(F.countDistinct("blk").alias("nblk"))
+        .collect()
+    )
+    assert max(r.nblk for r in blk_counts) >= 3
