@@ -59,6 +59,7 @@ HEADLINE = [
     "bm25_search",
     "winnowing_overlap",
     "corpus_temperature_mix",
+    "streaming_kmeans_assign",
 ]
 
 

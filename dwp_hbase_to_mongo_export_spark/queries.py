@@ -408,6 +408,7 @@ DRIVER_WINDOW = [
     "winnowing_overlap",
     "corpus_temperature_mix",
     "export_unwrap_roundtrip",
+    "streaming_kmeans_assign",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

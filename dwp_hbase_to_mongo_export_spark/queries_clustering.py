@@ -137,3 +137,32 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = clustering.kmeans_fit(emb, k=_K, iters=_ITERS)
     cdf = clustering.centroids_df(spark, cents)
     return similarity.ivf_topk(emb, k=5, nprobe=2, max_query_id=10, centroids=cdf)
+
+
+@query(
+    "streaming_kmeans_assign",
+    oracle=f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster, round(cs, 3) AS cos FROM af
+    """,
+)
+def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / score-on-the-stream: centroids are fit in batch
+    (the k-means catalog contract), then arriving vectors are assigned
+    on a readStream of the embeddings source and drained with
+    AvailableNow — which must equal the batch assignment exactly.
+    The assignment is a stateless Arrow-batched map (centroids ride the
+    UDF closure), so it is streaming-safe by construction: no state
+    store, no watermark, per-micro-batch cost is one matmul. This is
+    the continuous-ingest shape of a 100 TB embedding pipeline — new
+    corpus shards get cluster/IVF routing as they land, with the same
+    plan as the batch path."""
+    from .streaming.incremental import run_available_now, stream_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=_K, iters=_ITERS)
+    stream = stream_table(spark, sf_dir, "embeddings")
+    assigned = clustering.assign_to_centroids(stream, cents).select(
+        "vec_id", "cluster", F.round("cos_to_centroid", 3).alias("cos")
+    )
+    return run_available_now(assigned, state_partitions=None)

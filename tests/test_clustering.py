@@ -145,3 +145,24 @@ def test_kmeans_tol_early_stop_matches_converged_run(spark, emb):
     else:
         # not yet converged after 10 iters — tol run must still be valid
         assert {c for c, _ in a} <= {c for c, _ in b} or len(a) == len(b)
+
+
+def test_streaming_assignment_equals_batch(spark, emb, sf_dir):
+    """AvailableNow drain of the streaming assignment must reproduce the
+    batch assignment row-for-row (stateless map => streaming-safe)."""
+    from dwp_hbase_to_mongo_export_spark.streaming.incremental import (
+        run_available_now,
+        stream_table,
+    )
+
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    batch = {
+        (r.vec_id, r.cluster)
+        for r in clustering.assign_to_centroids(emb, cents).collect()
+    }
+    stream = stream_table(spark, sf_dir, "embeddings")
+    drained = run_available_now(
+        clustering.assign_to_centroids(stream, cents).select("vec_id", "cluster"),
+        state_partitions=None,
+    )
+    assert {(r.vec_id, r.cluster) for r in drained.collect()} == batch
