@@ -409,6 +409,7 @@ DRIVER_WINDOW = [
     "corpus_temperature_mix",
     "export_unwrap_roundtrip",
     "streaming_kmeans_assign",
+    "kmeans_purity",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

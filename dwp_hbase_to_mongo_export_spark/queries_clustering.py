@@ -166,3 +166,60 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster", F.round("cos_to_centroid", 3).alias("cos")
     )
     return run_available_now(assigned, state_partitions=None)
+
+
+@query(
+    "kmeans_purity",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    lab AS (
+      SELECT a.cluster, e.label, count(*) AS n
+      FROM af a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY a.cluster, e.label
+    ),
+    top AS (
+      SELECT cluster, label AS majority_label, n AS majority_n FROM (
+        SELECT cluster, label, n,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY n DESC, label) AS rn
+        FROM lab
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT cluster, sum(n) AS n_vecs FROM lab GROUP BY cluster)
+    SELECT t.cluster, CAST(tot.n_vecs AS BIGINT) AS n_vecs,
+           t.majority_label, CAST(t.majority_n AS BIGINT) AS majority_n,
+           round(t.majority_n * 1.0 / tot.n_vecs, 3) AS purity
+    FROM top t JOIN tot ON tot.cluster = t.cluster
+    """,
+)
+def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation against the embeddings table's label
+    column: per-cluster majority-label purity — the standard external
+    clustering metric, as an engine query (ties to the smallest label).
+    Scale: the label join is on vec_id (co-partitioned with the
+    assignment), the (cluster, label) aggregation is map-side combined
+    and CLUSTER x LABEL sized, and everything after is tiny."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=_K, iters=_ITERS)
+    a = clustering.assign_to_centroids(emb, cents)
+    lab = a.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    tot = lab.groupBy("cluster").agg(F.sum("n").alias("n_vecs"))
+    return top.join(tot, "cluster").select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        "majority_n",
+        F.round(F.col("majority_n") / F.col("n_vecs"), 3).alias("purity"),
+    )

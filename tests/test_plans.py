@@ -199,3 +199,49 @@ def test_corpus_filter_pipeline_single_shuffle(spark, sf_dir):
     # most the join's repartition of the narrow (doc_id, flags) side
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The 100 TB co-located-join lever: two tables bucketed+sorted on
+    the join key must sort-merge-join with ZERO Exchange (and zero
+    per-join Sort) — the layout cost is paid once at write time and
+    amortised over every subsequent join. Pins that the engine's write
+    path can produce, and its read path can exploit, bucketed layout."""
+    from pyspark.sql import functions as F
+
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    try:
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").option("path", str(tmp_path / "ob"))
+         .saveAsTable("orders_bucketed"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").option("path", str(tmp_path / "lb"))
+         .saveAsTable("lineitem_bucketed"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (
+                spark.table("orders_bucketed")
+                .join(
+                    spark.table("lineitem_bucketed"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .groupBy("o_orderpriority")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+            plan = _plan(j)
+            join_part = plan.split("HashAggregate")[-1]  # below the agg
+            assert "SortMergeJoin" in plan
+            # the ONLY exchange allowed is the final aggregation's;
+            # the join itself must read co-located buckets directly
+            assert join_part.count("Exchange") == 0, plan
+            rows = j.collect()
+            assert len(rows) == 5
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
