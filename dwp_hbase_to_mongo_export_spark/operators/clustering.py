@@ -283,3 +283,46 @@ def _cluster_block_cosine_kernel(threshold: float):
             )
 
     return _kernel
+
+
+def cluster_prototypes_outliers(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-guided corpus curation (the D4/SemDeDup-family
+    prototype selection — public literature): per cluster, the m
+    vectors CLOSEST to the centroid ("prototype" — the exemplars worth
+    keeping for a compact corpus) and the m FARTHEST ("outlier" — the
+    boundary cases worth auditing or upsampling for diversity).
+    Returns (cluster, vec_id, cos, role, rank).
+
+    Scale: rides the map-only assignment; the two per-cluster top-m
+    selections are windows over k partitions with WindowGroupLimit
+    pre-filtering, so only ~k*m rows survive each exchange."""
+    from pyspark.sql.window import Window
+
+    cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = assign_to_centroids(emb, cents, vec_col=vec_col).select(
+        "cluster", F.col(id_col), F.col("cos_to_centroid").alias("cs")
+    )
+    wp = Window.partitionBy("cluster").orderBy(F.desc("cs"), F.asc(id_col))
+    wo = Window.partitionBy("cluster").orderBy(F.asc("cs"), F.asc(id_col))
+
+    def top(w, role: str) -> DataFrame:
+        return (
+            a.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= m)
+            .select(
+                "cluster",
+                id_col,
+                F.round("cs", 3).alias("cos"),
+                F.lit(role).alias("role"),
+                "rank",
+            )
+        )
+
+    return top(wp, "prototype").unionAll(top(wo, "outlier"))

@@ -258,3 +258,28 @@ def quantize_int8(
         (maxabs / 127.0).alias("scale"),
         q.alias("q"),
     )
+
+
+def int8_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k over the DEQUANTISED int8 corpus — quantize_int8
+    composed with search, the deployment shape where the 4x-smaller
+    int8 corpus is what actually lives in memory/cache at 100 TB and
+    rankings are computed on dequantised values (q_i * scale). Returns
+    (query_id, neighbor_id, rank); rankings differ from exact float
+    search only within quantisation error (pinned in tests)."""
+    qt = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+    deq = qt.select(
+        F.col(id_col),
+        F.transform(
+            "q", lambda x: x.cast("double") * F.col("scale")
+        ).alias("dv"),
+    )
+    return brute_force_topk(
+        deq, k=k, id_col=id_col, vec_col="dv", max_query_id=max_query_id
+    )

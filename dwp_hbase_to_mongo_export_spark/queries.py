@@ -410,6 +410,8 @@ DRIVER_WINDOW = [
     "export_unwrap_roundtrip",
     "streaming_kmeans_assign",
     "kmeans_purity",
+    "cluster_prototypes",
+    "similarity_topk_int8",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

@@ -223,3 +223,64 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "majority_n",
         F.round(F.col("majority_n") / F.col("n_vecs"), 3).alias("purity"),
     )
+
+
+@query(
+    "cluster_prototypes",
+    oracle=f"""
+    WITH {_kmeans_ctes()}
+    SELECT cluster, vec_id, round(cs, 3) AS cos, role, rank FROM (
+      SELECT cluster, vec_id, cs, 'prototype' AS role,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY cs DESC, vec_id) AS rank
+      FROM af
+      UNION ALL
+      SELECT cluster, vec_id, cs, 'outlier' AS role,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY cs ASC, vec_id) AS rank
+      FROM af
+    ) WHERE rank <= 2
+    """,
+)
+def cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-guided curation: per cluster the 2 most central vectors
+    (prototypes — the compact-corpus exemplars) and the 2 most
+    peripheral (outliers — diversity/audit candidates), the
+    D4/SemDeDup-family selection re-expressed as windows over the
+    map-only assignment (operators/clustering
+    .cluster_prototypes_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.cluster_prototypes_outliers(emb, k=_K, iters=_ITERS, m=2)
+
+
+@query(
+    "similarity_topk_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v),
+    qz AS (
+      SELECT vec_id, maxabs / 127.0 AS scale,
+             CASE WHEN maxabs > 0 THEN
+               list_transform(e, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT))
+             ELSE list_transform(e, x -> 0) END AS q
+      FROM m
+    ),
+    dq AS (SELECT vec_id, list_transform(q, x -> x * scale) AS dv FROM qz)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.dv, c.dv) DESC, c.vec_id) AS rank
+      FROM dq q JOIN dq c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the int8-quantised corpus (similarity.int8_topk):
+    quantize_int8 composed with exact ranking on dequantised values —
+    the deployment shape where the 4x-smaller int8 corpus is what the
+    cluster actually caches at 100 TB. The oracle reproduces the
+    quantisation bit-for-bit (portable floor(x+0.5) rounding), so the
+    approximate rankings are value-checked, not just rows-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(emb, k=5, max_query_id=10)

@@ -166,3 +166,28 @@ def test_streaming_assignment_equals_batch(spark, emb, sf_dir):
         state_partitions=None,
     )
     assert {(r.vec_id, r.cluster) for r in drained.collect()} == batch
+
+
+def test_prototypes_are_nearer_than_outliers(spark, emb):
+    out = clustering.cluster_prototypes_outliers(emb, k=4, iters=1, m=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.cluster, {}).setdefault(r.role, []).append(r.cos)
+    for roles in by.values():
+        assert min(roles["prototype"]) >= max(roles["outlier"])
+
+
+def test_int8_topk_close_to_exact(spark, emb):
+    """Quantisation must barely perturb rankings: recall@5 vs exact
+    float search stays high."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, k=5, max_query_id=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.int8_topk(emb, k=5, max_query_id=10).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
