@@ -412,6 +412,8 @@ DRIVER_WINDOW = [
     "kmeans_purity",
     "cluster_prototypes",
     "similarity_topk_int8",
+    "data_quality_report",
+    "snapshot_diff",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

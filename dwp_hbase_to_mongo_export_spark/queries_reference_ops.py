@@ -395,3 +395,75 @@ def streaming_hbase_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.get_json_object("value", "$.traceId").alias("okey"), "ts")
     )
     return streaming.run_available_now(s)
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+           s1.event_id AS event_id_before, s2.event_id AS event_id_after,
+           CASE WHEN s1.user_id IS NULL THEN 'added'
+                WHEN s2.user_id IS NULL THEN 'removed'
+                WHEN s1.event_id = s2.event_id THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing — the consumer-side complement of the
+    reference's incremental export (HBaseReader.kt:131-150 time-range
+    scans): latest state per key at T1 vs T2, classified
+    added/changed/unchanged(/removed). Downstream systems use exactly
+    this to turn two full snapshots into a delta when no change-feed
+    exists.
+
+    Scale: both snapshot states are window dedups keyed on user_id and
+    the full-outer diff joins on the SAME key, so all three hash
+    exchanges are on one key and AQE coalesces them; only (key,
+    version-id) pairs move, never payloads."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def state(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id")
+        )
+
+    s1 = state("2024-01-15 00:00:00").withColumnsRenamed(
+        {"user_id": "u1", "event_id": "event_id_before"}
+    )
+    s2 = state("2024-01-30 00:00:00").withColumnsRenamed(
+        {"user_id": "u2", "event_id": "event_id_after"}
+    )
+    j = s1.join(s2, s1.u1 == s2.u2, "full_outer")
+    return j.select(
+        F.coalesce("u2", "u1").alias("user_id"),
+        "event_id_before",
+        "event_id_after",
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("event_id_before") == F.col("event_id_after"), "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+    )

@@ -270,3 +270,79 @@ def conditional_field_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.contains('"_archivedDateTime"').alias("kept_archived"),
         rendered.contains('"_removedDateTime"').alias("kept_removed"),
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders.orderkey_not_null' AS check_name,
+             (SELECT count(*) FROM orders) AS n_checked,
+             CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+               AS violations
+      UNION ALL
+      SELECT 'orders.totalprice_positive',
+             (SELECT count(*) FROM orders),
+             CAST((SELECT count(*) FROM orders
+                   WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT)
+      UNION ALL
+      SELECT 'orders.orderkey_unique',
+             (SELECT count(*) FROM orders),
+             CAST((SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+                   FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.orderkey_references_orders',
+             (SELECT count(*) FROM lineitem),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.quantity_in_range',
+             (SELECT count(*) FROM lineitem),
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) AS BIGINT)
+      UNION ALL
+      SELECT 'events.value_at_least_one',
+             (SELECT count(*) FROM events),
+             CAST((SELECT count(*) FROM events
+                   WHERE NOT COALESCE(value >= 1, FALSE)) AS BIGINT)
+    )
+    SELECT check_name, n_checked, violations, violations = 0 AS pass FROM checks
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative dataset-level quality gate (operators/quality):
+    null/range/row-predicate checks fused into ONE aggregation pass per
+    table, uniqueness in the same single-pass form, referential
+    integrity as a left-anti orphan count — the pre-write audit a
+    100 TB pipeline runs before publishing a snapshot. Six constraints
+    across three tables cost three scans plus one anti-join; the
+    events value check is deliberately failing (178 violations at
+    sf0.01) so the pass flag is pinned in both states."""
+    from .operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    parts = [
+        quality.row_constraints_report(
+            orders,
+            {
+                "orders.orderkey_not_null": F.col("o_orderkey").isNotNull(),
+                "orders.totalprice_positive": F.col("o_totalprice") > 0,
+            },
+        ),
+        quality.uniqueness_report(orders, "orders.orderkey_unique", "o_orderkey"),
+        quality.referential_report(
+            li, "l_orderkey", orders, "o_orderkey",
+            "lineitem.orderkey_references_orders",
+        ),
+        quality.row_constraints_report(
+            li,
+            {"lineitem.quantity_in_range": F.col("l_quantity").between(1, 50)},
+        ),
+        quality.row_constraints_report(
+            events, {"events.value_at_least_one": F.col("value") >= 1}
+        ),
+    ]
+    return quality.quality_report(parts)

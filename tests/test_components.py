@@ -70,3 +70,35 @@ def test_alternating_converges_on_deep_chain(spark):
     out = {(r.node, r.component) for r in
            connected_components_alternating(chain, max_iter=12).collect()}
     assert out == {(i, 0) for i in range(120)}
+
+
+def test_quality_report_gates_on_injected_violations(spark):
+    """Constraint checker catches injected nulls, dupes, and orphans."""
+    from pyspark.sql import functions as F
+
+    from dwp_hbase_to_mongo_export_spark.operators import quality
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 10), (1, None), (3, -5), (2, 7)], "fk long, v long"
+    )
+    report = {
+        r.check_name: r
+        for r in quality.quality_report(
+            [
+                quality.row_constraints_report(
+                    child,
+                    {"v_not_null": F.col("v").isNotNull(),
+                     "v_positive": F.col("v") > 0},
+                ),
+                quality.uniqueness_report(child, "fk_unique", "fk"),
+                quality.referential_report(child, "fk", parent, "pk", "fk_refs"),
+            ]
+        ).collect()
+    }
+    assert report["v_not_null"].violations == 1
+    assert report["v_positive"].violations == 2  # null counts as violation
+    assert report["fk_unique"].violations == 1
+    assert report["fk_refs"].violations == 1
+    assert all(r.n_checked == 4 for r in report.values())
+    assert not any(r["pass"] for r in report.values())
