@@ -467,3 +467,4 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("change_type"),
     )
+

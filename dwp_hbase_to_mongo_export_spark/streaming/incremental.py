@@ -283,3 +283,75 @@ def run_available_now(
 
         shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
+
+
+def transform_with_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event statistics on the NEW arbitrary-state API
+    (transformWithStateInPandas, the Spark 4 successor to
+    applyInPandasWithState): typed ValueState per key holds
+    (n_events, total_value), updated per micro-batch, current totals
+    emitted in update mode. The composable state-variable model
+    (value/list/map states + timers on one handle) is what a
+    production continuous export would use for per-collection
+    bookkeeping; state size is |keys|, never |events|.
+
+    Determinism: with an AvailableNow drain of the bounded fixture the
+    final update per key equals the batch GROUP BY aggregate (values
+    rounded) — pinned by tests/test_streaming.py when the runtime
+    supports it.
+
+    AVAILABILITY: the transformWithState Python worker speaks protobuf
+    to the JVM state server; environments without google.protobuf
+    (like this sandbox) raise ImportError at drain time, so callers
+    must gate on transform_with_state_available(). The
+    applyInPandasWithState form (stateful_latest_per_key) is the
+    dependency-free equivalent."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "value")
+
+    class RunningUserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        RunningUserStats(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """True when the transformWithStateInPandas runtime dependency
+    (google.protobuf, used by the Python<->state-server protocol) is
+    importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
