@@ -414,6 +414,8 @@ DRIVER_WINDOW = [
     "similarity_topk_int8",
     "data_quality_report",
     "snapshot_diff",
+    "funnel_analysis",
+    "retention_cohorts",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

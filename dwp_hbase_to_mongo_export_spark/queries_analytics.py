@@ -412,3 +412,109 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+      JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+      JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT count(*) FROM t1) AS n_users
+    UNION ALL SELECT 'click_after_view', (SELECT count(*) FROM t2)
+    UNION ALL SELECT 'purchase_after_click', (SELECT count(*) FROM t3)
+    """,
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel (view -> later click -> later
+    purchase): each stage is the earliest qualifying event strictly
+    after the previous stage's time — the sequence-aware funnel that a
+    naive per-type EXISTS overcounts.
+
+    Scale: three cascaded aggregations all keyed on user_id — one hash
+    partitioning reused down the chain (the stage frames are
+    user-count-sized and shrink monotonically), then three scalar
+    counts unioned. No window over the raw event stream, no
+    per-user sort."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(etype: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    t1 = stage("view", None, "", "ts1")
+    t2 = stage("click", t1, "ts1", "ts2")
+    t3 = stage("purchase", t2, "ts2", "ts3")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        count_row("view", t1)
+        .unionAll(count_row("click_after_view", t2))
+        .unionAll(count_row("purchase_after_click", t3))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firstday f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+           count(*) AS n_users
+    FROM active WHERE day_offset <= 7 GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted
+    distinct per (cohort, day-offset) for the first week — the
+    triangle matrix behind every retention curve.
+
+    Scale: first-day is one user-keyed aggregation broadcast back onto
+    the stream (cohort table is |users|-sized); the distinct and the
+    final count share the (cohort, offset) key. The offset cap bounds
+    the output to |cohorts| * 8 rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
