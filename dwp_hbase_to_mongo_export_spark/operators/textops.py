@@ -8,6 +8,8 @@ formulation for the oracle gate.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -508,26 +510,49 @@ def winnowing_fingerprints(
     md5 (fingerprint) and set-jaccard (minhash) are not.
 
     Returns (id, fp) exploded distinct fingerprints. Fully narrow until
-    the explode: the k-gram hash array and the per-window minima are
-    higher-order-function transforms over the (max_chars-truncated)
-    text — no shuffle, bounded per-doc fan-out, all JVM-side."""
+    the explode — no shuffle, bounded per-doc fan-out. Normalisation
+    stays JVM-side (codegen'd regexp chain); the per-gram md5 + sliding
+    minima run in ONE Arrow-batched numpy pass with a cross-doc
+    distinct-gram memo (the minhash_sets_and_sigs rationale: md5 is the
+    expensive, non-vectorisable part, and near-dup corpora repeat most
+    grams, so it runs once per DISTINCT gram per batch instead of
+    ~max_chars times per doc through Catalyst's interpreted HOF
+    evaluator). Values are bit-identical to the pure-column form
+    (md5-prefix bigints, window minima), so the DuckDB oracle is
+    unchanged."""
+    import hashlib
+
     s = normalize_text(F.col(text_col), max_chars)
     base = corpus.select(F.col(id_col), s.alias("s")).filter(
         F.length("s") >= k + window - 1
     )
-    idx = F.sequence(F.lit(1), F.length("s") - (k - 1))
-    hashes = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.col("s").substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("bigint"),
-    )
-    base = base.select(F.col(id_col), hashes.alias("hs"))
-    widx = F.sequence(F.lit(1), F.size("hs") - (window - 1))
-    fps = F.array_distinct(
-        F.transform(widx, lambda j: F.array_min(F.slice(F.col("hs"), j, window)))
-    )
-    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+    @F.pandas_udf("array<bigint>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def gram_hash(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                memo[g] = h
+            return h
+
+        out = []
+        for t in texts:
+            m = len(t) - (k - 1)
+            h = np.fromiter(
+                (gram_hash(t[i : i + k]) for i in range(m)),
+                dtype=np.int64,
+                count=m,
+            )
+            mins = np.stack(
+                [h[j : m - (window - 1) + j] for j in range(window)]
+            ).min(axis=0)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return base.select(F.col(id_col), F.explode(_fps(F.col("s"))).alias("fp"))
 
 
 def winnowing_overlap_pairs(
