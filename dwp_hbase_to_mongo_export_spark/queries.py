@@ -416,6 +416,7 @@ DRIVER_WINDOW = [
     "snapshot_diff",
     "funnel_analysis",
     "retention_cohorts",
+    "dedup_apply",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

@@ -1057,3 +1057,65 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-doc hashing and set-jaccard both miss."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.winnowing_overlap_pairs(docs, min_shared=5)
+
+
+@query(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES},
+    bounded AS (SELECT * FROM sh WHERE doc_id < 200),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM bounded GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, c.component,
+           COALESCE(d.doc_id = c.component, TRUE) AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing END of the near-dup pipeline: materialise the
+    deduplicated corpus decision — every document with its component
+    (null when it has no near-dup) and whether it is KEPT (singleton,
+    or its cluster's canonical min-id keeper). Downstream training
+    reads `WHERE kept`; the audit trail of why each duplicate dropped
+    is the component id.
+
+    Scale: pairs -> components as in dedup_clusters; the final verdict
+    is one left join of the corpus against the |duplicates|-sized
+    component map — broadcastable whenever the duplicate fraction is
+    small, which is the common case."""
+    from .operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.25)
+    comp = dedup_clusters(pairs).select("doc_id", "component", "is_keeper")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "component",
+            F.coalesce("is_keeper", F.lit(True)).alias("kept"),
+        )
+    )
