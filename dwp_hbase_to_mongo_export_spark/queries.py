@@ -385,8 +385,9 @@ _register_extra_modules()
 # Round-4 window: lead with the four queries lacking an all-true driver
 # row across rounds 1-3 (q12 oracle-typing fix, quantize_int8 array-
 # column fix, and the two queries the round-3 reorder displaced), then
-# every query whose most recent driver evidence is round 1/2 (stale),
-# then the freshest round-3 greens as regression spot-checks.
+# every operator ADDED in round 4 (clustering/search/text/governance —
+# first driver evidence), then every query whose most recent driver
+# evidence is round 1/2 (stale), then round-3 greens as spot-checks.
 DRIVER_WINDOW = [
     # never all-true at the driver before round 4
     "q12_shipping_lateness",
