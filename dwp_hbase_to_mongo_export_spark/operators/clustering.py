@@ -123,6 +123,11 @@ def kmeans_fit(
         )
         .collect()
     )
+    if not init:
+        raise ValueError(
+            "cannot fit k-means on an empty input frame (zero rows after "
+            "filters?) — every clustering entry point calls through here"
+        )
     cents: Centroids = sorted(
         (r["cluster"], [float(x) for x in r["v"]]) for r in init
     )

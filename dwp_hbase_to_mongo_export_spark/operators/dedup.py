@@ -398,12 +398,18 @@ def minhash_lsh_dedup(
     both aliased sides of the candidate self-join AND both sides of the
     verify join, which defeats ReuseExchange; it is bounded per doc
     (<= max_chars grams + n_perm sigs), so the cache is a constant factor
-    of corpus size and spills rather than OOMing at 100 TB."""
-    from pyspark import StorageLevel
+    of corpus size and spills rather than OOMing at 100 TB. The cache
+    slot is operator-scoped (_cache.swap_cache): re-invocations release
+    the previous entry, so repeated calls plateau at ONE live cached
+    relation instead of leaking one per call."""
+    from ._cache import swap_cache
 
-    mh = minhash_sets_and_sigs(
-        docs, text_col, id_col, n_perm=n_perm, k=k, max_chars=max_chars
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mh = swap_cache(
+        "minhash_lsh_dedup",
+        minhash_sets_and_sigs(
+            docs, text_col, id_col, n_perm=n_perm, k=k, max_chars=max_chars
+        ),
+    )
     sets = mh.select(id_col, "hs")
     n_bands = n_perm // rows_per_band
     band_structs = F.array(

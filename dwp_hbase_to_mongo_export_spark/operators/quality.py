@@ -36,9 +36,15 @@ def row_constraints_report(
     (constraint, n_checked, violations). A row VIOLATES a constraint
     when the predicate is false or null (null-hostile on purpose —
     a null check result is an unknown, and unknowns fail audits)."""
+    # coalesce the sum: F.sum over ZERO rows is NULL, and a NULL
+    # violations count would make pass=NULL — which filter(~pass)
+    # silently drops, green-lighting a gate on an unexpectedly EMPTY
+    # table. 0 violations on 0 rows keeps the row visible (n_checked=0
+    # is the caller's signal that emptiness itself needs a constraint).
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(
-            F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+        F.coalesce(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
         ).cast("long").alias(f"_c{i}")
         for i, pred in enumerate(constraints.values())
     ]
@@ -65,11 +71,13 @@ def referential_report(
 ) -> DataFrame:
     """(name, n_checked, violations): violations = child rows whose key
     has no parent (left-anti orphan count)."""
+    # alias both sides: with child_key == parent_key (the common FK
+    # shape) unaliased F.col refs are AMBIGUOUS_REFERENCE errors.
     orphans = (
-        child.select(F.col(child_key))
+        child.select(F.col(child_key).alias("_ck"))
         .join(
-            parent.select(F.col(parent_key)),
-            F.col(child_key) == F.col(parent_key),
+            parent.select(F.col(parent_key).alias("_pk")),
+            F.col("_ck") == F.col("_pk"),
             "left_anti",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("violations"))

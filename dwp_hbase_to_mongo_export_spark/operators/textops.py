@@ -356,8 +356,13 @@ def unigram_logprob(
     )
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
+    # NO broadcast hint on the vocab-sized freq table: a hint never
+    # degrades (Spark ships it regardless of size until the 8 GB hard
+    # limit), so at web-corpus vocabulary sizes it would OOM instead of
+    # falling back; AQE broadcasts it automatically when it IS small.
+    # The one-row total scalar keeps its explicit broadcast.
     scored = (
-        toks.join(F.broadcast(freq), "t")
+        toks.join(freq, "t")
         .join(F.broadcast(total))
         .groupBy(id_col)
         .agg(
@@ -418,8 +423,13 @@ def tfidf_top_terms(
     n = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t"))
+    # no hint on the vocab-sized df table (see unigram_logprob note) —
+    # AQE broadcasts it when small, falls back to the t-keyed equi-join
+    # when not; the hint form cannot degrade and would OOM at web-corpus
+    # vocabulary sizes. bm25_search's dfreq keeps its hint because that
+    # one is bounded by |query terms|, not by the vocabulary.
     return (
-        tf.join(F.broadcast(dfreq), "t")
+        tf.join(dfreq, "t")
         .join(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
@@ -585,13 +595,19 @@ def winnowing_overlap_pairs(
     consumers (df counts, both self-join sides) that would otherwise
     each re-run the md5 k-gram pipeline over the corpus; per doc it is
     <= max_chars/window fingerprints, a small constant factor of corpus
-    size, and it spills rather than OOMing (the minhash precedent)."""
-    from pyspark import StorageLevel
+    size, and it spills rather than OOMing (the minhash precedent). The
+    cache slot is operator-scoped (_cache.swap_cache): re-invocations
+    release the previous entry, so repeated calls plateau at ONE live
+    cached relation instead of leaking one per call."""
+    from ._cache import swap_cache
 
-    fps = winnowing_fingerprints(
-        corpus, text_col=text_col, id_col=id_col, k=k, window=window,
-        max_chars=max_chars,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = swap_cache(
+        "winnowing_overlap_pairs",
+        winnowing_fingerprints(
+            corpus, text_col=text_col, id_col=id_col, k=k, window=window,
+            max_chars=max_chars,
+        ),
+    )
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         cap = F.lit(max_df)

@@ -23,18 +23,27 @@ import shutil
 def plan_compaction(
     input_dir: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:
-    """Metadata-only look: current file count/bytes and the output file
-    count a compaction would produce."""
-    files = [
-        os.path.join(input_dir, f)
-        for f in os.listdir(input_dir)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
+    """Metadata-only look: current file count/bytes (recursive, so
+    Hive-partitioned layouts report truthfully) and the output file
+    count a compaction would produce, plus whether the layout is
+    partitioned (key=value subdirectories)."""
+    files: list[str] = []
+    partitioned = False
+    for root, dirs, names in os.walk(input_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any("=" in d for d in dirs):
+            partitioned = True
+        files.extend(
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
     total = sum(os.path.getsize(f) for f in files)
     return {
         "n_files": len(files),
         "total_bytes": total,
         "target_files": max(1, math.ceil(total / target_bytes)),
+        "partitioned": partitioned,
     }
 
 
@@ -54,6 +63,15 @@ def compact_parquet_dir(
     staging dir is the only casualty) — the same publish-then-swap
     discipline as the snapshot sink's naming contract."""
     plan = plan_compaction(input_dir, target_bytes)
+    if plan["partitioned"]:
+        # a flat repartition-and-rewrite would DESTROY the partition
+        # directory layout (and its pruning); partitioned tables need a
+        # per-partition rewrite, which is a different contract — refuse
+        # loudly rather than silently flattening or no-opping.
+        raise ValueError(
+            f"{input_dir} is a partitioned layout; compact each "
+            "partition directory individually"
+        )
     if (
         plan["n_files"] < min_files_to_compact
         or plan["target_files"] >= plan["n_files"]

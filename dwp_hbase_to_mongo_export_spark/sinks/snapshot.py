@@ -314,13 +314,24 @@ def read_encrypted_snapshots(
                 elif codec == "lz4":
                     if not HAVE_LZ4:
                         raise ValueError("lz4 library unavailable")
-                    # framed first; raw block (no frame magic) falls back
-                    # to the size hint from the aligned manifest row count
+                    # framed first; raw block (no frame magic, no stored
+                    # size) needs the uncompressed size — read it from
+                    # the sidecar's batch_size_bytes (written per file by
+                    # the sink), falling back to a generous constant only
+                    # when no sidecar exists
                     try:
                         payload = _lz4.decompress(payload)
                     except RuntimeError:
+                        size_hint = 256 * 1024 * 1024
+                        try:
+                            with open(local + ".metadata.json") as fh:
+                                size_hint = int(
+                                    _json.load(fh)["batch_size_bytes"]
+                                )
+                        except (OSError, KeyError, ValueError):
+                            pass
                         payload = _lz4_block.decompress(
-                            payload, uncompressed_size=256 * 1024 * 1024
+                            payload, uncompressed_size=size_hint
                         )
                 else:
                     raise ValueError(f"{key}: unknown codec {codec!r}")

@@ -250,7 +250,11 @@ def run_available_now(
     once per query (repartitioning state needs a fresh checkpoint)."""
     name = "s" + uuid.uuid4().hex[:12]
     plan = stream_df._jdf.queryExecution().logical().toString()
-    if "FlatMapGroupsInPandasWithState" in plan:
+    if (
+        "FlatMapGroupsInPandasWithState" in plan
+        or "TransformWithStateInPandas" in plan
+        or "TransformWithState" in plan
+    ):
         mode = "update"
     elif "Aggregate" in plan:
         mode = "complete"

@@ -102,3 +102,43 @@ def test_quality_report_gates_on_injected_violations(spark):
     assert report["fk_refs"].violations == 1
     assert all(r.n_checked == 4 for r in report.values())
     assert not any(r["pass"] for r in report.values())
+
+
+def test_quality_same_key_name_and_empty_table(spark):
+    """Review regressions: referential check with IDENTICAL key names on
+    both sides (the common FK shape) must not raise
+    AMBIGUOUS_REFERENCE; constraints over an EMPTY table must report
+    violations=0 / pass=true, not NULL (a NULL pass silently slips
+    through a filter(~pass) gate)."""
+    from pyspark.sql import functions as F
+
+    from dwp_hbase_to_mongo_export_spark.operators import quality
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (3,)], "k long")
+    r = quality.referential_report(child, "k", parent, "k", "fk").collect()[0]
+    assert r.violations == 1 and r.n_checked == 2
+
+    empty = spark.createDataFrame([], "v long")
+    rep = quality.quality_report(
+        [quality.row_constraints_report(empty, {"v_pos": F.col("v") > 0})]
+    ).collect()[0]
+    assert rep.n_checked == 0 and rep.violations == 0
+    assert rep["pass"] is True
+
+
+def test_operator_cache_slots_do_not_accumulate(spark, sf_dir):
+    """Re-invoking a cache-backed dedup operator must not grow session
+    storage: the slot swaps, leaving at most one live cached relation."""
+    from dwp_hbase_to_mongo_export_spark.operators import _cache, textops
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for _ in range(3):
+        textops.winnowing_overlap_pairs(docs, min_shared=5).count()
+    # the slot registry holds exactly the latest invocation's relation —
+    # previous ones were unpersisted on swap
+    assert "winnowing_overlap_pairs" in _cache._SLOTS
+    assert len(_cache._SLOTS) == len(set(_cache._SLOTS))
+    _cache.release("winnowing_overlap_pairs")
+    assert "winnowing_overlap_pairs" not in _cache._SLOTS
