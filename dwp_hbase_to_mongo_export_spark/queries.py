@@ -418,6 +418,7 @@ DRIVER_WINDOW = [
     "funnel_analysis",
     "retention_cohorts",
     "dedup_apply",
+    "kmv_sketch_merge",
     # last driver-checked in round 1/2 — refresh the evidence
     "q1_pricing_summary",
     "envelope_extract",

@@ -518,3 +518,78 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_offset",
         "n_users",
     )
+
+
+@query(
+    "kmv_sketch_merge",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT dayofmonth(ts) % 4 AS shard,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    per_shard AS (
+      SELECT shard, hv FROM (
+        SELECT shard, hv, row_number() OVER (PARTITION BY shard ORDER BY hv) AS rn
+        FROM h) WHERE rn <= 64
+    ),
+    merged AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM per_shard) ORDER BY hv LIMIT 64
+    ),
+    direct AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM h) ORDER BY hv LIMIT 64
+    ),
+    agg AS (
+      SELECT 'merged' AS scope, count(*) AS k_used, max(hv) AS kth_hash,
+             CAST(round((count(*) - 1) * 4294967296.0 / max(hv), 0) AS BIGINT)
+               AS est_distinct
+      FROM merged
+      UNION ALL
+      SELECT 'direct', count(*), max(hv),
+             CAST(round((count(*) - 1) * 4294967296.0 / max(hv), 0) AS BIGINT)
+      FROM direct
+    )
+    SELECT * FROM agg
+    """,
+)
+def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA, pinned: per-shard KMV sketches (k smallest hashes
+    per time shard) merged by taking the k smallest of their union must
+    equal the sketch built directly over all data — the mergeability
+    that makes cardinality estimation shardable (per-day sketches
+    combine into a month without rescanning; each executor ships 64
+    longs, not its hash set). Both rows of the output carry the SAME
+    estimate; the oracle pins that equality exactly.
+
+    Scale: per-shard k-mins are a windowed top-k with WindowGroupLimit
+    (each partition forwards at most k rows per shard); the merge
+    operates on shards x k rows — constant-sized regardless of corpus."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        (F.dayofmonth("ts") % 4).alias("shard"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("shard").orderBy("hv")
+    per_shard = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select("shard", "hv")
+    )
+    merged = per_shard.select("hv").distinct().orderBy("hv").limit(64)
+    direct = h.select("hv").distinct().orderBy("hv").limit(64)
+
+    def sketch_agg(df: DataFrame, scope: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("hv").alias("kth_hash"),
+            F.round((F.count(F.lit(1)) - 1) * F.lit(4294967296.0) / F.max("hv"), 0)
+            .cast("bigint")
+            .alias("est_distinct"),
+        ).select(F.lit(scope).alias("scope"), "k_used", "kth_hash", "est_distinct")
+
+    return sketch_agg(merged, "merged").unionAll(sketch_agg(direct, "direct"))
