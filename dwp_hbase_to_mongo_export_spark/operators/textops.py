@@ -80,14 +80,19 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.3
     )
+    # portable floor-rounding, NOT F.round: per-row ratios are
+    # bit-identical across engines, but round() semantics differ on
+    # boundary doubles (functions/portable.py) — found at sf0.1.
+    from ..functions.portable import round_portable
+
     return df.select(
         id_col,
         n_chars.alias("n_chars_measured"),
         n_toks.alias("n_tokens"),
-        F.round(mean_tok_len, 3).alias("mean_token_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        round_portable(mean_tok_len, 3).alias("mean_token_len"),
+        round_portable(punct_ratio, 4).alias("punct_ratio"),
+        round_portable(stop_ratio, 4).alias("stopword_ratio"),
+        round_portable(score, 4).alias("quality_score"),
     )
 
 

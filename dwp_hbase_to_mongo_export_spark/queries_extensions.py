@@ -429,12 +429,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT doc_id, n_chars_measured, n_tokens,
-           round(mean_token_len, 3) AS mean_token_len,
-           round(punct_ratio, 4) AS punct_ratio,
-           round(stopword_ratio, 4) AS stopword_ratio,
-           round(least(n_tokens / 100.0, 1.0) * 0.4
+           (floor((mean_token_len) * 1000.0 + 0.5) / 1000.0) AS mean_token_len,
+           (floor((punct_ratio) * 10000.0 + 0.5) / 10000.0) AS punct_ratio,
+           (floor((stopword_ratio) * 10000.0 + 0.5) / 10000.0) AS stopword_ratio,
+           (floor((least(n_tokens / 100.0, 1.0) * 0.4
                  + least(stopword_ratio * 5, 1.0) * 0.3
-                 + (1 - least(punct_ratio * 10, 1.0)) * 0.3, 4) AS quality_score
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0) AS quality_score
     FROM feats
     """,
 )
@@ -828,13 +828,13 @@ def text_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), feats AS (
       SELECT doc_id, nt, n_tokens,
-             round(least(n_tokens / 100.0, 1.0) * 0.4
+             (floor((least(n_tokens / 100.0, 1.0) * 0.4
                    + least(CASE WHEN n_tokens > 0 THEN
                        len(list_filter(string_split(nt, ' '), t -> list_contains({_stoplist_sql('en')}, t))) * 1.0 / n_tokens
                      ELSE 0.0 END * 5, 1.0) * 0.3
                    + (1 - least(CASE WHEN n_chars_measured > 0
                                      THEN punct * 1.0 / n_chars_measured
-                                     ELSE 0.0 END * 10, 1.0)) * 0.3, 4) AS quality_score
+                                     ELSE 0.0 END * 10, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0) AS quality_score
       FROM base
     ), ranked AS (
       SELECT doc_id, n_tokens, quality_score,

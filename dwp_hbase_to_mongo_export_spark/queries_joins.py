@@ -98,7 +98,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation_year",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
     FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN part p     ON p.p_partkey = l.l_partkey
@@ -130,9 +130,23 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
+            # DECIMAL summation: double sums are ORDER-dependent and the
+            # engines sum in different orders, so a rounded double sum
+            # can differ in the last cent at scale (seen at sf0.1). The
+            # per-row double product is bit-identical on both engines;
+            # cast to DECIMAL(18,6) is exact for these <=4-decimal money
+            # values, and decimal addition is associative — the sum is
+            # identical whatever the partial-aggregation order.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
         )
     )
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.portable import round_portable
 from .queries import query
 from .sources.parquet import load_table
 
@@ -49,7 +50,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       SELECT l_partkey, min(unit_cost) AS min_cost FROM offers GROUP BY l_partkey
     )
     SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
-           round(o.unit_cost, 4) AS unit_cost
+           (floor(o.unit_cost * 10000.0 + 0.5) / 10000.0) AS unit_cost
     FROM offers o
       JOIN best b  ON o.l_partkey = b.l_partkey AND o.unit_cost = b.min_cost
       JOIN part p  ON p.p_partkey = o.l_partkey
@@ -99,7 +100,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             F.col("n_name").alias("nation"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # portable floor-round: per-row division is bit-identical
+            # across engines, round() semantics are not (functions/portable)
+            round_portable(F.col("unit_cost"), 4).alias("unit_cost"),
         )
     )
 
