@@ -52,3 +52,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert len(df.collect()) >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.slow
+def test_full_catalog_oracle_exact_at_sf01():
+    """The both-scales standard (round-4 lesson: sf0.01 alone hides
+    boundary-rounding, sum-order, and LSH-recall divergence that 10x
+    the data surfaces): every catalog query must be oracle-exact at
+    sf0.1 too. Opt-in via `pytest -m slow` (~10 min)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.1"],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    tail = "\n".join(r.stdout.splitlines()[-5:])
+    assert r.returncode == 0, tail
+    assert ", 0 fail" in tail, tail
