@@ -138,6 +138,7 @@ def run_topic_export(
     snapshot_type: str = "full",
     scan_time_range: tuple[int, int] | None = None,
     blocked_topics: tuple[str, ...] = (),
+    export_date: str = "",
 ) -> RunReport:
     """One topic end-to-end: pipeline -> encrypted snapshot + manifest
     sinks -> status increments -> terminal status -> message payloads.
@@ -185,6 +186,7 @@ def run_topic_export(
             f.object_key,
             files_exported=len(files),
             snapshot_type=snapshot_type,
+            export_date=export_date,
         )
         for f in files
     ]
@@ -200,11 +202,22 @@ def run_topic_export(
                 "",
                 files_exported=0,
                 snapshot_type=snapshot_type,
+                export_date=export_date,
             )
         )
-    messages.append(adg_trigger_message(files[-1].object_key if files else ""))
+    if files:
+        # zero-file exports send the no-files snapshot message but NO
+        # data-egress trigger — the same condition run_fleet's adapter
+        # path applies; an ADG trigger naming key "" would start
+        # analytical-dataset generation on an empty prefix
+        messages.append(adg_trigger_message(files[-1].object_key))
     messages.append(
-        monitoring_message(status_service.correlation_id, status_service.completion(), snapshot_type)
+        monitoring_message(
+            status_service.correlation_id,
+            status_service.completion(),
+            snapshot_type,
+            export_date,
+        )
     )
     return RunReport(topic, CollectionStatus.EXPORTED, files=files, metrics=metrics, messages=messages)
 
@@ -300,6 +313,7 @@ def run_fleet(
                     status_service,
                     snapshot_type=snapshot_type,
                     blocked_topics=blocked_topics,
+                    export_date=export_date,
                 )
             except Exception as e:
                 # run_topic_export sets EXPORT_FAILED only for sink-write

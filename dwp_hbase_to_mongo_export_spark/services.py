@@ -143,13 +143,17 @@ class DynamoDbExportStatusService:
     def _retry(self, fn: Callable[[], Any]) -> Any:
         return retrying(fn, sleep=self.retry_sleep)
 
-    def increment_exported_count(self, exported_file: str) -> int:
+    def increment_exported_count(self, exported_file: str = "", n: int = 1) -> int:
+        """Reference shape: +1 per exported file
+        (DynamoDBExportStatusService.kt:60-73). Also accepts the
+        orchestrator's (collection, n) positional call — the first
+        positional is informational either way, and :x carries n."""
         result = self._retry(
             lambda: self.client.update_item(
                 TableName=self.table_name,
                 Key=self._key(),
                 UpdateExpression="SET FilesExported = FilesExported + :x",
-                ExpressionAttributeValues={":x": {"N": "1"}},
+                ExpressionAttributeValues={":x": {"N": str(int(n))}},
                 ReturnValues="ALL_NEW",
             )
         )
@@ -199,19 +203,57 @@ class DynamoDbExportStatusService:
 
     def statuses(self) -> list[str]:
         """TableServiceImpl.statuses (kt:16-29): every collection's
-        status under this correlation id."""
-        result = self._retry(
-            lambda: self.client.query(
-                TableName=self.table_name,
-                KeyConditionExpression="#cId = :s",
-                ExpressionAttributeNames={"#cId": "CorrelationId"},
-                ExpressionAttributeValues={":s": {"S": self.correlation_id}},
-            )
-        )
-        return [item["CollectionStatus"]["S"] for item in result.get("Items", [])]
+        status under this correlation id. Follows LastEvaluatedKey —
+        a fleet big enough to exceed DynamoDB's 1 MB query page would
+        otherwise fold over a TRUNCATED status set and could declare
+        completion while unfetched rows are still Exporting."""
+        items: list[dict] = []
+        start_key: dict | None = None
+        while True:
+            kwargs = {
+                "TableName": self.table_name,
+                "KeyConditionExpression": "#cId = :s",
+                "ExpressionAttributeNames": {"#cId": "CorrelationId"},
+                "ExpressionAttributeValues": {":s": {"S": self.correlation_id}},
+            }
+            if start_key is not None:
+                kwargs["ExclusiveStartKey"] = start_key
+            result = self._retry(lambda kw=kwargs: self.client.query(**kw))
+            items.extend(result.get("Items", []))
+            start_key = result.get("LastEvaluatedKey")
+            if not start_key:
+                break
+        return [item["CollectionStatus"]["S"] for item in items]
 
     def export_completion_status(self) -> ExportCompletionStatus:
         return completion_fold_statuses(self.statuses())
+
+    # -- orchestration.ExportStatusService interface compatibility ------
+    # run_fleet's docstring offers this adapter as the per-topic
+    # production status service; these shims make that wiring actually
+    # hold (the adapter is per-topic, so `collection` is validated
+    # against the constructor topic rather than re-keying the item).
+
+    def set_status(self, collection: str, status) -> None:
+        value = getattr(status, "value", str(status))
+        if collection != self.topic_name:
+            raise ValueError(
+                f"per-topic adapter for {self.topic_name!r} got status for "
+                f"{collection!r}; use a status_service factory per topic"
+            )
+        if value == "Exported":
+            self.set_exported_status()
+        elif value == "Export_Failed":
+            self.set_failed_status()
+        elif value == "Table_Unavailable":
+            self.set_table_unavailable_status()
+        elif value == "Blocked_Topic":
+            self.set_blocked_topic_status()
+        else:
+            self._set_status(value)
+
+    def completion(self) -> ExportCompletionStatus:
+        return self.export_completion_status()
 
     def _bump(self, counter: str) -> None:
         self.counters[counter] = self.counters.get(counter, 0) + 1

@@ -195,7 +195,19 @@ def write_encrypted_snapshots(records: DataFrame, cfg: SnapshotSinkConfig) -> li
         with open(os.path.join(out_dir, meta["manifest_key"]), "w", encoding="utf-8") as f:
             f.write("".join(manifest_lines))
         with open(os.path.join(out_dir, meta["object_key"] + ".metadata.json"), "w") as f:
-            json.dump({"iv": meta["iv"], "ciphertext": enc_key, "dataKeyEncryptionKeyId": kek}, f)
+            # iv/ciphertext/kek mirror the reference's S3 user metadata
+            # (S3ObjectServiceImpl.kt:24-47); batch_size_bytes is the
+            # UNCOMPRESSED batch size — the raw-block-LZ4 reader needs it
+            # as its decompress size hint (no size header in that format)
+            json.dump(
+                {
+                    "iv": meta["iv"],
+                    "ciphertext": enc_key,
+                    "dataKeyEncryptionKeyId": kek,
+                    "batch_size_bytes": meta["batch_size_bytes"],
+                },
+                f,
+            )
         return Row(
             object_key=meta["object_key"],
             manifest_key=meta["manifest_key"],

@@ -109,24 +109,26 @@ class HBaseCellsStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.path = options["path"]
         self.scan_width = int(options.get("scan_width", 32))
-        self._bounds: tuple[int, int] | None = None
+        self._min_ts: int | None = None
 
-    def _ts_bounds(self) -> tuple[int, int]:
-        if self._bounds is None:
-            import pyarrow.parquet as pq
+    def _ts_minmax(self) -> tuple[int, int]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
-            t = pq.read_table(self.path, columns=["ts"])
-            col = t["ts"]
-            import pyarrow.compute as pc
-
-            self._bounds = (pc.min(col).as_py(), pc.max(col).as_py())
-        return self._bounds
+        col = pq.read_table(self.path, columns=["ts"])["ts"]
+        return (pc.min(col).as_py(), pc.max(col).as_py())
 
     def initialOffset(self) -> dict:
-        return {"ts": self._ts_bounds()[0]}
+        if self._min_ts is None:
+            self._min_ts = self._ts_minmax()[0]
+        return {"ts": self._min_ts}
 
     def latestOffset(self) -> dict:
-        return {"ts": self._ts_bounds()[1] + 1}
+        # recomputed EVERY call — caching it would freeze the stream at
+        # the first micro-batch's high-water mark and newly appended
+        # cells would never be read on a continuous (non-AvailableNow)
+        # run. The min (initial offset) is immutable and stays cached.
+        return {"ts": self._ts_minmax()[1] + 1}
 
     def partitions(self, start: dict, end: dict) -> list[KeyRangeTsPartition]:
         w = self.scan_width
@@ -216,10 +218,17 @@ def ensure_cells_fixture(spark, sf_dir: str) -> str:
     )
     tmp = f"{path}.tmp.{os.getpid()}"
     cells.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    # A leftover dir WITHOUT _SUCCESS is a crashed prior run's partial
+    # write (the probe above already declined it) — clear it so the
+    # rename below can't fail into returning corrupt data. A dir WITH
+    # _SUCCESS appearing between probe and here is a concurrent writer
+    # that won the race with an identical copy — keep theirs.
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(tmp, path)
     except OSError:  # lost a concurrent race — the other writer's copy is identical
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
     return path

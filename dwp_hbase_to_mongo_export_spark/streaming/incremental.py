@@ -192,6 +192,23 @@ def stateful_latest_per_key(
     import numpy as np
 
     def update(key, pdfs, state: GroupState):
+        if timeout_minutes is not None and state.hasTimedOut:
+            # idle-key eviction: emit the final winner once and REMOVE
+            # the state — without this, every timer interval would
+            # re-emit the same stale row forever and state would stay
+            # O(all keys ever seen), defeating the timer's purpose
+            eid, etype, val, ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_id": [eid],
+                    "event_type": [etype],
+                    "value": [val],
+                    "ts_us": [ts],
+                }
+            )
+            return
         best = None  # (ts_us, event_id, event_type, value)
         if state.exists:
             eid, etype, val, ts = state.get
@@ -249,14 +266,22 @@ def run_available_now(
     Size to expected STATE, not cores; a durable deployment picks this
     once per query (repartitioning state needs a fresh checkpoint)."""
     name = "s" + uuid.uuid4().hex[:12]
+    # classify by plan NODE names (line-leading identifiers), not bare
+    # substring search — a column literally named "AggregateScore" would
+    # otherwise flip a stateless plan into complete mode
+    import re
+
     plan = stream_df._jdf.queryExecution().logical().toString()
-    if (
-        "FlatMapGroupsInPandasWithState" in plan
-        or "TransformWithStateInPandas" in plan
-        or "TransformWithState" in plan
-    ):
+    # prefix class covers tree-drawing chars AND the '~' streaming-node
+    # marker (an analyzed streaming plan prints e.g. "+- ~Aggregate")
+    node_names = set(re.findall(r"^[\s+:|~-]*'?([A-Za-z]+)", plan, re.M))
+    if node_names & {
+        "FlatMapGroupsInPandasWithState",
+        "TransformWithStateInPandas",
+        "TransformWithState",
+    }:
         mode = "update"
-    elif "Aggregate" in plan:
+    elif "Aggregate" in node_names:
         mode = "complete"
     else:
         mode = "append"
@@ -275,7 +300,14 @@ def run_available_now(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                # a silent partial drain is worse than an error: the
+                # memory table would be consumed as if complete
+                raise TimeoutError(
+                    f"stream {name} did not finish its AvailableNow drain "
+                    f"within {timeout_sec}s"
+                )
         finally:
             q.stop()
     finally:

@@ -143,3 +143,55 @@ def test_prometheus_pusher_glue_and_final_push(monkeypatch):
     assert push[3] is mod.REGISTRY
     assert push[4]["correlation_id"] == "corr-1"
     assert calls[1][3] == push[4]  # delete targets the same grouping key
+
+
+def test_dynamo_adapter_satisfies_orchestrator_interface(fake_boto3):
+    """run_fleet's docstring offers DynamoDbExportStatusService as the
+    per-topic production status service — the orchestrator-side calls
+    (set_status(collection, status), completion(), the (collection, n)
+    increment) must actually work against it (review finding: they
+    previously raised AttributeError/mis-incremented)."""
+    from dwp_hbase_to_mongo_export_spark.orchestration import CollectionStatus
+
+    d = svc.DynamoDbExportStatusService(
+        svc.boto3_client("dynamodb"), correlation_id="c", topic_name="db.a.b"
+    )
+    d.set_status("db.a.b", CollectionStatus.EXPORTED)
+    d.set_status("db.a.b", CollectionStatus.EXPORT_FAILED)
+    assert d.completion().value in (
+        "COMPLETED_SUCCESSFULLY", "IN_PROGRESS", "COMPLETED_UNSUCCESSFULLY",
+        "NOT_COMPLETED",
+    )
+    # (collection, n) positional increment carries n into :x
+    d.increment_exported_count("db.a.b", 17)
+    inc = [kw for name, kw in fake_boto3["dynamodb"].calls if name == "update_item"
+           and "FilesExported" in kw.get("UpdateExpression", "")][-1]
+    assert inc["ExpressionAttributeValues"][":x"]["N"] == "17"
+    # wrong-topic status is a loud error, not a silent cross-write
+    with pytest.raises(ValueError):
+        d.set_status("db.other.topic", CollectionStatus.EXPORTED)
+
+
+def test_dynamo_statuses_follows_pagination(fake_boto3, monkeypatch):
+    d = svc.DynamoDbExportStatusService(
+        svc.boto3_client("dynamodb"), correlation_id="c", topic_name="db.a.b"
+    )
+    pages = [
+        {"Items": [{"CollectionStatus": {"S": "Exported"}}],
+         "LastEvaluatedKey": {"CorrelationId": {"S": "c"}}},
+        {"Items": [{"CollectionStatus": {"S": "Exporting"}}]},
+    ]
+    calls = []
+
+    def query(**kw):
+        calls.append(kw)
+        # cycle: statuses() is called twice (directly + inside the
+        # completion fold below), two pages per pass
+        return pages[(len(calls) - 1) % 2]
+
+    monkeypatch.setattr(d.client, "query", query, raising=False)
+    got = d.statuses()
+    assert got == ["Exported", "Exporting"]
+    assert "ExclusiveStartKey" in calls[1]
+    # a truncated fold would have declared success; the full set is in progress
+    assert d.export_completion_status().value == "IN_PROGRESS"

@@ -23,3 +23,19 @@ def test_transform_with_state_runs_when_protobuf_available(spark, sf_dir):
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {(r.user_id, r.n_events) for r in out.collect()} == expected
+
+
+def test_run_available_now_mode_not_fooled_by_column_names(spark, sf_dir):
+    """Plan-node classification: a stateless stream with a column
+    literally named 'AggregateScore' must drain in append mode, not be
+    misclassified as an aggregation (review finding: substring matching
+    on the pretty-printed plan)."""
+    from pyspark.sql import functions as F
+
+    from dwp_hbase_to_mongo_export_spark.streaming import incremental as s
+
+    stream = s.stream_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("AggregateScore")
+    )
+    out = s.run_available_now(stream, state_partitions=None)
+    assert out.count() > 0  # complete-mode would raise AnalysisException
