@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable import round_portable
 from .similarity import norm
 
 # [(cluster_id, [d floats])] — cluster ids are the init vectors' ids,
@@ -137,7 +138,9 @@ def kmeans_fit(
         rows = (
             a.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("x").cast("double")), round_digits).alias("m"))
+            .agg(
+                round_portable(F.avg(F.col("x").cast("double")), round_digits).alias("m")
+            )
             .collect()
         )
         by: dict[int, list[float]] = {}
@@ -181,10 +184,10 @@ def kmeans_summary(
     a = assign_to_centroids(emb, cents, vec_col=vec_col)
     sizes = a.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("cos_to_centroid"), 3).alias("avg_cos"),
+        round_portable(F.avg("cos_to_centroid"), 3).alias("avg_cos"),
     )
     norms = centroids_df(emb.sparkSession, cents).select(
-        "cluster", F.round(norm(F.col("centroid")), 3).alias("centroid_norm")
+        "cluster", round_portable(norm(F.col("centroid")), 3).alias("centroid_norm")
     )
     return sizes.join(F.broadcast(norms), "cluster")
 
@@ -244,7 +247,9 @@ def semantic_dedup_pairs(
         _cluster_block_cosine_kernel(threshold),
         "cluster bigint, id_a bigint, id_b bigint, cos double",
     )
-    return pairs.select("cluster", "id_a", "id_b", F.round("cos", 3).alias("cos"))
+    return pairs.select(
+        "cluster", "id_a", "id_b", round_portable(F.col("cos"), 3).alias("cos")
+    )
 
 
 def _cluster_block_cosine_kernel(threshold: float):
@@ -324,7 +329,7 @@ def cluster_prototypes_outliers(
             .select(
                 "cluster",
                 id_col,
-                F.round("cs", 3).alias("cos"),
+                round_portable(F.col("cs"), 3).alias("cos"),
                 F.lit(role).alias("role"),
                 "rank",
             )

@@ -164,7 +164,14 @@ def run_topic_export(
         return RunReport(
             topic,
             CollectionStatus.BLOCKED_TOPIC,
-            messages=[monitoring_message(status_service.correlation_id, status_service.completion(), snapshot_type)],
+            messages=[
+                monitoring_message(
+                    status_service.correlation_id,
+                    status_service.completion(),
+                    snapshot_type,
+                    export_date,
+                )
+            ],
         )
 
     try:

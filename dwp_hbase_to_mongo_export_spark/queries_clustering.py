@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.portable import round_portable
 from .operators import clustering, similarity
 from .queries import query
 from .sources.parquet import load_table
@@ -47,7 +48,8 @@ def _kmeans_ctes(k: int = _K, iters: int = _ITERS, dims: int = _DIMS) -> str:
         parts.append(
             f"""c{t} AS (
       SELECT cluster, list(x ORDER BY pos) AS cv FROM (
-        SELECT cluster, g.i AS pos, round(avg(e[g.i]), 6) AS x
+        SELECT cluster, g.i AS pos,
+               floor(avg(e[g.i]) * 1000000.0 + 0.5) / 1000000.0 AS x
         FROM a{t}, (SELECT unnest(range(1, {dims + 1})) AS i) g
         GROUP BY cluster, g.i)
       GROUP BY cluster)"""
@@ -61,10 +63,12 @@ def _kmeans_ctes(k: int = _K, iters: int = _ITERS, dims: int = _DIMS) -> str:
     oracle=f"""
     WITH {_kmeans_ctes()}
     SELECT s.cluster, s.n_vecs, s.avg_cos, n.centroid_norm
-    FROM (SELECT cluster, count(*) AS n_vecs, round(avg(cs), 3) AS avg_cos
+    FROM (SELECT cluster, count(*) AS n_vecs,
+                 floor(avg(cs) * 1000.0 + 0.5) / 1000.0 AS avg_cos
           FROM af GROUP BY cluster) s
     JOIN (SELECT cluster,
-                 round(sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')), 3)
+                 floor(sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))
+                       * 1000.0 + 0.5) / 1000.0
                    AS centroid_norm
           FROM c{_ITERS}) n USING (cluster)
     """,
@@ -86,7 +90,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_kmeans_ctes()}
     SELECT l.cluster, l.vec_id AS id_a, r.vec_id AS id_b,
-           round(list_cosine_similarity(l.e, r.e), 3) AS cos
+           floor(list_cosine_similarity(l.e, r.e) * 1000.0 + 0.5) / 1000.0 AS cos
     FROM af l JOIN af r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
     WHERE list_cosine_similarity(l.e, r.e) >= 0.4
     """,
@@ -143,7 +147,7 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_kmeans_assign",
     oracle=f"""
     WITH {_kmeans_ctes()}
-    SELECT vec_id, cluster, round(cs, 3) AS cos FROM af
+    SELECT vec_id, cluster, floor(cs * 1000.0 + 0.5) / 1000.0 AS cos FROM af
     """,
 )
 def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +167,9 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = clustering.kmeans_fit(emb, k=_K, iters=_ITERS)
     stream = stream_table(spark, sf_dir, "embeddings")
     assigned = clustering.assign_to_centroids(stream, cents).select(
-        "vec_id", "cluster", F.round("cos_to_centroid", 3).alias("cos")
+        "vec_id",
+        "cluster",
+        round_portable(F.col("cos_to_centroid"), 3).alias("cos"),
     )
     return run_available_now(assigned, state_partitions=None)
 
@@ -188,7 +194,7 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT cluster, sum(n) AS n_vecs FROM lab GROUP BY cluster)
     SELECT t.cluster, CAST(tot.n_vecs AS BIGINT) AS n_vecs,
            t.majority_label, CAST(t.majority_n AS BIGINT) AS majority_n,
-           round(t.majority_n * 1.0 / tot.n_vecs, 3) AS purity
+           floor(t.majority_n * 1.0 / tot.n_vecs * 1000.0 + 0.5) / 1000.0 AS purity
     FROM top t JOIN tot ON tot.cluster = t.cluster
     """,
 )
@@ -221,7 +227,7 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "majority_label",
         "majority_n",
-        F.round(F.col("majority_n") / F.col("n_vecs"), 3).alias("purity"),
+        round_portable(F.col("majority_n") / F.col("n_vecs"), 3).alias("purity"),
     )
 
 
@@ -229,7 +235,8 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster_prototypes",
     oracle=f"""
     WITH {_kmeans_ctes()}
-    SELECT cluster, vec_id, round(cs, 3) AS cos, role, rank FROM (
+    SELECT cluster, vec_id, floor(cs * 1000.0 + 0.5) / 1000.0 AS cos, role, rank
+    FROM (
       SELECT cluster, vec_id, cs, 'prototype' AS role,
              row_number() OVER (PARTITION BY cluster
                ORDER BY cs DESC, vec_id) AS rank

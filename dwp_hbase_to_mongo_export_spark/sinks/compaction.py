@@ -59,9 +59,35 @@ def compact_parquet_dir(
     nothing) when the directory already has fewer than
     ``min_files_to_compact`` files or one output file would not shrink
     the count. The rewrite goes through a sibling staging directory and
-    a swap, so a crash mid-write leaves the original intact (the
-    staging dir is the only casualty) — the same publish-then-swap
-    discipline as the snapshot sink's naming contract."""
+    a swap; a crash mid-write leaves the original intact (the staging
+    dir is the only casualty). The swap itself is two renames, which is
+    NOT atomic: a crash between them leaves the data stranded in the
+    '.compact-old' backup — so entry-time recovery below restores a
+    stale backup before planning, and a missing input dir raises
+    instead of being read as an empty table (the same
+    publish-then-swap-then-recover discipline as the snapshot sink's
+    naming contract)."""
+    staging = input_dir.rstrip("/") + ".compact-staging"
+    backup = input_dir.rstrip("/") + ".compact-old"
+    # Crash recovery, in dependency order. A stale backup with NO input
+    # dir means the previous run died between the two renames: the
+    # backup IS the table — restore it. A stale backup alongside a
+    # surviving input dir is a completed swap whose cleanup died:
+    # the input dir is current, drop the backup. Stale staging is
+    # always junk (mid-write remnant or swapped-out source).
+    if os.path.isdir(backup):
+        if not os.path.isdir(input_dir):
+            os.rename(backup, input_dir)
+        else:
+            shutil.rmtree(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    if not os.path.isdir(input_dir):
+        raise FileNotFoundError(
+            f"{input_dir} does not exist (and no recoverable "
+            f"{backup} backup) — refusing to treat a missing table as "
+            "an empty one"
+        )
     plan = plan_compaction(input_dir, target_bytes)
     if plan["partitioned"]:
         # a flat repartition-and-rewrite would DESTROY the partition
@@ -78,8 +104,6 @@ def compact_parquet_dir(
     ):
         return {**plan, "compacted": False}
 
-    staging = input_dir.rstrip("/") + ".compact-staging"
-    backup = input_dir.rstrip("/") + ".compact-old"
     df = spark.read.parquet(input_dir)
     df.repartition(plan["target_files"]).write.mode("overwrite").parquet(staging)
     os.rename(input_dir, backup)

@@ -133,12 +133,49 @@ def test_operator_cache_slots_do_not_accumulate(spark, sf_dir):
     from dwp_hbase_to_mongo_export_spark.operators import _cache, textops
     from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
 
+    def slot_entries(slot):
+        return [k for k in _cache._SLOTS if k[0] == slot]
+
     docs = load_table(spark, sf_dir, "documents")
     for _ in range(3):
         textops.winnowing_overlap_pairs(docs, min_shared=5).count()
-    # the slot registry holds exactly the latest invocation's relation —
-    # previous ones were unpersisted on swap
-    assert "winnowing_overlap_pairs" in _cache._SLOTS
-    assert len(_cache._SLOTS) == len(set(_cache._SLOTS))
+    # same input three times -> ONE live entry (semantic-hash reuse),
+    # not three
+    assert len(slot_entries("winnowing_overlap_pairs")) == 1
     _cache.release("winnowing_overlap_pairs")
-    assert "winnowing_overlap_pairs" not in _cache._SLOTS
+    assert not slot_entries("winnowing_overlap_pairs")
+
+
+def test_operator_cache_keeps_concurrent_inputs_live(spark, sf_dir):
+    """Interleaved invocations on DIFFERENT inputs must not evict each
+    other's in-flight relation (the threaded-bench failure mode): both
+    stay live, a third distinct input evicts the oldest, and the
+    evicted-then-reused input simply re-persists and still computes
+    correctly."""
+    from pyspark.sql import functions as F
+
+    from dwp_hbase_to_mongo_export_spark.operators import _cache
+
+    def slot_entries(slot):
+        return [k for k in _cache._SLOTS if k[0] == slot]
+
+    slot = "test_concurrent_inputs"
+    _cache.release(slot)
+    a = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 50).withColumn("v", F.col("id") * 3)
+    c = spark.range(0, 25).withColumn("v", F.col("id") * 5)
+    ca = _cache.swap_cache(slot, a)
+    cb = _cache.swap_cache(slot, b)
+    assert len(slot_entries(slot)) == 2
+    # A is still usable after B was cached (no cross-input eviction)
+    assert ca.count() == 100 and cb.count() == 50
+    # same-plan re-request returns the SAME live frame, no new entry
+    assert _cache.swap_cache(slot, spark.range(0, 100).withColumn("v", F.col("id") * 2)) is ca
+    assert len(slot_entries(slot)) == 2
+    # a third distinct input evicts the oldest (b was refreshed after a?
+    # no — order is a, b; the reuse refreshed a, so b is oldest)
+    _cache.swap_cache(slot, c)
+    assert len(slot_entries(slot)) == 2
+    assert ca.count() == 100  # still correct even if evicted/unpersisted
+    _cache.release(slot)
+    assert not slot_entries(slot)

@@ -170,10 +170,15 @@ def test_run_topic_export_blocked(spark):
     report = run_topic_export(
         cells, "db.database.collection", None, svc,
         blocked_topics=("db.database.collection",),
+        export_date="2020-07-06",
     )
     assert report.status == CS.BLOCKED_TOPIC
     assert svc.statuses["db.database.collection"] == CS.BLOCKED_TOPIC
     assert report.files == [] and report.metrics == {}
+    # the blocked-topic monitoring payload must carry the export_date
+    # like every other path (ADVICE round 4)
+    mon = json.loads(report.messages[-1])
+    assert {"key": "Export date", "value": "2020-07-06"} in mon["custom_elements"]
     # blocked is a SUCCESSFUL terminal state in the fold (kt:33-58)
     assert svc.completion() == ECS.COMPLETED_SUCCESSFULLY
 
@@ -649,6 +654,49 @@ def test_compaction_shrinks_file_count_and_preserves_rows(spark, tmp_path):
     # already-compact dirs are a metadata-only no-op
     res2 = compact_parquet_dir(spark, d, target_bytes=10**9)
     assert not res2["compacted"]
+
+
+def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
+    """The two-rename swap is not atomic; a crash between them leaves
+    the table stranded in '.compact-old'. A retry must restore it (not
+    silently no-op on a missing dir), and leftover staging/backup dirs
+    from completed-but-uncleaned swaps must not fail the next run."""
+    import os
+    import shutil
+
+    import pytest
+
+    from dwp_hbase_to_mongo_export_spark.sinks.compaction import (
+        compact_parquet_dir,
+    )
+
+    d = str(tmp_path / "tbl")
+    df = spark.range(0, 1_000).withColumn("v", F.col("id") * 2)
+    df.repartition(8).write.parquet(d)
+
+    # crash between rename(input, backup) and rename(staging, input):
+    # input missing, all data in backup, half-written staging present
+    os.rename(d, d + ".compact-old")
+    os.makedirs(d + ".compact-staging")
+    res = compact_parquet_dir(spark, d, target_bytes=10**9)
+    assert res["compacted"]
+    back = spark.read.parquet(d)
+    assert back.count() == 1_000
+    assert not os.path.exists(d + ".compact-old")
+    assert not os.path.exists(d + ".compact-staging")
+
+    # crash after the swap completed but before backup cleanup: input
+    # is current, stale backup must be dropped, run proceeds normally
+    shutil.copytree(d, d + ".compact-old")
+    res2 = compact_parquet_dir(spark, d, target_bytes=10**9)
+    assert not os.path.exists(d + ".compact-old")
+    assert spark.read.parquet(d).count() == 1_000
+    assert res2["compacted"] is False  # single file already
+
+    # a genuinely missing table (no backup either) raises — never an
+    # n_files=0 silent no-op
+    with pytest.raises(FileNotFoundError):
+        compact_parquet_dir(spark, str(tmp_path / "never_existed"))
 
 
 def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
