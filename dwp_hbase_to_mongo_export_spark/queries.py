@@ -382,66 +382,25 @@ _register_extra_modules()
 # window is explicit data that ONLY __spark_entry__ applies when handing
 # the catalog to the external driver.
 #
-# Round-4 window: lead with the four queries lacking an all-true driver
-# row across rounds 1-3 (q12 oracle-typing fix, quantize_int8 array-
-# column fix, and the two queries the round-3 reorder displaced), then
-# every operator ADDED in round 4 (clustering/search/text/governance —
-# first driver evidence), then every query whose most recent driver
-# evidence is round 1/2 (stale), then round-3 greens as spot-checks.
+# Round-5 window, ordered by evidence staleness (the round-4 verdict's
+# rotation demand): lead with the seven queries whose CODE changed this
+# round (the vectorised IVF assignment pair and the clustering family
+# that moved to portable rounding — their values/plans must be
+# re-evidenced), then every query whose most recent all-true driver row
+# is round 2 (the stalest 22), then round-3 greens oldest-registered
+# first to fill the ~50-query gate prefix; round-4 greens (checked last
+# round) close the list. After this round no query's latest driver
+# evidence should be older than two rounds.
 DRIVER_WINDOW = [
-    # never all-true at the driver before round 4
-    "q12_shipping_lateness",
-    "embedding_quantize_int8",
-    "doc_token_chunks",
-    "corpus_mixture",
-    # new in round 4 — need first driver evidence
-    "train_val_split",
-    "corpus_global_shuffle",
-    "text_boilerplate_df",
-    "corpus_filter_pipeline",
-    "text_unigram_logprob",
-    "dedup_incremental_batch",
+    # code changed in round 5 — re-evidence first
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_trained",
     "kmeans_clusters",
     "semantic_dedup",
-    "similarity_topk_ivf_trained",
-    "tfidf_top_terms",
-    "bm25_search",
-    "winnowing_overlap",
-    "corpus_temperature_mix",
-    "export_unwrap_roundtrip",
     "streaming_kmeans_assign",
     "kmeans_purity",
     "cluster_prototypes",
-    "similarity_topk_int8",
-    "data_quality_report",
-    "snapshot_diff",
-    "funnel_analysis",
-    "retention_cohorts",
-    "dedup_apply",
-    "kmv_sketch_merge",
-    # last driver-checked in round 1/2 — refresh the evidence
-    "q1_pricing_summary",
-    "envelope_extract",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "similarity_topk_ivf",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "date_canonicalise",
-    "q4_order_priority",
-    "customers_without_orders",
-    "topk_orders_per_customer",
-    "revenue_rollup",
-    "distinct_users_per_day",
-    "median_value_by_type",
-    "salted_skew_agg",
-    "streaming_dedup",
-    "percentiles_by_type",
-    "udtf_split_sentences",
-    "distinct_users_kmv",
-    "dedup_ngram_jaccard",
+    # last all-true at the driver in round 2 — stalest evidence
     "dedup_simhash",
     "dedup_simhash_near",
     "similarity_topk_bruteforce",
@@ -464,9 +423,99 @@ DRIVER_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_pred",
     "q22_idle_customers",
-    # round-3 greens kept in-window as regression spot-checks
+    # last all-true in round 3
+    "latest_per_key",
+    "time_range_scan",
+    "manifest_projection",
+    "session_windows",
     "dedup_embedding_cosine_lsh",
+    "text_pii_redact",
+    "text_repetition",
+    "decontaminate_corpus",
+    "multimodal_audio_segments",
+    "dedup_clusters_alternating",
+    "asof_click_attribution",
+    "range_join_click_to_purchase",
+    "moving_avg_and_gaps",
+    "pivot_event_counts",
+    "cube_revenue",
+    "user_days_click_no_purchase",
+    "user_days_click_and_purchase",
+    "embedding_norms",
+    "stat_aggregates",
+    "cdc_apply_changelog",
+    "grouping_sets_revenue",
+    "range_frame_trailing_sum",
+    "ranking_family",
+    "export_pipeline_e2e",
+    "streaming_export_pipeline",
+    "key_range_partition_stats",
+    "sanitise_strings",
+    "id_reverse_engineer",
+    "business_audit_lift",
+    "equality_wrap",
+    "streaming_incremental_scan",
+    "streaming_stateful_latest",
+    "streaming_windowed_counts",
+    "streaming_stream_join",
+    "hbase_source_scan",
+    "streaming_hbase_source_scan",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_suppliers",
+    "q20_promo_part_suppliers",
+    "q21_sole_late_supplier",
+    "stratified_sample",
     "sequence_packing",
+    "streaming_session_windows",
+    "validation_quarantine",
+    "db_collection_fallback",
+    "date_fallback_chain",
+    "conditional_field_drop",
+    # round-4 greens — freshest, checked only if the window reaches them
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "envelope_extract",
+    "date_canonicalise",
+    "dedup_exact",
+    "q4_order_priority",
+    "customers_without_orders",
+    "topk_orders_per_customer",
+    "revenue_rollup",
+    "distinct_users_per_day",
+    "median_value_by_type",
+    "salted_skew_agg",
+    "streaming_dedup",
+    "percentiles_by_type",
+    "udtf_split_sentences",
+    "distinct_users_kmv",
+    "funnel_analysis",
+    "retention_cohorts",
+    "kmv_sketch_merge",
+    "similarity_topk_int8",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "embedding_quantize_int8",
+    "text_boilerplate_df",
+    "corpus_filter_pipeline",
+    "text_unigram_logprob",
+    "dedup_incremental_batch",
+    "tfidf_top_terms",
+    "bm25_search",
+    "winnowing_overlap",
+    "dedup_apply",
+    "export_unwrap_roundtrip",
+    "snapshot_diff",
+    "q12_shipping_lateness",
+    "doc_token_chunks",
+    "corpus_mixture",
+    "train_val_split",
+    "corpus_global_shuffle",
+    "corpus_temperature_mix",
+    "data_quality_report",
 ]
 
 
