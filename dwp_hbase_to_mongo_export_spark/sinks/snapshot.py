@@ -61,15 +61,31 @@ except ImportError:
 # it as batch_size_bytes in the per-file metadata row, exactly the hint
 # a consumer passes to lz4.block.decompress(uncompressed_size=...).
 # Both profiles write the reference's "lz4" file extension.
+#
+# Without the native lz4 package the BLOCK profile falls back to the
+# vendored pure-Python block codec (functions/lz4block.py — the public
+# block format, spec-compliant but ~3 orders slower): format
+# correctness stays executable and byte-verifiable everywhere, while a
+# real deployment installs the native lib (requirements-extras.txt).
+# The FRAMED profile stays gated on the native lib (the frame adds
+# xxhash-checksummed headers this repo has no reason to reimplement).
+from ..functions import lz4block as _lz4block_py
+
 _COMPRESSORS = {
     "bz2": (lambda b: _bz2.compress(b), "bz2"),
     "gz": (lambda b: _gzip.compress(b), "gz"),
     "lz4": ((lambda b: _lz4.compress(b)) if HAVE_LZ4 else None, "lz4"),
     "lz4_block": (
-        (lambda b: _lz4_block.compress(b, store_size=False)) if HAVE_LZ4 else None,
+        (lambda b: _lz4_block.compress(b, store_size=False))
+        if HAVE_LZ4
+        else _lz4block_py.compress_block,
         "lz4",
     ),
 }
+
+# LZ4 FRAME magic (little-endian 0x184D2204) — how the read side tells
+# a framed file from a raw block stream when only one can be decoded.
+_LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
 
 
 def write_snapshot_text(
@@ -324,17 +340,23 @@ def read_encrypted_snapshots(
                 elif codec == "gz":
                     payload = _gzipd.decompress(payload)
                 elif codec == "lz4":
-                    if not HAVE_LZ4:
-                        raise ValueError("lz4 library unavailable")
-                    # framed first; raw block (no frame magic, no stored
-                    # size) needs the uncompressed size — read it from
-                    # the sidecar's batch_size_bytes (written per file by
-                    # the sink), falling back to a generous constant only
-                    # when no sidecar exists
-                    try:
+                    # framed (frame magic) vs raw block: a raw block
+                    # (no magic, no stored size) needs the uncompressed
+                    # size — read it from the sidecar's
+                    # batch_size_bytes (written per file by the sink),
+                    # falling back to a generous constant only when no
+                    # sidecar exists. Without the native lib, raw
+                    # blocks decode through the vendored pure-Python
+                    # codec; framed files cannot.
+                    framed = payload[:4] == _LZ4_FRAME_MAGIC
+                    if framed:
+                        if not HAVE_LZ4:
+                            raise ValueError(
+                                "lz4 library unavailable (framed lz4)"
+                            )
                         payload = _lz4.decompress(payload)
-                    except RuntimeError:
-                        size_hint = 256 * 1024 * 1024
+                    else:
+                        size_hint = None
                         try:
                             with open(local + ".metadata.json") as fh:
                                 size_hint = int(
@@ -342,9 +364,20 @@ def read_encrypted_snapshots(
                                 )
                         except (OSError, KeyError, ValueError):
                             pass
-                        payload = _lz4_block.decompress(
-                            payload, uncompressed_size=size_hint
-                        )
+                        if HAVE_LZ4:
+                            # native decompress needs a buffer bound;
+                            # generous constant when no sidecar exists
+                            payload = _lz4_block.decompress(
+                                payload,
+                                uncompressed_size=size_hint
+                                or 256 * 1024 * 1024,
+                            )
+                        else:
+                            # pure decoder validates the exact size
+                            # when the sidecar recorded it
+                            payload = _lz4block_py.decompress_block(
+                                payload, uncompressed_size=size_hint
+                            )
                 else:
                     raise ValueError(f"{key}: unknown codec {codec!r}")
                 lines = payload.decode("utf-8").splitlines()

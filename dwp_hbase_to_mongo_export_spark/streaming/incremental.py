@@ -321,35 +321,18 @@ def run_available_now(
     return stream_df.sparkSession.table(name)
 
 
-def transform_with_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-user event statistics on the NEW arbitrary-state API
-    (transformWithStateInPandas, the Spark 4 successor to
-    applyInPandasWithState): typed ValueState per key holds
-    (n_events, total_value), updated per micro-batch, current totals
-    emitted in update mode. The composable state-variable model
-    (value/list/map states + timers on one handle) is what a
-    production continuous export would use for per-collection
-    bookkeeping; state size is |keys|, never |events|.
-
-    Determinism: with an AvailableNow drain of the bounded fixture the
-    final update per key equals the batch GROUP BY aggregate (values
-    rounded) — pinned by tests/test_streaming.py when the runtime
-    supports it.
-
-    AVAILABILITY: the transformWithState Python worker speaks protobuf
-    to the JVM state server; environments without google.protobuf
-    (like this sandbox) raise ImportError at drain time, so callers
-    must gate on transform_with_state_available(). The
-    applyInPandasWithState form (stateful_latest_per_key) is the
-    dependency-free equivalent."""
+def _running_user_stats_processor():
+    """The StatefulProcessor behind transform_with_state_user_stats,
+    at module scope so its per-key logic is unit-testable with a fake
+    handle even where the protobuf state-server runtime is absent
+    (importing StatefulProcessor does NOT need protobuf; only the
+    drain-time Python<->JVM state protocol does)."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    ev = stream_table(spark, sf_dir, "events").select("user_id", "value")
 
     class RunningUserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -373,8 +356,38 @@ def transform_with_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFra
         def close(self) -> None:
             pass
 
+    return RunningUserStats()
+
+
+def transform_with_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event statistics on the NEW arbitrary-state API
+    (transformWithStateInPandas, the Spark 4 successor to
+    applyInPandasWithState): typed ValueState per key holds
+    (n_events, total_value), updated per micro-batch, current totals
+    emitted in update mode. The composable state-variable model
+    (value/list/map states + timers on one handle) is what a
+    production continuous export would use for per-collection
+    bookkeeping; state size is |keys|, never |events|.
+
+    Determinism: with an AvailableNow drain of the bounded fixture the
+    final update per key equals the batch GROUP BY aggregate (values
+    rounded) — pinned by tests/test_streaming.py when the runtime
+    supports it.
+
+    AVAILABILITY: the transformWithState Python worker speaks protobuf
+    to the JVM state server; environments without google.protobuf
+    (like this sandbox) raise ImportError at drain time, so callers
+    must gate on transform_with_state_available(). The
+    applyInPandasWithState form (stateful_latest_per_key) is the
+    dependency-free equivalent. PLAN construction (this function) needs
+    no protobuf either — only the drain does — which is what lets the
+    no-protobuf stub tests pin the query registration and schema.
+    Tested end-to-end on Spark 4 where google.protobuf is installed
+    (tests/test_streaming.py's first test runs un-skipped there)."""
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "value")
+
     return ev.groupBy("user_id").transformWithStateInPandas(
-        RunningUserStats(),
+        _running_user_stats_processor(),
         outputStructType="user_id bigint, n_events bigint, total_value double",
         outputMode="Update",
         timeMode="None",

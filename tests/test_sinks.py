@@ -186,13 +186,17 @@ def test_run_topic_export_blocked(spark):
 @pytest.mark.parametrize("codec", ["lz4", "lz4_block"])
 def test_lz4_codec_profiles(spark, tmp_path, codec):
     """Both LZ4 profiles from ContextConfiguration.kt:34-50 — framed
-    (lz4.frame) and block (lz4.block) — round-trip decrypt+decompress,
-    and both write the reference's .lz4 extension. Skipped when the lz4
-    lib is absent (not in the base image); the unavailable case below
-    runs either way."""
+    (lz4.frame) and block (BlockLZ4CompressorOutputStream byte format)
+    — round-trip decrypt+decompress, and both write the reference's
+    .lz4 extension. The BLOCK profile runs with OR without the native
+    lib (vendored pure-Python block codec as the fallback), so its
+    store_size=False framing is byte-verified in every environment;
+    only the FRAMED profile skips without the lib (after asserting its
+    honest unavailable gate)."""
+    from dwp_hbase_to_mongo_export_spark.functions import lz4block
     from dwp_hbase_to_mongo_export_spark.sinks import snapshot as snap
 
-    if not snap.HAVE_LZ4:
+    if not snap.HAVE_LZ4 and codec == "lz4":
         cfg = SnapshotSinkConfig(
             output_dir=str(tmp_path), topic="db.database.collection",
             compression=codec, data_key_b64=DATA_KEY_B64,
@@ -202,10 +206,7 @@ def test_lz4_codec_profiles(spark, tmp_path, codec):
         res = export_topic(cells, "db.database.collection")
         with pytest.raises(ValueError, match="unavailable"):
             write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
-        pytest.skip("lz4 library not installed")
-
-    import lz4.block as lz4_block
-    import lz4.frame as lz4_frame
+        pytest.skip("lz4 library not installed (framed profile only)")
 
     cells = fixture_cells(spark, n=20)
     res = export_topic(cells, "db.database.collection")
@@ -217,27 +218,45 @@ def test_lz4_codec_profiles(spark, tmp_path, codec):
     )
     metas = write_encrypted_snapshots(res.extra["sink_frame"].coalesce(1), cfg)
     if codec == "lz4":
+        import lz4.frame as lz4_frame
+
         decomp = lambda data, m: lz4_frame.decompress(data)  # noqa: E731
     else:
         # block profile matches the Java BlockLZ4CompressorOutputStream
         # byte format (no python-lz4 size prefix); the uncompressed size
-        # comes from the sink's metadata row, as a consumer would use it
-        decomp = lambda data, m: lz4_block.decompress(  # noqa: E731
+        # comes from the sink's metadata row, as a consumer would use
+        # it. The vendored decoder implements the public block format,
+        # so decoding from byte 0 IS the no-size-prefix proof.
+        decomp = lambda data, m: lz4block.decompress_block(  # noqa: E731
             data, uncompressed_size=m.batch_size_bytes
         )
     total = 0
     for m in metas:
         assert ".txt.lz4.enc" in m.object_key  # reference extension for both
         raw = open(os.path.join(str(tmp_path), m.object_key), "rb").read()
-        body = decomp(
-            aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode()), m
-        )
+        plain = aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode())
+        body = decomp(plain, m)
         total += len(body.decode().splitlines())
         if codec == "lz4_block":
-            # no 4-byte LE size header: re-compressing the body with
-            # store_size=False must reproduce the file bytes exactly
-            plain = aes_ctr_decrypt(DATA_KEY_B64, m.iv, base64.b64encode(raw).decode())
-            assert plain == lz4_block.compress(body, store_size=False)
+            # no 4-byte LE size header anywhere: the first 4 bytes must
+            # NOT be the little-endian uncompressed size python-lz4
+            # writes with store_size=True
+            import struct
+
+            assert plain[:4] != struct.pack("<I", m.batch_size_bytes)
+            if snap.HAVE_LZ4:
+                # native cross-checks, both directions: the file bytes
+                # decode with python-lz4, and re-compressing the body
+                # with store_size=False reproduces them exactly
+                import lz4.block as lz4_block
+
+                assert (
+                    lz4_block.decompress(
+                        plain, uncompressed_size=m.batch_size_bytes
+                    )
+                    == body
+                )
+                assert plain == lz4_block.compress(body, store_size=False)
     assert total == 20
 
 
