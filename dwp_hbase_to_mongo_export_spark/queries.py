@@ -392,6 +392,8 @@ _register_extra_modules()
 # round) close the list. After this round no query's latest driver
 # evidence should be older than two rounds.
 DRIVER_WINDOW = [
+    # NEW in round 5 — first driver evidence
+    "ann_recall_report",
     # code changed in round 5 — re-evidence first
     "similarity_topk_ivf",
     "similarity_topk_ivf_trained",

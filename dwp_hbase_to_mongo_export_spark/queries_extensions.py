@@ -337,6 +337,145 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    qprobes AS (
+      SELECT vec_id AS query_id,
+             CASE WHEN i = -1 THEN bucket
+                  ELSE xor(bucket, (CAST(1 AS BIGINT) << i)) END AS bucket
+      FROM bucketed CROSS JOIN (SELECT unnest(range(-1, 8)) AS i)
+      WHERE vec_id < 10
+    ),
+    lcand AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+      FROM qprobes q JOIN bucketed b USING (bucket)
+      WHERE b.vec_id != q.query_id
+    ),
+    lshr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY {_IVF_COS.format(a='q.embedding', b='n.embedding')} DESC, c.neighbor_id) AS rank
+        FROM lcand c JOIN embeddings q ON q.vec_id = c.query_id
+                     JOIN embeddings n ON n.vec_id = c.neighbor_id
+      ) WHERE rank <= 5
+    ),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+    iassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    iprobes AS (
+      SELECT vec_id AS query_id, cent_id AS probe FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    icand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM iprobes p JOIN iassign a ON a.cent_id = p.probe
+      WHERE a.vec_id != p.query_id
+    ),
+    ivfr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY {_IVF_COS.format(a='q.embedding', b='n.embedding')} DESC, c.neighbor_id) AS rank
+        FROM icand c JOIN embeddings q ON q.vec_id = c.query_id
+                     JOIN embeddings n ON n.vec_id = c.neighbor_id
+      ) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id FROM ivfr
+      UNION ALL
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM lshr
+    ),
+    inter AS (
+      SELECT a.method, a.query_id, count(*) AS hits
+      FROM approx a JOIN brute b USING (query_id, neighbor_id)
+      GROUP BY a.method, a.query_id
+    ),
+    grid AS (
+      SELECT 'ivf' AS method, query_id FROM (SELECT DISTINCT query_id FROM brute)
+      UNION ALL
+      SELECT 'lsh' AS method, query_id FROM (SELECT DISTINCT query_id FROM brute)
+    )
+    SELECT g.method, count(*) AS n_queries,
+           floor(avg(coalesce(i.hits, 0) / 5.0) * 1000.0 + 0.5) / 1000.0 AS mean_recall
+    FROM grid g LEFT JOIN inter i ON i.method = g.method AND i.query_id = g.query_id
+    GROUP BY g.method
+    ORDER BY g.method
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as an engine query: recall@5 of the two
+    approximate similarity indexes (hyperplane LSH with 1-bit
+    multiprobe; IVF with nprobe=2) against exact brute-force ground
+    truth, per method — (method, n_queries, mean_recall). This is the
+    governance loop a production ANN deployment runs continuously on a
+    sampled query set to catch index drift / parameter rot; queries
+    returning NO approximate hits still count (recall 0), so a broken
+    index reads as 0.0, not as absent rows.
+
+    Scale: ground truth is computed only for the bounded sampled query
+    set (broadcast side of brute_force_topk); the recall join keys on
+    (query_id, neighbor_id) pairs — k rows per query per method — so
+    everything after the index probes is sample-sized, and each index's
+    probe cost is the same as its production query path."""
+    from .functions.portable import round_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.brute_force_topk(emb, k=5, max_query_id=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.lsh_topk(
+        emb, k=5, n_planes=8, n_dims=64, max_query_id=10
+    )
+    ivf = similarity.ivf_topk(
+        emb, k=5, centroid_stride=100, nprobe=2, max_query_id=10
+    )
+    qs = brute.select("query_id").distinct()
+
+    def recall(approx: DataFrame, method: str) -> DataFrame:
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        per_q = qs.join(hits, "query_id", "left").select(
+            F.coalesce("hits", F.lit(0)).alias("hits")
+        )
+        return per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            round_portable(F.avg(F.col("hits") / 5.0), 3).alias("mean_recall"),
+        ).select(
+            F.lit(method).alias("method"), "n_queries", "mean_recall"
+        )
+
+    return recall(ivf, "ivf").unionAll(recall(lsh, "lsh")).orderBy("method")
+
+
+@query(
     "embedding_quantize_int8",
     oracle="""
     WITH v AS (
