@@ -579,6 +579,7 @@ def winnowing_overlap_pairs(
     max_chars: int = 256,
     max_df: int | None = None,
     df_fraction: float = 0.04,
+    abs_max_df: int = 200,
     min_shared: int = 5,
 ) -> DataFrame:
     """Partial-overlap candidate pairs by shared winnowing fingerprints:
@@ -590,11 +591,22 @@ def winnowing_overlap_pairs(
     contribute df^2 join rows); the surviving join is equi on the
     fingerprint with both sides shrunk, then one (id_a, id_b)
     aggregation. All counts, no document bodies, move through the
-    shuffles. The cap defaults to max(20, df_fraction * |corpus|) —
-    CORPUS-RELATIVE, because absolute document frequencies grow
-    linearly with corpus size and a fixed cap silently degrades to
-    zero recall at scale; the corpus size rides a one-row broadcast
-    onto the (fp, df) relation, never the corpus itself.
+    shuffles.
+
+    The cap is max(20, min(df_fraction * |corpus|, abs_max_df)): the
+    FRACTION floor-to-ceiling keeps small corpora from dropping
+    legitimate overlap (a fixed tiny cap would), while the ABSOLUTE
+    ceiling is what makes join input linear at scale — without it,
+    admitted fingerprints can carry df up to 0.04n, so the worst-case
+    join input Sum(df^2) grows ~n^2 (measured: a 10x corpus sweep went
+    super-linear 17x before the ceiling existed, SCALING.md; with the
+    ceiling, Sum(df^2) <= fp_rows * cap, linear in the corpus). A
+    fingerprint shared by >abs_max_df documents is corpus boilerplate,
+    not pairwise-overlap signal — the pairs it would weld are exactly
+    the quadratic pathology, and true overlap between two documents
+    rides their RARE shared fingerprints regardless. The corpus size
+    rides a one-row broadcast onto the (fp, df) relation, never the
+    corpus itself.
 
     The (id, fp) relation is persisted memory-and-disk: it feeds three
     consumers (df counts, both self-join sides) that would otherwise
@@ -619,7 +631,12 @@ def winnowing_overlap_pairs(
     else:
         ncnt = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
         dfreq = dfreq.join(F.broadcast(ncnt))
-        cap = F.greatest(F.lit(20), F.ceil(df_fraction * F.col("n_corpus")))
+        cap = F.greatest(
+            F.lit(20),
+            F.least(
+                F.ceil(df_fraction * F.col("n_corpus")), F.lit(abs_max_df)
+            ),
+        )
     rare = dfreq.filter(F.col("df") <= cap).select("fp")
     good = fps.join(rare, "fp")
     a = good.select(F.col("fp"), F.col(id_col).alias("id_a"))

@@ -1181,7 +1181,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM arr
     ),
     rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
-             WHERE df <= greatest(20, CAST(ceil(0.04 * (SELECT count(*) FROM documents)) AS BIGINT))),
+             WHERE df <= greatest(20, least(
+               CAST(ceil(0.04 * (SELECT count(*) FROM documents)) AS BIGINT), 200))),
     good AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
     FROM good a JOIN good b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -45,6 +45,22 @@ SWEEP_QUERIES = [
     "sequence_packing",        # shard window + two-level agg
 ]
 
+# The clustering/search/near-dup families need DISTINCT-content
+# replicas, not symlinked row duplication: verbatim duplication makes
+# every copy a true near-duplicate of its original, so pair-emitting
+# operators' OUTPUT grows quadratically in the replication factor — a
+# property of the pathological data, not of the plan. The distinct
+# replicas shift ids and decorrelate content (per-replica sign-flip of
+# embedding dimensions, per-replica character rotation of text), so
+# true-pair counts stay linear and the sweep measures plan scaling.
+DISTINCT_SWEEP_QUERIES = [
+    "kmeans_clusters",         # iterative assign + k x d agg
+    "semantic_dedup",          # cluster-blocked quadratic verify
+    "similarity_topk_ivf",     # posting-list probe join
+    "bm25_search",             # inverted-index postings join
+    "winnowing_overlap",       # fingerprint self-join, df-capped
+]
+
 BASE = "/root/testdata/sf0.1"
 SMALL = "/root/testdata/sf0.01"
 
@@ -61,6 +77,95 @@ def build_replica(n: int, root: str) -> str:
             link = os.path.join(tdir, f"part-{i:05d}.parquet")
             if not os.path.exists(link):
                 os.symlink(src, link)
+    return d
+
+
+_ID_OFFSET = 1_000_000_000  # replica r shifts ids by r * this
+
+
+def _replica_signs(r: int, dims: int = 64) -> list[float]:
+    """Deterministic ±1 pattern per replica: sign-flipping embedding
+    dimensions decorrelates replicas (E[cos] ~ 0 across replicas) while
+    preserving each replica's internal similarity structure exactly."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"sweep-sign:{r}:{d}".encode()).digest()[0]
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
+def _rotated_alphabet(r: int) -> tuple[str, str]:
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    k, j = r % 26, r % 10
+    return (
+        lower + lower.upper() + digits,
+        lower[k:] + lower[:k] + (lower[k:] + lower[:k]).upper() + digits[j:] + digits[:j],
+    )
+
+
+def build_distinct_replica(spark, n: int, root: str) -> str:
+    """n content-distinct copies of the embeddings/documents tables
+    (ids shifted by replica; embeddings sign-decorrelated; text
+    character-rotated per replica; replica 0 verbatim), materialised as
+    parquet. Remaining tables are symlinked x1 — the distinct-sweep
+    queries never read them."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(root, f"distinct_x{n}")
+    if os.path.isdir(os.path.join(d, "documents.parquet")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t in ("embeddings", "documents"):
+            continue
+        tdir = os.path.join(d, f"{t}.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        link = os.path.join(tdir, "part-00000.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
+
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    parts = []
+    for r in range(n):
+        signs = F.array(*[F.lit(s) for s in _replica_signs(r)])
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * _ID_OFFSET)).alias("vec_id"),
+                F.zip_with(
+                    "embedding", signs, lambda x, s: (x * s).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    parts = []
+    for r in range(n):
+        src, tgt = _rotated_alphabet(r)
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * _ID_OFFSET)).alias("doc_id"),
+                F.translate("text", src, tgt).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
     return d
 
 
@@ -91,6 +196,34 @@ def main() -> int:
             print(f"{q} @ {label}: {times[-1]:.2f}s", flush=True)
         rows.append((q, times))
 
+    dvariants = [("sf0.01", SMALL, 0.1), ("sf0.1", BASE, 1.0)]
+    for n in factors:
+        dvariants.append(
+            (f"sf0.1 x{n}", build_distinct_replica(spark, n, root), float(n))
+        )
+    drows = []
+    for q in DISTINCT_SWEEP_QUERIES:
+        times = []
+        for label, d, _ in dvariants:
+            times.append(time_query(spark, q, d))
+            print(f"{q} @ {label} (distinct): {times[-1]:.2f}s", flush=True)
+        drows.append((q, times))
+
+    def table(rows_, variants_):
+        out = [
+            "| query | " + " | ".join(v[0] for v in variants_) + " | growth |",
+            "|---|" + "---|" * (len(variants_) + 1),
+        ]
+        top = variants_[-1][2]
+        for q, times in rows_:
+            growth = (times[-1] / times[1]) / top if times[1] > 0 else 0.0
+            out.append(
+                f"| {q} | "
+                + " | ".join(f"{t:.2f}s" for t in times)
+                + f" | {growth:.2f} |"
+            )
+        return out
+
     lines = [
         "# Scale sweep (generated by tools/scale_sweep.py)",
         "",
@@ -101,17 +234,20 @@ def main() -> int:
         "smell. Replicated files share the OS page cache, so these "
         "measure CPU/shuffle scaling on warm storage, not cold IO.",
         "",
-        "| query | " + " | ".join(v[0] for v in variants) + " | growth |",
-        "|---|" + "---|" * (len(variants) + 1),
+        *table(rows, variants),
+        "",
+        "## Clustering / search / near-dup families (distinct-content replicas)",
+        "",
+        "Verbatim row duplication would make every replica a true "
+        "near-duplicate of its original, growing pair-emitting "
+        "operators' OUTPUT quadratically in the factor — a property of "
+        "pathological data, not the plan. These variants shift ids and "
+        "decorrelate content per replica (embedding sign-flips, text "
+        "character rotation), keeping true-pair counts linear so "
+        "`growth` measures the plan.",
+        "",
+        *table(drows, dvariants),
     ]
-    top_factor = variants[-1][2]
-    for q, times in rows:
-        growth = (times[-1] / times[1]) / top_factor if times[1] > 0 else 0.0
-        lines.append(
-            f"| {q} | "
-            + " | ".join(f"{t:.2f}s" for t in times)
-            + f" | {growth:.2f} |"
-        )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
