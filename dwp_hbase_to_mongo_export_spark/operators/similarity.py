@@ -118,6 +118,12 @@ def ivf_topk(
             .collect()
         )
     cents: _C = sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
+    if not cents:
+        raise ValueError(
+            "ivf_topk: empty centroid set (stride larger than the id "
+            "range, or an empty centroids frame) — no posting lists "
+            "can exist; lower centroid_stride or pass trained centroids"
+        )
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         """top-n centroids per row of df by cosine; ties to lowest id —

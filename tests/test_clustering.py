@@ -191,3 +191,24 @@ def test_int8_topk_close_to_exact(spark, emb):
         for r in similarity.int8_topk(emb, k=5, max_query_id=10).collect()
     }
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_ivf_empty_centroid_set_raises(spark, emb):
+    """A stride wider than the id range (or an empty trained-centroid
+    frame) yields no posting lists — ivf_topk must fail loudly instead
+    of crashing inside the numpy kernel or returning silently-empty
+    results."""
+    import pytest
+
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+
+    from pyspark.sql import functions as F
+
+    no_multiples = emb.filter(F.col("vec_id") > 0)  # id 0 matches any stride
+    with pytest.raises(ValueError, match="empty centroid set"):
+        similarity.ivf_topk(no_multiples, centroid_stride=10**9, max_query_id=5)
+    empty_cents = spark.createDataFrame(
+        [], "cluster bigint, centroid array<double>"
+    )
+    with pytest.raises(ValueError, match="empty centroid set"):
+        similarity.ivf_topk(emb, centroids=empty_cents, max_query_id=5)
