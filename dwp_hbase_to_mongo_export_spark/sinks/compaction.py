@@ -110,3 +110,52 @@ def compact_parquet_dir(
     os.rename(staging, input_dir)
     shutil.rmtree(backup)
     return {**plan, "compacted": True}
+
+
+def compact_partitioned_dir(
+    spark,
+    input_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Compaction for Hive-partitioned layouts (key=value directories):
+    each LEAF partition directory is compacted independently through
+    compact_parquet_dir, preserving the directory tree and therefore
+    partition pruning. This is the per-partition contract the flat
+    compactor's refusal message points at.
+
+    Crash-safety composes: each leaf runs the flat compactor's
+    recover-then-swap protocol, so a crash mid-run leaves every leaf
+    either fully old, fully new, or recoverable on retry — and a retry
+    simply resumes (already-compacted leaves no-op on file count).
+    At 100 TB this runs as one driver loop issuing independent Spark
+    jobs per partition — trivially parallelisable across partitions,
+    and each job's shuffle is bounded by that partition's bytes.
+
+    Returns {n_partitions, n_compacted, per_partition: {relpath: plan}}.
+    """
+    leaves: list[str] = []
+    for root, dirs, names in os.walk(input_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") for f in names) and not dirs:
+            leaves.append(root)
+    if not leaves:
+        raise FileNotFoundError(
+            f"{input_dir}: no leaf partition directories with parquet files"
+        )
+    per: dict[str, dict] = {}
+    n_compacted = 0
+    for leaf in sorted(leaves):
+        res = compact_parquet_dir(
+            spark,
+            leaf,
+            target_bytes=target_bytes,
+            min_files_to_compact=min_files_to_compact,
+        )
+        per[os.path.relpath(leaf, input_dir)] = res
+        n_compacted += bool(res["compacted"])
+    return {
+        "n_partitions": len(leaves),
+        "n_compacted": n_compacted,
+        "per_partition": per,
+    }

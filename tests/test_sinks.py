@@ -746,3 +746,49 @@ def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
         .count()
     )
     assert q.count() == expected > 0
+
+
+def test_partitioned_compaction_preserves_layout_and_pruning(spark, sf_dir, tmp_path):
+    """compact_partitioned_dir: every key=value leaf is compacted
+    independently; the directory tree (and thus partition pruning)
+    survives, rows and values are intact, and a second run no-ops."""
+    from dwp_hbase_to_mongo_export_spark.sinks.compaction import (
+        compact_partitioned_dir,
+        plan_compaction,
+    )
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    d = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(6).write.partitionBy("event_type").parquet(d)
+    before = plan_compaction(d, target_bytes=10**9)
+    assert before["partitioned"] and before["n_files"] > before["target_files"]
+
+    res = compact_partitioned_dir(spark, d, target_bytes=10**9)
+    assert res["n_partitions"] >= 2
+    assert res["n_compacted"] == res["n_partitions"]
+    for rel, leaf_plan in res["per_partition"].items():
+        assert "=" in rel and leaf_plan["compacted"]
+
+    after = plan_compaction(d, target_bytes=10**9)
+    assert after["partitioned"]  # layout preserved
+    assert after["n_files"] == res["n_partitions"]  # one file per leaf
+    back = spark.read.parquet(d)
+    assert back.count() == ev.count()
+    # integer column: double sums are partition-order-dependent
+    assert (
+        back.agg(F.sum("event_id")).first()[0]
+        == ev.agg(F.sum("event_id")).first()[0]
+    )
+    # pruning still works on the compacted layout
+    q = back.filter(F.col("event_type") == "click")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    # idempotent: second run finds nothing to do
+    res2 = compact_partitioned_dir(spark, d, target_bytes=10**9)
+    assert res2["n_compacted"] == 0
