@@ -40,7 +40,17 @@ _MAX_OFFSET = 65535
 
 def decompress_block(data: bytes, uncompressed_size: int | None = None) -> bytes:
     """Decode one raw LZ4 block. ``uncompressed_size``, when given, is
-    validated against the decoded length (raw blocks don't store it)."""
+    validated against the decoded length (raw blocks don't store it).
+    Every malformed input — including truncation mid-sequence — raises
+    ValueError."""
+    try:
+        return _decompress_block(data, uncompressed_size)
+    except IndexError:
+        # a length-continuation or offset read ran past the input end
+        raise ValueError("corrupt LZ4 block: truncated input") from None
+
+
+def _decompress_block(data: bytes, uncompressed_size: int | None) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:

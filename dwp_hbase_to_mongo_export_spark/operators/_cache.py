@@ -44,13 +44,28 @@ _MAX_PER_SLOT = 2
 
 
 def _semantic_key(df: DataFrame) -> int:
-    """Semantic hash of the analyzed plan: equal ⇒ same relation. Falls
-    back to id(df) (never-reuse, still bounded by eviction) on Connect
-    or other backends without the JVM handle."""
+    """Semantic hash of the analyzed plan — a fast probe only: the hash
+    is 32-bit, so a hit is CONFIRMED with _same_result before reuse
+    (the CacheManager pairing: hash to find, sameResult to trust).
+    Falls back to id(df) (never-reuse, still bounded by eviction) on
+    Connect or other backends without the JVM handle."""
     try:
         return int(df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:
         return id(df)
+
+
+def _same_result(a: DataFrame, b: DataFrame) -> bool:
+    """Plan-level equivalence check for a hash hit; False on any error
+    (treat as miss — re-persisting is safe, wrong reuse is not)."""
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
 
 
 def swap_cache(slot: str, df: DataFrame) -> DataFrame:
@@ -62,9 +77,14 @@ def swap_cache(slot: str, df: DataFrame) -> DataFrame:
     evicted: list[DataFrame] = []
     with _LOCK:
         hit = _SLOTS.pop(key, None)
-        if hit is not None:
+        if hit is not None and _same_result(hit, df):
             _SLOTS[key] = hit  # refresh insertion order (LRU-ish)
             return hit
+        if hit is not None:
+            # 32-bit hash collision between different inputs: keep the
+            # colliding occupant live under a unique key (it may still
+            # be in use) and fall through to persist the new frame
+            _SLOTS[(slot, id(hit))] = hit
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         _SLOTS[key] = out
         mine = [k for k in _SLOTS if k[0] == slot]

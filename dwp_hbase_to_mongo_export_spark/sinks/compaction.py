@@ -134,11 +134,26 @@ def compact_partitioned_dir(
 
     Returns {n_partitions, n_compacted, per_partition: {relpath: plan}}.
     """
-    leaves: list[str] = []
+    # The walk must see THROUGH the flat compactor's crash-recovery
+    # artifacts: a stale '<leaf>.compact-old' is not a partition — it is
+    # the stranded backup of '<leaf>' (crash between the two swap
+    # renames), so the ORIGINAL leaf name goes on the work list and
+    # compact_parquet_dir's entry recovery restores it; stale staging
+    # dirs are junk the flat compactor clears itself.
+    raw: list[str] = []
     for root, dirs, names in os.walk(input_dir):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         if any(f.endswith(".parquet") for f in names) and not dirs:
-            leaves.append(root)
+            raw.append(root)
+    leaf_set: set[str] = set()
+    for r in raw:
+        if r.endswith(".compact-staging"):
+            continue
+        if r.endswith(".compact-old"):
+            leaf_set.add(r[: -len(".compact-old")])
+        else:
+            leaf_set.add(r)
+    leaves = sorted(leaf_set)
     if not leaves:
         raise FileNotFoundError(
             f"{input_dir}: no leaf partition directories with parquet files"

@@ -64,6 +64,13 @@ def test_decoder_rejects_corruption():
         decompress_block(bytes([0xF0, 255, 0]) + b"x" * 10)
     with pytest.raises(ValueError):  # declared size mismatch
         decompress_block(bytes([0x20]) + b"ab", uncompressed_size=99)
+    # truncation mid-sequence is ValueError, never a bare IndexError
+    with pytest.raises(ValueError):  # cut inside the 2-byte offset
+        decompress_block(bytes([0x14]) + b"a" + bytes([0x04]))
+    with pytest.raises(ValueError):  # cut inside a length continuation
+        decompress_block(bytes([0xF0, 255]))
+    with pytest.raises(ValueError):  # empty-input token read
+        decompress_block(bytes([0x14]) + b"a" + bytes([0x04, 0x00, 255]))
 
 
 @pytest.mark.parametrize(

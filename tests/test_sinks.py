@@ -792,3 +792,25 @@ def test_partitioned_compaction_preserves_layout_and_pruning(spark, sf_dir, tmp_
     # idempotent: second run finds nothing to do
     res2 = compact_partitioned_dir(spark, d, target_bytes=10**9)
     assert res2["n_compacted"] == 0
+
+    # crash recovery composes per leaf: one leaf stranded mid-swap (only
+    # its .compact-old backup exists), another with a stale backup AND a
+    # stale staging dir next to intact data — a rerun must restore the
+    # first under its REAL partition name (not compact the backup dir in
+    # place), drop the stale artifacts, and not raise
+    leaves = sorted(
+        os.path.join(d, x) for x in os.listdir(d) if x.startswith("event_type=")
+    )
+    os.rename(leaves[0], leaves[0] + ".compact-old")
+    import shutil as _sh
+
+    _sh.copytree(leaves[1], leaves[1] + ".compact-old")
+    os.makedirs(leaves[1] + ".compact-staging")
+    res3 = compact_partitioned_dir(spark, d, target_bytes=10**9)
+    assert res3["n_partitions"] == res["n_partitions"]  # no phantom leaves
+    assert not any(".compact-" in rel for rel in res3["per_partition"])
+    assert os.path.isdir(leaves[0])
+    assert not os.path.exists(leaves[0] + ".compact-old")
+    assert not os.path.exists(leaves[1] + ".compact-old")
+    assert not os.path.exists(leaves[1] + ".compact-staging")
+    assert spark.read.parquet(d).count() == ev.count()

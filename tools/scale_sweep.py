@@ -56,10 +56,31 @@ SWEEP_QUERIES = [
 DISTINCT_SWEEP_QUERIES = [
     "kmeans_clusters",         # iterative assign + k x d agg
     "semantic_dedup",          # cluster-blocked quadratic verify
-    "similarity_topk_ivf",     # posting-list probe join
+    "similarity_topk_ivf_full",  # posting-list probe join, UNBOUNDED corpus
     "bm25_search",             # inverted-index postings join
     "winnowing_overlap",       # fingerprint self-join, df-capped
 ]
+
+
+def _ivf_full_corpus(spark, sf_dir):
+    """IVF over the WHOLE corpus with trained bounded-k centroids. The
+    catalog's similarity_topk_ivf pins vec_id < 2000 so its ORACLE cost
+    stays constant across scale factors — sweeping it would time a
+    constant-size plan behind a growing scan. This is the same operator
+    on the full replica corpus (fixed k=32, so centroid count doesn't
+    itself scale with volume the way the id-stride placeholder does)."""
+    from dwp_hbase_to_mongo_export_spark.operators import clustering, similarity
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=32, iters=1)
+    cdf = clustering.centroids_df(spark, cents)
+    return similarity.ivf_topk(emb, k=5, nprobe=2, max_query_id=10, centroids=cdf)
+
+
+# sweep entries not present in the catalog (or deliberately unbounded
+# variants of bounded catalog queries)
+SWEEP_OVERRIDES = {"similarity_topk_ivf_full": _ivf_full_corpus}
 
 BASE = "/root/testdata/sf0.1"
 SMALL = "/root/testdata/sf0.01"
@@ -97,12 +118,25 @@ def _replica_signs(r: int, dims: int = 64) -> list[float]:
 
 
 def _rotated_alphabet(r: int) -> tuple[str, str]:
+    """Per-replica character SUBSTITUTION permutation (md5-keyed sort of
+    the alphabet, replica 0 = identity): a plain Caesar rotation has
+    only 26 classes, so at x100 four replicas share a rotation and are
+    verbatim-identical — their merged fingerprint dfs crossed the cap
+    and silently DEFLATED the winnowing measurement. A full permutation
+    per replica keeps all replicas content-distinct."""
+    import hashlib
+
     lower = "abcdefghijklmnopqrstuvwxyz"
     digits = "0123456789"
-    k, j = r % 26, r % 10
+    if r == 0:
+        perm_l, perm_d = lower, digits
+    else:
+        key = lambda ch: hashlib.md5(f"sweep-perm:{r}:{ch}".encode()).hexdigest()  # noqa: E731
+        perm_l = "".join(sorted(lower, key=key))
+        perm_d = "".join(sorted(digits, key=key))
     return (
         lower + lower.upper() + digits,
-        lower[k:] + lower[:k] + (lower[k:] + lower[:k]).upper() + digits[j:] + digits[:j],
+        perm_l + perm_l.upper() + perm_d,
     )
 
 
@@ -170,7 +204,7 @@ def build_distinct_replica(spark, n: int, root: str) -> str:
 
 
 def time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
-    fn = queries()[name]
+    fn = SWEEP_OVERRIDES.get(name) or queries()[name]
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
