@@ -81,11 +81,12 @@ def ivf_topk(
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: an inverted file over coarse
-    centroids. Every vector is assigned to its nearest centroid (one
-    broadcast join — the centroid table is tiny); each query probes only
-    its `nprobe` nearest centroids' posting lists and exact-ranks those
-    candidates. At 100 TB the corpus is hash-partitioned by centroid id,
-    so a probe touches nprobe/|centroids| of the data.
+    centroids. Every vector is assigned to its nearest centroid (a
+    map-only vectorised argmax — the centroid table is tiny and rides
+    the task closure); each query probes only its `nprobe` nearest
+    centroids' posting lists and exact-ranks those candidates. At
+    100 TB the corpus is hash-partitioned by centroid id, so a probe
+    touches nprobe/|centroids| of the data.
 
     Centroids default to a deterministic id-stride subset of the corpus
     (reproducible for the oracle); pass ``centroids`` — any
