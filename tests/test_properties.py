@@ -212,3 +212,54 @@ def test_wrap_sanitise_unwrap_recovers_values(doc, rid, dt):
     # every other original key survives with its value intact
     for k, v in doc.items():
         assert back[k] == v
+
+
+def test_round_portable_cross_engine_parity(spark):
+    """round_portable's whole claim is that floor(x*10^d + 0.5)/10^d
+    runs the SAME IEEE ops in Spark and DuckDB, so identical input
+    doubles always round identically — pin it directly over an
+    adversarial batch: exact .5 boundaries, shortest-repr traps (the
+    class where Spark round() and DuckDB round() genuinely differ),
+    negatives, denormal-ish and large magnitudes, and random doubles."""
+    import random
+    import struct
+
+    import duckdb
+
+    from dwp_hbase_to_mongo_export_spark.functions.portable import (
+        round_portable,
+        round_portable_sql,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    values = [
+        0.05565, 0.0557, 0.5, 1.5, 2.5, -0.5, -1.5, -2.675,
+        0.1 + 0.2, 1e-9, -1e-9, 123456.789125, -123456.789125,
+        0.0455, 0.4445, 99.9995, -99.9995, 1e12 + 0.5,
+    ]
+    values += [rng.uniform(-1e6, 1e6) for _ in range(2000)]
+    values += [rng.uniform(-1, 1) for _ in range(2000)]
+
+    for digits in (2, 3, 4, 6):
+        sdf = spark.createDataFrame([(v,) for v in values], "x double")
+        got_spark = [
+            r.r for r in sdf.select(round_portable(F.col("x"), digits).alias("r")).collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            row[0]
+            for row in con.execute(
+                f"SELECT {round_portable_sql('x', digits)} FROM "
+                "(SELECT unnest(?) AS x)",
+                [values],
+            ).fetchall()
+        ]
+        con.close()
+        mismatches = [
+            (v, a, b)
+            for v, a, b in zip(values, got_spark, got_duck)
+            # bit-exact comparison: NaN-safe, -0.0 vs 0.0 visible
+            if struct.pack("<d", a) != struct.pack("<d", b)
+        ]
+        assert not mismatches, (digits, mismatches[:5], len(mismatches))
