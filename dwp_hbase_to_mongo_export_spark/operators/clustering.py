@@ -58,15 +58,27 @@ def assign_to_centroids(
     emb: DataFrame,
     centroids: Centroids,
     vec_col: str = "embedding",
+    metric: str = "cos",
 ) -> DataFrame:
-    """Adds (cluster, cos_to_centroid): argmax-cosine assignment against
-    the (closure-broadcast) centroids. Map-only, one row-normalised
-    matmul per Arrow batch (see module docstring); exact ties break to
-    the lowest cluster id (argmax first-max over ascending ids)."""
+    """Adds (cluster, cos_to_centroid): best-centroid assignment against
+    the (closure-broadcast) centroids. Map-only, one vectorised numpy
+    pass per Arrow batch (see module docstring); exact ties break to
+    the lowest cluster id (first-max/-min over ascending ids).
+
+    metric="cos" (default): argmax cosine via one row-normalised BLAS
+    matmul — the semantic-similarity metric the embedding family uses.
+    metric="l2": argmin SQUARED euclidean distance, computed per
+    element as (v-c)^2 (NOT the ||v||^2-2vc+||c||^2 expansion, whose
+    different float path would diverge from the oracle's direct form) —
+    the product-quantisation codebook metric. The score column keeps
+    its name for compatibility; for l2 it holds the squared distance."""
     ids = np.array([c for c, _ in centroids], dtype=np.int64)
     assert (np.diff(ids) > 0).all(), "centroids must be sorted by cluster id"
+    assert metric in ("cos", "l2"), metric
     C = np.array([v for _, v in centroids], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = (
+        C / np.linalg.norm(C, axis=1, keepdims=True) if metric == "cos" else C
+    )
 
     @F.pandas_udf("struct<cluster:bigint, cos:double>")
     def _assign(v: pd.Series) -> pd.DataFrame:
@@ -78,9 +90,14 @@ def assign_to_centroids(
                 }
             )
         V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sim = Vn @ Cn.T  # n x k
-        best = sim.argmax(axis=1)
+        if metric == "cos":
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sim = Vn @ Cn.T  # n x k
+            best = sim.argmax(axis=1)
+        else:
+            d2 = ((V[:, None, :] - Cn[None, :, :]) ** 2).sum(axis=2)  # n x k
+            best = d2.argmin(axis=1)
+            sim = d2
         return pd.DataFrame(
             {"cluster": ids[best], "cos": sim[np.arange(len(V)), best]}
         )
@@ -138,6 +155,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     round_digits: int = 6,
     tol: float | None = None,
+    metric: str = "cos",
 ) -> Centroids:
     """Lloyd's k-means: ``iters`` rounds of assign + per-dimension mean.
     Returns the final centroids (cluster id -> vector); clusters that
@@ -171,7 +189,7 @@ def kmeans_fit(
     )
     d = len(cents[0][1])
     for _ in range(iters):
-        a = assign_to_centroids(emb, cents, vec_col=vec_col)
+        a = assign_to_centroids(emb, cents, vec_col=vec_col, metric=metric)
         rows = (
             a.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cluster", "pos")

@@ -157,6 +157,148 @@ def ivf_topk(
     )
 
 
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 1,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantisation codebooks (Jégou/Douze/Schmid 2011, public
+    literature): split each vector into ``m`` contiguous subvectors and
+    run an independent L2 k-means (``k_codes`` codewords) per subspace.
+    Returns a list of m Centroids (cluster ids = the init vectors' ids,
+    per the kmeans_fit determinism contract).
+
+    Scale: each subspace fit is the standard MLlib-shaped Lloyd loop —
+    map-only assignment, k x dsub driver collect — over a SLICE
+    projection of the corpus; m fits run sequentially on the driver but
+    each is one scan (m scans total; at 100 TB you fit on a sample)."""
+    assert n_dims % m == 0, (n_dims, m)
+    dsub = n_dims // m
+    from .clustering import kmeans_fit
+
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv")
+        )
+        books.append(
+            kmeans_fit(
+                sub, k=k_codes, iters=iters, id_col=id_col, vec_col="sv",
+                metric="l2",
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<bigint>) — each vector compressed to m codeword
+    ids (nearest L2 codeword per subspace, ties to the lowest code id).
+    ONE Arrow-batched pass computes all m argmins (codebooks ride the
+    closure); this is the 100 TB storage representation: m * 1-8 bytes
+    per vector instead of n_dims * 4."""
+    metas = []
+    offset = 0
+    for book in codebooks:
+        ids = np.array([c for c, _ in book], dtype=np.int64)
+        C = np.array([v for _, v in book], dtype=np.float64)
+        metas.append((offset, ids, C))
+        offset += C.shape[1]
+
+    @F.pandas_udf("array<bigint>")
+    def _encode(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        cols = []
+        for off, ids, C in metas:
+            S = V[:, off : off + C.shape[1]]
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cols.append(ids[d2.argmin(axis=1)])
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 1,
+    k: int = 5,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    queries keep exact vectors, neighbors are m codeword ids, and the
+    score is the sum over subspaces of the (query subvector -> codeword)
+    squared distance. Returns (query_id, neighbor_id, rank), ranked
+    ascending by distance; ranking keys on the 3-decimal-rounded score
+    (per-entry distances rounded to 6) so engine summation order can't
+    reorder near-ties — the bm25 determinism pattern.
+
+    Scale shape: the per-(query, subspace, code) distance TABLE is
+    |queries| * m * k_codes rows built driver-side from the collected
+    (bounded, documented) query sample and broadcast; the corpus moves
+    once as exploded (neighbor, subspace, code) rows — integers only,
+    no vectors — through one broadcast equi-join and one sum
+    aggregation. That is the whole point of PQ at 100 TB: search
+    touches m-byte codes, never float vectors."""
+    from ..functions.portable import round_portable
+
+    books = pq_train(
+        emb, m=m, k_codes=k_codes, iters=iters, n_dims=n_dims,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+
+    q = emb if max_query_id is None else emb.filter(F.col(id_col) < max_query_id)
+    q_rows = q.select(F.col(id_col), F.col(vec_col)).collect()  # bounded sample
+    dsub = n_dims // m
+    table = []
+    for r in q_rows:
+        qv = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+        for j, book in enumerate(books):
+            s = qv[j * dsub : (j + 1) * dsub]
+            for code_id, cw in book:
+                d2 = float(((s - np.asarray(cw, dtype=np.float64)) ** 2).sum())
+                # portable floor-round, same op order as the oracle
+                table.append(
+                    (int(r[0]), j, int(code_id), float(np.floor(d2 * 1e6 + 0.5) / 1e6))
+                )
+    dtab = emb.sparkSession.createDataFrame(
+        table, "query_id bigint, subspace int, code bigint, d2 double"
+    )
+
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("dist"))
+        .withColumn("dist3", round_portable(F.col("dist"), 3))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist3"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1): md5 of
     (plane, dim) scaled — a driver-side constant, so the per-row work is

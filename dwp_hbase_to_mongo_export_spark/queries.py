@@ -394,6 +394,7 @@ _register_extra_modules()
 DRIVER_WINDOW = [
     # NEW in round 5 — first driver evidence
     "ann_recall_report",
+    "similarity_topk_pq",
     # code changed in round 5 — re-evidence first
     "similarity_topk_ivf",
     "similarity_topk_ivf_trained",

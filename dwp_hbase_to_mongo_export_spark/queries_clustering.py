@@ -291,3 +291,104 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate rankings are value-checked, not just rows-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.int8_topk(emb, k=5, max_query_id=10)
+
+
+# Product quantisation: m independent L2 k-means over contiguous
+# subvector slices, unrolled into CTE layers exactly like the cosine
+# k-means above. list_distance orders assignments (monotonic in the
+# squared distance both engines compute); codeword means are
+# floor-rounded to 6 so iteration noise can't flip later assignments.
+_PQ_M, _PQ_KC, _PQ_ITERS, _PQ_DSUB = 4, 8, 1, 16
+
+
+def _pq_ctes() -> str:
+    parts = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+        parts.append(
+            f"v{j} AS (SELECT vec_id, CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS e FROM embeddings)"
+        )
+        parts.append(
+            f"c{j}_0 AS (SELECT vec_id AS cluster, e AS cv FROM v{j} ORDER BY vec_id LIMIT {_PQ_KC})"
+        )
+
+        def assign(name: str, cents: str) -> str:
+            return f"""{name} AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT v.vec_id, v.e, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, c.cv) ASC, c.cluster) AS rn
+        FROM v{j} v CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+        for t in range(1, _PQ_ITERS + 1):
+            parts.append(assign(f"a{j}_{t}", f"c{j}_{t - 1}"))
+            parts.append(
+                f"""c{j}_{t} AS (
+      SELECT cluster, list(x ORDER BY pos) AS cv FROM (
+        SELECT cluster, g.i AS pos,
+               floor(avg(e[g.i]) * 1000000.0 + 0.5) / 1000000.0 AS x
+        FROM a{j}_{t}, (SELECT unnest(range(1, {_PQ_DSUB + 1})) AS i) g
+        GROUP BY cluster, g.i)
+      GROUP BY cluster)"""
+            )
+        parts.append(assign(f"af{j}", f"c{j}_{_PQ_ITERS}"))
+    parts.append(
+        "codes AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {j} AS subspace, cluster AS code FROM af{j}"
+            for j in range(_PQ_M)
+        )
+        + ")"
+    )
+    parts.append(
+        "cw AS ("
+        + " UNION ALL ".join(
+            f"SELECT {j} AS subspace, cluster AS code, cv FROM c{j}_{_PQ_ITERS}"
+            for j in range(_PQ_M)
+        )
+        + ")"
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+    dtab AS (
+      SELECT q.query_id, w.subspace, w.code,
+             floor(list_aggregate(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+                 (q.qe[CAST(w.subspace * {_PQ_DSUB} + i AS INT)]
+                  - w.cv[CAST(i AS INT)]) ^ 2), 'sum')
+               * 1000000.0 + 0.5) / 1000000.0 AS d2
+      FROM qs q CROSS JOIN cw w),
+    scored AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id,
+             floor(sum(d.d2) * 1000.0 + 0.5) / 1000.0 AS dist3
+      FROM codes c JOIN dtab d ON d.subspace = c.subspace AND d.code = c.code
+      WHERE c.vec_id != d.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist3 ASC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantised ANN (Jégou et al. 2011): the corpus compressed
+    to m=4 codeword ids per vector (independent L2 k-means per
+    contiguous subspace), searched by asymmetric distance — query
+    subvector to codeword distance tables summed over subspaces
+    (operators/similarity.pq_train/pq_encode/pq_topk). This is the
+    memory-bound 100 TB deployment shape: search touches m small ints
+    per vector, never the float embeddings; the distance table is
+    |queries| x m x k_codes, broadcast. Rankings key on the rounded
+    score (entries rounded 6, sums rounded 3) so engine summation
+    order can't reorder near-ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, m=_PQ_M, k_codes=_PQ_KC, iters=_PQ_ITERS, k=5, max_query_id=10
+    )
