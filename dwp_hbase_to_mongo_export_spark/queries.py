@@ -395,6 +395,7 @@ DRIVER_WINDOW = [
     # NEW in round 5 — first driver evidence
     "ann_recall_report",
     "similarity_topk_pq",
+    "corpus_drift_psi",
     # code changed in round 5 — re-evidence first
     "similarity_topk_ivf",
     "similarity_topk_ivf_trained",

@@ -593,3 +593,113 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(scope).alias("scope"), "k_used", "kth_hash", "est_distinct")
 
     return sketch_agg(merged, "merged").unionAll(sketch_agg(direct, "direct"))
+
+
+@query(
+    "corpus_drift_psi",
+    oracle="""
+    WITH cohorts AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'ref' ELSE 'cur' END AS cohort,
+             least(CAST(floor(n_chars / 100.0) AS BIGINT), 9) AS b_chars,
+             least(CAST(floor(len(string_split(text, ' ')) / 20.0) AS BIGINT), 9) AS b_tokens
+      FROM documents
+    ),
+    feat AS (
+      SELECT cohort, 'n_chars' AS feature, b_chars AS bucket FROM cohorts
+      UNION ALL
+      SELECT cohort, 'n_tokens' AS feature, b_tokens AS bucket FROM cohorts
+    ),
+    counts AS (
+      SELECT feature, bucket,
+             sum(CASE WHEN cohort = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM feat GROUP BY feature, bucket
+    ),
+    tot AS (
+      SELECT feature, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+      FROM counts GROUP BY feature
+    ),
+    shares AS (
+      SELECT c.feature, c.bucket,
+             c.n_ref * 1.0 / t.t_ref AS ref_share,
+             c.n_cur * 1.0 / t.t_cur AS cur_share
+      FROM counts c JOIN tot t ON t.feature = c.feature
+    )
+    SELECT feature, bucket,
+           floor(ref_share * 10000.0 + 0.5) / 10000.0 AS ref_share,
+           floor(cur_share * 10000.0 + 0.5) / 10000.0 AS cur_share,
+           floor((cur_share - ref_share)
+                 * ln((cur_share + 0.000001) / (ref_share + 0.000001))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_contrib
+    FROM shares
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus cohorts — the
+    population-stability-index (PSI) check a training pipeline runs
+    between the reference snapshot and a fresh ingest before retraining
+    (per-bucket shares + PSI contributions; sum a feature's contribs
+    >= ~0.2 and the ingest distribution has materially shifted). The
+    cohort split here is a deterministic md5 gate standing in for the
+    old/new snapshot ids, so both engines bucket identical populations.
+
+    Scale: one pass builds (cohort, feature-bucket) rows; the only
+    shuffles carry FEATURE x BUCKET counts (here 2 x 10), then
+    broadcast-sized share/PSI math — corpus bytes never move, so the
+    same plan holds when the cohorts are 100 TB snapshots. The eps in
+    the log guards empty buckets identically on both engines."""
+    from .functions.portable import round_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("drift:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    cohorts = docs.select(
+        F.when(gate == 0, "ref").otherwise("cur").alias("cohort"),
+        F.least(F.floor(F.col("n_chars") / 100.0), F.lit(9)).alias("b_chars"),
+        F.least(
+            F.floor(F.size(F.split(F.col("text"), " ")) / 20.0), F.lit(9)
+        ).alias("b_tokens"),
+    )
+    feat = cohorts.select(
+        "cohort", F.lit("n_chars").alias("feature"), F.col("b_chars").alias("bucket")
+    ).unionAll(
+        cohorts.select(
+            "cohort",
+            F.lit("n_tokens").alias("feature"),
+            F.col("b_tokens").alias("bucket"),
+        )
+    )
+    counts = feat.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("cohort") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cohort") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.groupBy("feature").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    shares = counts.join(F.broadcast(tot), "feature").select(
+        "feature",
+        "bucket",
+        (F.col("n_ref") / F.col("t_ref")).alias("ref_share_raw"),
+        (F.col("n_cur") / F.col("t_cur")).alias("cur_share_raw"),
+    )
+    eps = F.lit(0.000001)
+    return shares.select(
+        "feature",
+        "bucket",
+        round_portable(F.col("ref_share_raw"), 4).alias("ref_share"),
+        round_portable(F.col("cur_share_raw"), 4).alias("cur_share"),
+        round_portable(
+            (F.col("cur_share_raw") - F.col("ref_share_raw"))
+            * F.log((F.col("cur_share_raw") + eps) / (F.col("ref_share_raw") + eps)),
+            6,
+        ).alias("psi_contrib"),
+    )
