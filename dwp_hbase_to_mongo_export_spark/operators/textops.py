@@ -63,7 +63,12 @@ def bpe_ish_token_count(c: Column) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features + composite score (rounded for
-    oracle comparability)."""
+    oracle comparability). CPU-heavy regex/tokenise chain: input
+    parallelism is decoupled from file layout (one-split small corpora
+    would otherwise serialise it on one core; no-op at scale)."""
+    from ..sources.parquet import ensure_parallelism
+
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_toks = token_count(c)
@@ -537,8 +542,14 @@ def winnowing_fingerprints(
     unchanged."""
     import hashlib
 
+    from ..sources.parquet import ensure_parallelism
+
     s = normalize_text(F.col(text_col), max_chars)
-    base = corpus.select(F.col(id_col), s.alias("s")).filter(
+    # the per-gram md5 below is the operator's dominant cost: decouple
+    # its parallelism from the input file layout (a small corpus
+    # arrives as ONE split and would serialise the UDF on one core;
+    # no-op at scale where the table has many splits)
+    base = ensure_parallelism(corpus).select(F.col(id_col), s.alias("s")).filter(
         F.length("s") >= k + window - 1
     )
 
