@@ -54,6 +54,25 @@ from .similarity import norm
 Centroids = list[tuple[int, list[float]]]
 
 
+def rows_to_centroids(rows) -> Centroids:
+    """Collected (id, vector) rows -> the sorted driver-side Centroids
+    form every assignment kernel takes (ids ascending = the tie-break
+    contract). Shared by kmeans_fit's init, ivf_topk's centroid
+    collect, and pq_train's init."""
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _centroid_arrays(centroids: Centroids, normalise: bool):
+    """(ids, matrix) as numpy arrays for a UDF closure; asserts the
+    ascending-id tie-break invariant; row-normalises for cosine."""
+    ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    assert (np.diff(ids) > 0).all(), "centroids must be sorted by cluster id"
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    if normalise:
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return ids, C
+
+
 def assign_to_centroids(
     emb: DataFrame,
     centroids: Centroids,
@@ -72,13 +91,8 @@ def assign_to_centroids(
     different float path would diverge from the oracle's direct form) —
     the product-quantisation codebook metric. The score column keeps
     its name for compatibility; for l2 it holds the squared distance."""
-    ids = np.array([c for c, _ in centroids], dtype=np.int64)
-    assert (np.diff(ids) > 0).all(), "centroids must be sorted by cluster id"
     assert metric in ("cos", "l2"), metric
-    C = np.array([v for _, v in centroids], dtype=np.float64)
-    Cn = (
-        C / np.linalg.norm(C, axis=1, keepdims=True) if metric == "cos" else C
-    )
+    ids, Cn = _centroid_arrays(centroids, normalise=metric == "cos")
 
     @F.pandas_udf("struct<cluster:bigint, cos:double>")
     def _assign(v: pd.Series) -> pd.DataFrame:
@@ -126,10 +140,7 @@ def assign_topn_centroids(
     each query's probe set. Ties break to the lowest cluster id
     (stable sort over ascending ids), matching the oracle's
     ORDER BY cos DESC, cluster ASC."""
-    ids = np.array([c for c, _ in centroids], dtype=np.int64)
-    assert (np.diff(ids) > 0).all(), "centroids must be sorted by cluster id"
-    C = np.array([v for _, v in centroids], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids, Cn = _centroid_arrays(centroids, normalise=True)
     n_eff = min(n, len(ids))
 
     @F.pandas_udf("array<bigint>")
@@ -184,9 +195,7 @@ def kmeans_fit(
             "cannot fit k-means on an empty input frame (zero rows after "
             "filters?) — every clustering entry point calls through here"
         )
-    cents: Centroids = sorted(
-        (r["cluster"], [float(x) for x in r["v"]]) for r in init
-    )
+    cents: Centroids = rows_to_centroids(init)
     d = len(cents[0][1])
     for _ in range(iters):
         a = assign_to_centroids(emb, cents, vec_col=vec_col, metric=metric)

@@ -105,7 +105,7 @@ def ivf_topk(
     version was correct but evaluated |rows| x |centroids| interpreted
     HOF cosines and shuffled the corpus by unique id just to take an
     argmax — ~1.6x slower at sf0.1 and the wrong shape at 100x.)"""
-    from .clustering import Centroids as _C, assign_topn_centroids
+    from .clustering import assign_topn_centroids, rows_to_centroids
 
     if centroids is not None:
         cent_rows = centroids.select(
@@ -118,7 +118,7 @@ def ivf_topk(
             .select(F.col(id_col).cast("bigint"), F.col(vec_col))
             .collect()
         )
-    cents: _C = sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
+    cents = rows_to_centroids(cent_rows)
     if not cents:
         raise ValueError(
             "ivf_topk: empty centroid set (stride larger than the id "
@@ -194,7 +194,9 @@ def pq_train(
     )
     if not init:
         raise ValueError("cannot fit PQ codebooks on an empty input frame")
-    full = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
+    from .clustering import rows_to_centroids
+
+    full = rows_to_centroids(init)
     books = [
         [(cid, v[j * dsub : (j + 1) * dsub]) for cid, v in full]
         for j in range(m)

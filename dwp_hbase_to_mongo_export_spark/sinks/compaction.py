@@ -160,7 +160,7 @@ def compact_partitioned_dir(
         )
     per: dict[str, dict] = {}
     n_compacted = 0
-    for leaf in sorted(leaves):
+    for leaf in leaves:
         res = compact_parquet_dir(
             spark,
             leaf,
