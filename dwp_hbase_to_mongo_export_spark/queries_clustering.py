@@ -1,6 +1,6 @@
 """Catalog entries for the k-means clustering family
 (operators/clustering.py): cluster summary, SemDeDup semantic dedup,
-and the trained-centroid IVF index.
+the trained-centroid IVF index, and product-quantised ANN search.
 
 The DuckDB oracles reproduce Lloyd's algorithm EXACTLY by unrolling the
 fixed iteration count into CTE layers — init from the k lowest-id
