@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -132,11 +133,25 @@ def main() -> None:
     # stay SHORT — the driver keeps only the last 2000 chars of output, so a
     # 90-query JSON line gets truncated mid-line and recorded as unparseable
     # (round 1's BENCH_r01.json: rc=0, parsed=null, tail len=2000).
+    #
+    # The COMMITTED bench_full.json is only rewritten under --refresh:
+    # it is the canonical quiet-run record, and a driver/CI invocation
+    # overwriting it with its own (noisier) numbers leaves the working
+    # tree dirty and de-canonicalises the committed run. Default runs
+    # write the full map to an uncommitted side path instead.
+    if "--refresh" in sys.argv:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+    else:
+        full_path = os.path.join(
+            tempfile.gettempdir(), "spark_graft_bench_full.json"
+        )
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        with open(full_path, "w") as f:
             json.dump({"total": total, "sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
     except OSError as e:
-        print(f"bench_full.json write failed: {e}", file=sys.stderr)
+        print(f"bench full-map write failed ({full_path}): {e}", file=sys.stderr)
 
     reported = {n: timings[n] for n in HEADLINE if n in timings}
     line = json.dumps(

@@ -588,6 +588,7 @@ def winnowing_overlap_pairs(
     k: int = 5,
     window: int = 4,
     max_chars: int = 256,
+    *,
     max_df: int | None = None,
     df_fraction: float = 0.04,
     abs_max_df: int = 200,

@@ -107,9 +107,13 @@ _ID_OFFSET = 1_000_000_000  # replica r shifts ids by r * this
 def _replica_signs(r: int, dims: int = 64) -> list[float]:
     """Deterministic ±1 pattern per replica: sign-flipping embedding
     dimensions decorrelates replicas (E[cos] ~ 0 across replicas) while
-    preserving each replica's internal similarity structure exactly."""
+    preserving each replica's internal similarity structure exactly.
+    Replica 0 is the identity (all +1) so its vectors stay verbatim —
+    the same identity-at-zero contract as _rotated_alphabet."""
     import hashlib
 
+    if r == 0:
+        return [1.0] * dims
     out = []
     for d in range(dims):
         h = hashlib.md5(f"sweep-sign:{r}:{d}".encode()).digest()[0]
@@ -149,7 +153,14 @@ def build_distinct_replica(spark, n: int, root: str) -> str:
     from pyspark.sql import functions as F
 
     d = os.path.join(root, f"distinct_x{n}")
-    if os.path.isdir(os.path.join(d, "documents.parquet")):
+    # rebuild-skip keys on the writes' _SUCCESS markers, not directory
+    # existence: Spark creates the output dir before the write commits,
+    # so a crash mid-write would otherwise leave a partial replica that
+    # later sweeps silently reuse, corrupting the growth numbers
+    if all(
+        os.path.exists(os.path.join(d, f"{t}.parquet", "_SUCCESS"))
+        for t in ("embeddings", "documents")
+    ):
         return d
     os.makedirs(d, exist_ok=True)
     for t in TABLES:
