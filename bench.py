@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_indexed",
     "text_langid",
     "token_counts",
     "asof_click_attribution",

@@ -70,6 +70,167 @@ def brute_force_topk(
     )
 
 
+def _resolve_centroids(
+    emb: DataFrame,
+    centroids: DataFrame | None,
+    centroid_stride: int,
+    max_centroids: int | None,
+    id_col: str,
+    vec_col: str,
+):
+    """Driver-side centroid table for the IVF family.
+
+    Trained path: any (cent_id, cent_vec) frame (k rows, k-bounded by
+    construction — the same bounded class as kmeans_fit's update
+    collect). Stride path (fixture/bootstrap default): a deterministic
+    id-stride subset of the corpus — reproducible for the oracle, but
+    its size is |corpus|/stride, which grows linearly with the corpus.
+    ``max_centroids`` is the guard that keeps the driver collect
+    bounded at scale: when the stride would select more than
+    ``max_centroids`` rows (estimated from one column-free count), the
+    stride is widened by the smallest integer factor that brings the
+    selection back under the cap. Fixture-sized corpora are unaffected
+    (the oracle mirrors stride-100 selection exactly); a 100 TB corpus
+    should pass trained centroids anyway — the widened stride is the
+    honest fallback, not the recommended index."""
+    import math
+
+    from .clustering import rows_to_centroids
+
+    if centroids is not None:
+        cent_rows = centroids.select(
+            F.col(centroids.columns[0]).cast("bigint"),
+            F.col(centroids.columns[1]),
+        ).collect()
+    else:
+        stride = centroid_stride
+        if max_centroids is not None:
+            n = emb.count()
+            widen = max(1, math.ceil(n / (centroid_stride * max_centroids)))
+            stride = centroid_stride * widen
+        cent_rows = (
+            emb.filter(F.col(id_col) % stride == 0)
+            .select(F.col(id_col).cast("bigint"), F.col(vec_col))
+            .collect()
+        )
+    cents = rows_to_centroids(cent_rows)
+    if not cents:
+        raise ValueError(
+            "empty centroid set (stride larger than the id range, or an "
+            "empty centroids frame) — no posting lists can exist; lower "
+            "centroid_stride or pass trained centroids"
+        )
+    return cents
+
+
+def _nearest_centroids(
+    df: DataFrame, cents, n: int, vec_col: str, out: str
+) -> DataFrame:
+    """top-n centroids per row by cosine, exploded to one row per
+    (row, centroid); ties to lowest id — map-only BLAS kernel (see
+    build_ivf_index's assignment-shape note)."""
+    from .clustering import assign_topn_centroids
+
+    a = assign_topn_centroids(df, cents, n=n, vec_col=vec_col, out_col="_nc")
+    return a.select(df["*"], F.explode("_nc").alias(out))
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    centroid_stride: int = 100,
+    max_centroids: int | None = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    repartition: bool = True,
+    persist: bool = True,
+):
+    """Build the IVF inverted file ONCE: assign every corpus vector to
+    its nearest coarse centroid and materialise the posting-list
+    relation (cluster, neighbor_id, cv), hash-partitioned by cluster id
+    and persisted (memory-and-disk, slot-cached so re-invocations on
+    the same corpus reuse the already-built index instead of
+    re-assigning). Returns ``(index, cents)`` — pass both to
+    ``query_ivf``.
+
+    This is the partition-once-scan-many discipline the reference
+    applies to its scan partitioning (HBasePartitioner.kt:12-37 builds
+    the region-chunk table once per export, every scanner then reads
+    its slice): the corpus-wide assignment + shuffle is BUILD cost,
+    paid once; query-time joins touch the index without moving the
+    corpus again. At 100 TB the persisted relation is the bucketed
+    posting-list table and nprobe/|centroids| of it is what a probe
+    reads.
+
+    Assignment shape: one map-only BLAS matmul per Arrow batch against
+    the driver-collected centroid table (clustering.assign_topn_
+    centroids, k x d doubles in the task closure) — no crossJoin row
+    blow-up, no per-row window shuffle. The only build-time exchange is
+    the cluster-id repartition that gives the index its bucketed
+    layout (skippable via ``repartition=False`` for one-shot use)."""
+    from ._cache import swap_cache
+
+    cents = _resolve_centroids(
+        emb, centroids, centroid_stride, max_centroids, id_col, vec_col
+    )
+    index = _nearest_centroids(emb, cents, 1, vec_col, "cluster").select(
+        "cluster",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    if repartition:
+        index = index.repartition("cluster")
+    if persist:
+        index = swap_cache("ivf_index", index)
+    return index, cents
+
+
+def query_ivf(
+    index: DataFrame,
+    cents,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Probe a built IVF index: each query row picks its ``nprobe``
+    nearest centroids (the same map-only kernel as the build) and
+    exact-ranks the candidates in those centroids' posting lists.
+    Returns (query_id, neighbor_id, rank).
+
+    Query-time plan: with ``broadcast_probes`` (right whenever the
+    query set is sampling-sized — the production shape) the probe
+    relation is broadcast, so the posting-list join has NO corpus-side
+    exchange at all: the index is read in place (in-memory/bucketed)
+    and the only shuffle is the final per-query rank, which moves
+    candidate rows — query-set-sized, not corpus-sized. Set
+    ``broadcast_probes=False`` for corpus-scale query sets; the join
+    then shuffles only the probe side when the index kept its
+    cluster-id partitioning."""
+    probes = _nearest_centroids(queries, cents, nprobe, vec_col, "cluster").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster"
+    )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    # no dropDuplicates: a neighbor lives in exactly one posting list and
+    # a query's nprobe probes are distinct, so (query_id, neighbor_id)
+    # pairs are unique by construction — a dedup would be a whole extra
+    # shuffle for nothing
+    scored = (
+        probes.join(index, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -79,81 +240,50 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_query_id: int | None = None,
     centroids: DataFrame | None = None,
+    max_centroids: int | None = 4096,
 ) -> DataFrame:
-    """IVF-style approximate top-k: an inverted file over coarse
-    centroids. Every vector is assigned to its nearest centroid (a
-    map-only vectorised argmax — the centroid table is tiny and rides
-    the task closure); each query probes only its `nprobe` nearest
-    centroids' posting lists and exact-ranks those candidates. At
-    100 TB the corpus is hash-partitioned by centroid id, so a probe
-    touches nprobe/|centroids| of the data.
+    """One-shot IVF approximate top-k: build_ivf_index + query_ivf
+    composed WITHOUT persisting — the right plan when the corpus is
+    scanned once and thrown away (ad-hoc queries, the oracle gate).
+    Anything that queries the same corpus repeatedly should call
+    build_ivf_index once and query_ivf per batch instead: this
+    function re-assigns the whole corpus per invocation by design.
 
     Centroids default to a deterministic id-stride subset of the corpus
-    (reproducible for the oracle); pass ``centroids`` — any
-    (cent_id, cent_vec) frame, e.g. clustering.centroids_df output —
-    to use trained k-means centroids instead. The dataflow is identical.
-    Returns (query_id, neighbor_id, rank).
+    (reproducible for the oracle; ``max_centroids`` bounds the driver
+    collect at scale — see _resolve_centroids); pass ``centroids`` —
+    any (cent_id, cent_vec) frame, e.g. clustering.centroids_df output
+    — to use trained k-means centroids instead. The dataflow is
+    identical. Returns (query_id, neighbor_id, rank).
 
-    Assignment shape: BOTH the posting-list build (top-1) and the probe
-    pick (top-nprobe) run through clustering.assign_topn_centroids —
-    ONE map-only BLAS matmul per Arrow batch against the
-    driver-collected centroid table (k x d doubles, the same bounded
-    class as kmeans_fit's update collect). No crossJoin row blow-up, no
-    per-row window shuffle: the only exchanges left are the posting-
-    list equi-join and the final per-query rank — the IVF plan's
-    irreducible ones. (The earlier crossJoin(broadcast)+row_number
-    version was correct but evaluated |rows| x |centroids| interpreted
-    HOF cosines and shuffled the corpus by unique id just to take an
-    argmax — ~1.6x slower at sf0.1 and the wrong shape at 100x.)"""
-    from .clustering import assign_topn_centroids, rows_to_centroids
-
-    if centroids is not None:
-        cent_rows = centroids.select(
-            F.col(centroids.columns[0]).cast("bigint"),
-            F.col(centroids.columns[1]),
-        ).collect()
-    else:
-        cent_rows = (
-            emb.filter(F.col(id_col) % centroid_stride == 0)
-            .select(F.col(id_col).cast("bigint"), F.col(vec_col))
-            .collect()
-        )
-    cents = rows_to_centroids(cent_rows)
-    if not cents:
-        raise ValueError(
-            "ivf_topk: empty centroid set (stride larger than the id "
-            "range, or an empty centroids frame) — no posting lists "
-            "can exist; lower centroid_stride or pass trained centroids"
-        )
-
-    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
-        """top-n centroids per row of df by cosine; ties to lowest id —
-        map-only (see assignment-shape note above)."""
-        a = assign_topn_centroids(df, cents, n=n, vec_col=vec_col, out_col="_nc")
-        return a.select(df["*"], F.explode("_nc").alias(out))
-
-    assigned = nearest(emb, 1, "cluster")  # inverted file: vector -> centroid
+    Plan shape: both assignment passes are map-only BLAS (see
+    build_ivf_index); with a bounded query sample the probe side is
+    broadcast, so even the one-shot form moves the corpus only through
+    the final candidate rank. (The earlier crossJoin(broadcast)+
+    row_number assignment was correct but evaluated |rows| x
+    |centroids| interpreted HOF cosines and shuffled the corpus by
+    unique id just to take an argmax — ~1.6x slower at sf0.1 and the
+    wrong shape at 100x.)"""
+    index, cents = build_ivf_index(
+        emb,
+        centroids=centroids,
+        centroid_stride=centroid_stride,
+        max_centroids=max_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        repartition=False,
+        persist=False,
+    )
     q = emb if max_query_id is None else emb.filter(F.col(id_col) < max_query_id)
-    probes = nearest(q, nprobe, "probe").select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "probe"
-    )
-    cands = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("cluster").alias("probe")
-    )
-    # no dropDuplicates: a neighbor lives in exactly one posting list and
-    # a query's nprobe probes are distinct, so (query_id, neighbor_id)
-    # pairs are unique by construction — the dedup was a whole extra
-    # shuffle for nothing
-    scored = (
-        probes.join(cands, "probe")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    return query_ivf(
+        index,
+        cents,
+        q,
+        nprobe=nprobe,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        broadcast_probes=max_query_id is not None,
     )
 
 

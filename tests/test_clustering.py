@@ -86,6 +86,56 @@ def test_trained_ivf_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, f"trained-IVF recall {recall:.2f}"
 
 
+def test_ivf_build_query_split_matches_one_shot(spark, emb):
+    """build_ivf_index + query_ivf must return exactly the one-shot
+    ivf_topk result (same centroids, same posting lists, same ranks) —
+    the split changes the PLAN (persisted index, broadcast probes),
+    never the answer. Also pins index reuse: a second build on the same
+    corpus returns the SAME persisted frame (slot-cache hit), so
+    repeated query batches skip the corpus-wide assignment."""
+    from dwp_hbase_to_mongo_export_spark.operators._cache import release
+
+    one_shot = {
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, k=5, centroid_stride=100, nprobe=2, max_query_id=10
+        ).collect()
+    }
+    try:
+        index, cents = similarity.build_ivf_index(emb, centroid_stride=100)
+        split = {
+            tuple(r)
+            for r in similarity.query_ivf(
+                index, cents, emb.filter(F.col("vec_id") < 10), nprobe=2, k=5
+            ).collect()
+        }
+        assert split == one_shot
+        index2, cents2 = similarity.build_ivf_index(emb, centroid_stride=100)
+        assert index2 is index  # slot-cache hit — the build ran once
+        assert cents2 == cents
+    finally:
+        release("ivf_index")
+
+
+def test_ivf_stride_centroid_count_is_capped(spark, emb):
+    """The stride centroid path widens the stride when it would select
+    more than max_centroids rows — the driver-side collect stays
+    bounded no matter the corpus size (with trained centroids the k
+    bound does this by construction). Results remain a valid IVF
+    ranking: every reported neighbor is a real corpus id and every
+    query gets rows."""
+    cents = similarity._resolve_centroids(
+        emb, None, 1, max_centroids=10, id_col="vec_id", vec_col="embedding"
+    )
+    assert len(cents) <= 10
+    got = similarity.ivf_topk(
+        emb, k=3, centroid_stride=1, nprobe=2, max_query_id=5, max_centroids=10
+    ).collect()
+    assert {r.query_id for r in got} == set(range(5))
+    ids = {r[0] for r in emb.select("vec_id").collect()}
+    assert all(r.neighbor_id in ids for r in got)
+
+
 def test_centroids_df_shape(spark, emb):
     cents = clustering.kmeans_fit(emb, k=4, iters=1)
     cdf = clustering.centroids_df(spark, cents)

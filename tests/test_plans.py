@@ -162,6 +162,45 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
         assert plan.count("Window (") == 1, (name, plan)
 
 
+def test_ivf_index_query_time_moves_no_corpus_rows(spark, sf_dir):
+    """The build/query split's whole point: once build_ivf_index has
+    materialised the posting-list relation, query_ivf's plan must (a)
+    read the index from the persisted relation (InMemoryTableScan, not
+    a re-scan + re-assignment of the corpus), (b) broadcast the probe
+    side, and (c) contain exactly ONE hash-partitioning exchange — the
+    final per-query rank over candidate rows. A corpus-side Exchange
+    here would mean query-time is silently paying the build again."""
+    import re
+
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.operators._cache import release
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    index, cents = similarity.build_ivf_index(emb, centroid_stride=100)
+    try:
+        index.count()  # materialise: build cost paid HERE, not at query time
+        out = similarity.query_ivf(
+            index, cents, emb.filter(F.col("vec_id") < 10), nprobe=2, k=5
+        )
+        plan = _plan(out)
+        assert "InMemoryTableScan" in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        # Everything from the first InMemoryRelation down is the cached
+        # index's RECORDED build plan (its Exchange already ran at build
+        # time) — the query-time tree is the prefix above it.
+        query_tree = plan.split("InMemoryRelation")[0]
+        shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", query_tree)
+        assert len(shuffles) == 1, query_tree
+        # and that one exchange is the final per-query rank, not a
+        # corpus repartition
+        assert "hashpartitioning(query_id" in plan, plan
+        assert "hashpartitioning(cluster" not in plan.split("InMemoryRelation")[0]
+    finally:
+        release("ivf_index")
+
+
 def test_sequence_packing_single_exchange(spark, sf_dir):
     """The shard-parallel packer must shuffle ONCE (on shard): the
     window and both aggregate phases are co-partitioned, so a second
