@@ -382,70 +382,24 @@ _register_extra_modules()
 # window is explicit data that ONLY __spark_entry__ applies when handing
 # the catalog to the external driver.
 #
-# Round-5 window, ordered by evidence staleness (the round-4 verdict's
-# rotation demand): lead with the seven queries whose CODE changed this
-# round (the vectorised IVF assignment pair and the clustering family
-# that moved to portable rounding — their values/plans must be
-# re-evidenced), then every query whose most recent all-true driver row
-# is round 2 (the stalest 22), then round-3 greens oldest-registered
-# first to fill the ~50-query gate prefix; round-4 greens (checked last
-# round) close the list. After this round no query's latest driver
-# evidence should be older than two rounds.
+# Round-6 window, same staleness-first discipline as round 5: lead with
+# the queries whose CODE changed this round (the IVF build/query split —
+# one NEW query plus the three existing consumers of the refactored
+# ivf_topk — and the PQ-extended recall report; winnowing re-evidenced
+# after its keyword-only signature change), then the 30 queries whose
+# most recent all-true driver row is round 3 (the staleness floor after
+# r5), then round-4 greens oldest-registered first to fill the
+# ~50-query gate prefix; round-5 greens (checked last round) close the
+# list. After this round no query's latest driver evidence should
+# predate round 4.
 DRIVER_WINDOW = [
-    # NEW in round 5 — first driver evidence
+    # new or code-changed in round 6 — first driver evidence / re-evidence
+    "similarity_topk_ivf_indexed",
     "ann_recall_report",
-    "similarity_topk_pq",
-    "corpus_drift_psi",
-    # code changed in round 5 — re-evidence first
     "similarity_topk_ivf",
     "similarity_topk_ivf_trained",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "streaming_kmeans_assign",
-    "kmeans_purity",
-    "cluster_prototypes",
-    # last all-true at the driver in round 2 — stalest evidence
-    "dedup_simhash",
-    "dedup_simhash_near",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "token_counts",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "dedup_clusters",
-    "q7_nation_volume",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    # last all-true in round 3
-    "latest_per_key",
-    "time_range_scan",
-    "manifest_projection",
-    "session_windows",
-    "dedup_embedding_cosine_lsh",
-    "text_pii_redact",
-    "text_repetition",
-    "decontaminate_corpus",
-    "multimodal_audio_segments",
-    "dedup_clusters_alternating",
-    "asof_click_attribution",
-    "range_join_click_to_purchase",
-    "moving_avg_and_gaps",
-    "pivot_event_counts",
-    "cube_revenue",
-    "user_days_click_no_purchase",
-    "user_days_click_and_purchase",
-    "embedding_norms",
+    "winnowing_overlap",
+    # last all-true at the driver in round 3 — the staleness floor
     "stat_aggregates",
     "cdc_apply_changelog",
     "grouping_sets_revenue",
@@ -476,7 +430,7 @@ DRIVER_WINDOW = [
     "db_collection_fallback",
     "date_fallback_chain",
     "conditional_field_drop",
-    # round-4 greens — freshest, checked only if the window reaches them
+    # round-4 greens, registration order — the next-stalest tier
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -509,7 +463,6 @@ DRIVER_WINDOW = [
     "dedup_incremental_batch",
     "tfidf_top_terms",
     "bm25_search",
-    "winnowing_overlap",
     "dedup_apply",
     "export_unwrap_roundtrip",
     "snapshot_diff",
@@ -520,6 +473,54 @@ DRIVER_WINDOW = [
     "corpus_global_shuffle",
     "corpus_temperature_mix",
     "data_quality_report",
+    # round-5 greens — freshest, checked only if the window reaches them
+    "latest_per_key",
+    "time_range_scan",
+    "manifest_projection",
+    "session_windows",
+    "corpus_drift_psi",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "streaming_kmeans_assign",
+    "kmeans_purity",
+    "cluster_prototypes",
+    "similarity_topk_pq",
+    "dedup_simhash",
+    "dedup_simhash_near",
+    "dedup_embedding_cosine_lsh",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "token_counts",
+    "text_pii_redact",
+    "text_repetition",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "decontaminate_corpus",
+    "multimodal_audio_segments",
+    "dedup_clusters",
+    "dedup_clusters_alternating",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "asof_click_attribution",
+    "range_join_click_to_purchase",
+    "moving_avg_and_gaps",
+    "pivot_event_counts",
+    "cube_revenue",
+    "user_days_click_no_purchase",
+    "user_days_click_and_purchase",
+    "embedding_norms",
 ]
 
 
