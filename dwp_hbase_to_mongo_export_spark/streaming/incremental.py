@@ -43,15 +43,22 @@ def stream_table(
     name: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """readStream over a parquet table file. The file source needs a
-    directory listing, so the single-file fixture is exposed through a
-    per-call temp dir holding a symlink — zero copy."""
+    """readStream over a parquet table. The file source needs a flat
+    directory listing, so the table — a single-file fixture OR a
+    multi-file directory (the production layout; one file per
+    micro-batch under maxFilesPerTrigger) — is exposed through a
+    per-call temp dir holding per-file symlinks — zero copy."""
     from ..sources.parquet import _normalise_ts, ensure_read_confs
 
     ensure_read_confs(spark)
     src = os.path.join(sf_dir, f"{name}.parquet")
     d = tempfile.mkdtemp(prefix=f"stream_{name}_")
-    os.symlink(src, os.path.join(d, f"{name}.parquet"))
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.symlink(os.path.join(src, f), os.path.join(d, f))
+    else:
+        os.symlink(src, os.path.join(d, f"{name}.parquet"))
     schema = spark.read.parquet(src).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

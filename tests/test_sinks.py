@@ -814,3 +814,65 @@ def test_partitioned_compaction_preserves_layout_and_pruning(spark, sf_dir, tmp_
     assert not os.path.exists(leaves[1] + ".compact-old")
     assert not os.path.exists(leaves[1] + ".compact-staging")
     assert spark.read.parquet(d).count() == ev.count()
+
+
+def test_streaming_export_then_compaction_e2e(spark, sf_dir, tmp_path):
+    """The composition that motivates compaction: the streaming export
+    pipeline's file sink accumulates one parquet file per micro-batch
+    (the 100 TB continuous-export failure mode in miniature), and
+    compact_parquet_dir rewrites the directory to its planned file
+    count with rows and values intact. Source is split into 6 files and
+    drained at maxFilesPerTrigger=1, so the sink provably accumulates
+    multiple micro-batch files before compaction."""
+    import tempfile
+
+    from dwp_hbase_to_mongo_export_spark.queries_pipeline import (
+        TOPIC,
+        build_cells,
+    )
+    from dwp_hbase_to_mongo_export_spark.pipeline import export_topic
+    from dwp_hbase_to_mongo_export_spark.sinks.compaction import (
+        compact_parquet_dir,
+        plan_compaction,
+    )
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from dwp_hbase_to_mongo_export_spark.streaming.incremental import stream_table
+
+    # 6-file copy of orders so the file source produces 6 micro-batches
+    src_root = str(tmp_path / "src")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(6).write.parquet(os.path.join(src_root, "orders.parquet"))
+    stream = stream_table(spark, src_root, "orders", max_files_per_trigger=1)
+
+    cells = build_cells(spark, sf_dir, orders=stream)
+    res = export_topic(cells.drop("okey"), TOPIC, observe_metrics=False)
+    out = res.extra["sink_frame"].select("id", "db_object")
+
+    sink_dir = str(tmp_path / "exported")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_export_compact_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    q.stop()
+
+    before = plan_compaction(sink_dir, target_bytes=10**9)
+    assert before["n_files"] >= 6  # one (or more) file per micro-batch
+    baseline = {
+        (r.id, r.db_object) for r in spark.read.parquet(sink_dir).collect()
+    }
+    assert len(baseline) == orders.count()
+
+    res2 = compact_parquet_dir(spark, sink_dir, target_bytes=10**9)
+    assert res2["compacted"] and res2["target_files"] == 1
+    after = plan_compaction(sink_dir, target_bytes=10**9)
+    assert after["n_files"] == 1
+    assert after["total_bytes"] > 0
+    # rows and VALUES round-trip through the rewrite
+    back = {(r.id, r.db_object) for r in spark.read.parquet(sink_dir).collect()}
+    assert back == baseline
