@@ -39,6 +39,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
+    "similarity_topk_pq_indexed",
     "text_langid",
     "token_counts",
     "asof_click_attribution",

@@ -394,18 +394,77 @@ def pq_encode(
     return emb.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
 
 
-def pq_topk(
+# trained-codebook memo for build_pq_index: keyed by the input plan's
+# 32-bit semantic hash as a probe, CONFIRMED with sameResult before
+# reuse (the swap_cache hash-to-find/sameResult-to-trust pairing — a
+# false hit would silently search with codebooks fitted on a different
+# corpus); bounded so driver memory stays flat
+_PQ_BOOKS_MEMO: dict = {}
+
+
+def build_pq_index(
     emb: DataFrame,
     m: int = 4,
     k_codes: int = 8,
     iters: int = 1,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+):
+    """Build the PQ index ONCE: fit the m codebooks (pq_train) and
+    materialise the encoded corpus — (id, codes array<bigint>), m small
+    ints per vector — persisted under the slot cache so re-invocations
+    on the same corpus reuse the trained + encoded relation instead of
+    re-running Lloyd iterations and the encode pass. Returns
+    ``(codes, books)`` — pass both to ``query_pq``.
+
+    The codes relation IS the 100 TB deployment artifact (m * 1-8
+    bytes per vector instead of n_dims * 4); building it is the
+    expensive scan-the-float-corpus step, querying it never touches a
+    float vector again. Same partition-once-scan-many discipline as
+    build_ivf_index (reference parity: HBasePartitioner.kt:12-37).
+
+    Re-invocation skips BOTH build stages: the trained codebooks are
+    memoised driver-side keyed by (input plan semantic hash, fit
+    params) — they are k_codes x n_dims doubles, the same bounded class
+    as the kmeans update collect — and the encoded relation reuses its
+    swap_cache slot (identical books -> identical encode plan)."""
+    from ._cache import _same_result, _semantic_key, swap_cache
+
+    memo_key = (
+        _semantic_key(emb), m, k_codes, iters, n_dims, id_col, vec_col
+    )
+    books = None
+    if persist:
+        hit = _PQ_BOOKS_MEMO.get(memo_key)
+        if hit is not None and _same_result(hit[0], emb):
+            books = hit[1]
+    if books is None:
+        books = pq_train(
+            emb, m=m, k_codes=k_codes, iters=iters, n_dims=n_dims,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if persist:
+            _PQ_BOOKS_MEMO[memo_key] = (emb, books)
+            while len(_PQ_BOOKS_MEMO) > 4:  # bounded, insertion-order evict
+                _PQ_BOOKS_MEMO.pop(next(iter(_PQ_BOOKS_MEMO)))
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    if persist:
+        codes = swap_cache("pq_index", codes)
+    return codes, books
+
+
+def query_pq(
+    codes: DataFrame,
+    books,
+    queries: DataFrame,
     k: int = 5,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_query_id: int | None = 10,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    """Asymmetric-distance (ADC) top-k against a built PQ index:
     queries keep exact vectors, neighbors are m codeword ids, and the
     score is the sum over subspaces of the (query subvector -> codeword)
     squared distance. Returns (query_id, neighbor_id, rank), ranked
@@ -415,22 +474,17 @@ def pq_topk(
 
     Scale shape: the per-(query, subspace, code) distance TABLE is
     |queries| * m * k_codes rows built driver-side from the collected
-    (bounded, documented) query sample and broadcast; the corpus moves
+    (bounded, documented) query sample and broadcast; the index moves
     once as exploded (neighbor, subspace, code) rows — integers only,
     no vectors — through one broadcast equi-join and one sum
-    aggregation. That is the whole point of PQ at 100 TB: search
-    touches m-byte codes, never float vectors."""
+    aggregation. With the index persisted, query-time touches no float
+    embedding and runs no Python at all (pinned by tests/test_plans.py:
+    no ArrowEvalPython below the persisted scan)."""
     from ..functions.portable import round_portable
 
-    books = pq_train(
-        emb, m=m, k_codes=k_codes, iters=iters, n_dims=n_dims,
-        id_col=id_col, vec_col=vec_col,
-    )
-    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
-
-    q = emb if max_query_id is None else emb.filter(F.col(id_col) < max_query_id)
-    q_rows = q.select(F.col(id_col), F.col(vec_col)).collect()  # bounded sample
+    m = len(books)
     dsub = n_dims // m
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()  # bounded sample
     table = []
     for r in q_rows:
         qv = np.asarray([float(x) for x in r[1]], dtype=np.float64)
@@ -442,7 +496,7 @@ def pq_topk(
                 table.append(
                     (int(r[0]), j, int(code_id), float(np.floor(d2 * 1e6 + 0.5) / 1e6))
                 )
-    dtab = emb.sparkSession.createDataFrame(
+    dtab = codes.sparkSession.createDataFrame(
         table, "query_id bigint, subspace int, code bigint, d2 double"
     )
 
@@ -462,6 +516,33 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 1,
+    k: int = 5,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+) -> DataFrame:
+    """One-shot ADC search: build_pq_index + query_pq composed WITHOUT
+    persisting — the scan-once form (ad-hoc queries, the oracle gate).
+    Anything querying the same corpus repeatedly should build the index
+    once and call query_pq per batch; this function re-trains and
+    re-encodes per invocation by design. See query_pq for the ADC
+    semantics and scale shape."""
+    codes, books = build_pq_index(
+        emb, m=m, k_codes=k_codes, iters=iters, n_dims=n_dims,
+        id_col=id_col, vec_col=vec_col, persist=False,
+    )
+    q = emb if max_query_id is None else emb.filter(F.col(id_col) < max_query_id)
+    return query_pq(
+        codes, books, q, k=k, n_dims=n_dims, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -395,6 +395,8 @@ _register_extra_modules()
 DRIVER_WINDOW = [
     # new or code-changed in round 6 — first driver evidence / re-evidence
     "similarity_topk_ivf_indexed",
+    "similarity_topk_pq_indexed",
+    "similarity_topk_pq",
     "ann_recall_report",
     "similarity_topk_ivf",
     "similarity_topk_ivf_trained",
@@ -484,7 +486,6 @@ DRIVER_WINDOW = [
     "streaming_kmeans_assign",
     "kmeans_purity",
     "cluster_prototypes",
-    "similarity_topk_pq",
     "dedup_simhash",
     "dedup_simhash_near",
     "dedup_embedding_cosine_lsh",

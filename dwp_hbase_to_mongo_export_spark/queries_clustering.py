@@ -351,9 +351,10 @@ def _pq_ctes() -> str:
     return ",\n    ".join(parts)
 
 
-@query(
-    "similarity_topk_pq",
-    oracle=f"""
+# Shared by similarity_topk_pq (one-shot) and similarity_topk_pq_indexed
+# (build/query split): different plans, identical ADC semantics, same
+# oracle.
+_PQ_ORACLE = f"""
     WITH {_pq_ctes()},
     qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 10),
@@ -375,8 +376,10 @@ def _pq_ctes() -> str:
              row_number() OVER (PARTITION BY query_id
                ORDER BY dist3 ASC, neighbor_id) AS rank
       FROM scored) WHERE rank <= 5
-    """,
-)
+"""
+
+
+@query("similarity_topk_pq", oracle=_PQ_ORACLE)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantised ANN (Jégou et al. 2011): the corpus compressed
     to m=4 codeword ids per vector (independent L2 k-means per
@@ -392,3 +395,21 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, m=_PQ_M, k_codes=_PQ_KC, iters=_PQ_ITERS, k=5, max_query_id=10
     )
+
+
+@query("similarity_topk_pq_indexed", oracle=_PQ_ORACLE)
+def similarity_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build/query split over the same ADC semantics
+    (similarity.build_pq_index + query_pq): codebook fitting and corpus
+    encoding run once per corpus and the encoded relation persists
+    under the slot cache, so repeated query batches (bench's best-of-N,
+    a production query service) touch only integer codes — no Lloyd
+    iterations, no encode pass, no float vectors, and no Python at all
+    at query time (pinned by tests/test_plans.py). Identical results
+    and oracle as the one-shot similarity_topk_pq."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = similarity.build_pq_index(
+        emb, m=_PQ_M, k_codes=_PQ_KC, iters=_PQ_ITERS
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.query_pq(codes, books, q, k=5)

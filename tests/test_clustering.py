@@ -136,6 +136,36 @@ def test_ivf_stride_centroid_count_is_capped(spark, emb):
     assert all(r.neighbor_id in ids for r in got)
 
 
+def test_pq_build_query_split_matches_one_shot(spark, emb):
+    """build_pq_index + query_pq must return exactly the one-shot
+    pq_topk result, and a second build on the same corpus must reuse
+    BOTH build stages: the memoised codebooks (no re-training jobs) and
+    the slot-cached encoded relation."""
+    from dwp_hbase_to_mongo_export_spark.operators._cache import release
+
+    one_shot = {
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, m=4, k_codes=8, iters=1, k=5, max_query_id=10
+        ).collect()
+    }
+    try:
+        codes, books = similarity.build_pq_index(emb, m=4, k_codes=8, iters=1)
+        split = {
+            tuple(r)
+            for r in similarity.query_pq(
+                codes, books, emb.filter(F.col("vec_id") < 10), k=5
+            ).collect()
+        }
+        assert split == one_shot
+        codes2, books2 = similarity.build_pq_index(emb, m=4, k_codes=8, iters=1)
+        assert books2 is books  # codebook memo hit — no retraining
+        assert codes2 is codes  # encoded relation slot-cache hit
+    finally:
+        release("pq_index")
+        similarity._PQ_BOOKS_MEMO.clear()
+
+
 def test_centroids_df_shape(spark, emb):
     cents = clustering.kmeans_fit(emb, k=4, iters=1)
     cdf = clustering.centroids_df(spark, cents)

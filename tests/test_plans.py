@@ -201,6 +201,35 @@ def test_ivf_index_query_time_moves_no_corpus_rows(spark, sf_dir):
         release("ivf_index")
 
 
+def test_pq_index_query_time_runs_no_python(spark, sf_dir):
+    """build_pq_index/query_pq's split point: once the encoded corpus is
+    materialised, query-time is pure JVM relational work — the plan must
+    read the codes from the persisted relation and contain NO
+    ArrowEvalPython (encoding already happened at build; the ADC
+    distance table is a broadcast literal relation). Python appearing
+    here would mean queries are silently re-encoding the corpus."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.operators._cache import release
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = similarity.build_pq_index(emb, m=4, k_codes=8, iters=1)
+    try:
+        codes.count()  # materialise: encode cost paid HERE
+        out = similarity.query_pq(
+            codes, books, emb.filter(F.col("vec_id") < 10), k=5
+        )
+        plan = _plan(out)
+        assert "InMemoryTableScan" in plan, plan
+        query_tree = plan.split("InMemoryRelation")[0]
+        assert "ArrowEvalPython" not in query_tree, query_tree
+        assert "BatchEvalPython" not in query_tree, query_tree
+    finally:
+        release("pq_index")
+        similarity._PQ_BOOKS_MEMO.clear()
+
+
 def test_sequence_packing_single_exchange(spark, sf_dir):
     """The shard-parallel packer must shuffle ONCE (on shard): the
     window and both aggregate phases are co-partitioned, so a second
