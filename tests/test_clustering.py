@@ -136,6 +136,35 @@ def test_ivf_stride_centroid_count_is_capped(spark, emb):
     assert all(r.neighbor_id in ids for r in got)
 
 
+def test_ivf_index_durable_roundtrip(spark, emb, tmp_path):
+    """save_ivf_index -> load_ivf_index -> query_ivf must reproduce the
+    in-session result exactly: centroids survive the round trip in
+    sorted-id form and the partitioned posting lists lose no rows. The
+    loaded index needs no warm cache — this is the cross-session
+    deployment path."""
+    index, cents = similarity.build_ivf_index(
+        emb, centroid_stride=100, persist=False
+    )
+    expected = {
+        tuple(r)
+        for r in similarity.query_ivf(
+            index, cents, emb.filter(F.col("vec_id") < 10), nprobe=2, k=5
+        ).collect()
+    }
+    path = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(index, cents, path)
+    loaded, cents2 = similarity.load_ivf_index(spark, path)
+    assert cents2 == cents
+    assert loaded.count() == emb.count()
+    got = {
+        tuple(r)
+        for r in similarity.query_ivf(
+            loaded, cents2, emb.filter(F.col("vec_id") < 10), nprobe=2, k=5
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_pq_build_query_split_matches_one_shot(spark, emb):
     """build_pq_index + query_pq must return exactly the one-shot
     pq_topk result, and a second build on the same corpus must reuse

@@ -201,6 +201,32 @@ def test_ivf_index_query_time_moves_no_corpus_rows(spark, sf_dir):
         release("ivf_index")
 
 
+def test_ivf_disk_index_prunes_partitions_dynamically(spark, sf_dir, tmp_path):
+    """The durable index layout's whole point: the posting lists are
+    STORED partitioned by cluster id, so the broadcast probe join must
+    trigger dynamic partition pruning — the scan's PartitionFilters
+    carries a dynamicpruning expression and only the probed clusters'
+    directories are read. Without this, a disk-resident 100 TB index
+    would be fully scanned per query batch."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    index, cents = similarity.build_ivf_index(
+        emb, centroid_stride=100, persist=False
+    )
+    path = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(index, cents, path)
+    loaded, cents2 = similarity.load_ivf_index(spark, path)
+    out = similarity.query_ivf(
+        loaded, cents2, emb.filter(F.col("vec_id") < 10), nprobe=2, k=5
+    )
+    plan = _plan(out)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dynamicpruning" in ln.lower() for ln in pf), plan
+
+
 def test_pq_index_query_time_runs_no_python(spark, sf_dir):
     """build_pq_index/query_pq's split point: once the encoded corpus is
     materialised, query-time is pure JVM relational work — the plan must
