@@ -205,6 +205,36 @@ def save_ivf_index(index: DataFrame, cents, path: str) -> None:
     ).write.parquet(os.path.join(path, "centroids"))
 
 
+def append_to_ivf_index(
+    path: str,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add a batch of vectors to a saved IVF index: the
+    batch is assigned against the index's OWN stored centroids (the
+    quantiser must not move, or existing posting lists silently become
+    wrong) and appended into the cluster-partitioned posting store —
+    each new row lands in its centroid's directory, dynamic partition
+    pruning keeps working, and nothing already indexed is rewritten.
+    This is the streaming-ingest shape: the reference's incremental
+    mode appends new cells behind a time-range predicate
+    (HBaseReader.kt:131-150); here new vectors append behind the fixed
+    coarse quantiser. Re-train + rebuild only when centroid drift
+    (ann_recall_report's governance loop) says the quantiser went
+    stale."""
+    spark = new_batch.sparkSession
+    _, cents = load_ivf_index(spark, path)
+    batch_index = _nearest_centroids(new_batch, cents, 1, vec_col, "cluster").select(
+        "cluster",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    batch_index.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "postings")
+    )
+
+
 def load_ivf_index(spark, path: str):
     """Load a save_ivf_index artifact: returns (index, cents) exactly
     as build_ivf_index does, ready for query_ivf — a fresh session

@@ -165,6 +165,51 @@ def test_ivf_index_durable_roundtrip(spark, emb, tmp_path):
     assert got == expected
 
 
+def test_ivf_index_incremental_append(spark, emb, tmp_path):
+    """append_to_ivf_index: build + save on half the corpus, append the
+    other half, and the queried result must equal an index built on the
+    FULL corpus with the same centroids — the append assigns against
+    the stored quantiser, so ingestion order cannot change the posting
+    lists' contents."""
+    cents_src = emb.filter(F.col("vec_id") < 200)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # fixed quantiser shared by both paths: stride centroids from the
+    # same deterministic subset
+    cents = similarity._resolve_centroids(
+        cents_src, None, 50, None, "vec_id", "embedding"
+    )
+
+    def build(frame):
+        return similarity._nearest_centroids(
+            frame, cents, 1, "embedding", "cluster"
+        ).select(
+            "cluster",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+
+    path = str(tmp_path / "ivf_inc")
+    similarity.save_ivf_index(build(old), cents, path)
+    similarity.append_to_ivf_index(path, new)
+
+    loaded, cents2 = similarity.load_ivf_index(spark, path)
+    assert loaded.count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in similarity.query_ivf(loaded, cents2, queries, nprobe=2, k=5).collect()
+    }
+    expected = {
+        tuple(r)
+        for r in similarity.query_ivf(
+            build(emb), cents, queries, nprobe=2, k=5
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_pq_build_query_split_matches_one_shot(spark, emb):
     """build_pq_index + query_pq must return exactly the one-shot
     pq_topk result, and a second build on the same corpus must reuse
