@@ -42,6 +42,7 @@ HEADLINE = [
     "similarity_topk_pq_indexed",
     "text_langid",
     "token_counts",
+    "bpe_merges",
     "asof_click_attribution",
     "session_windows",
     "streaming_windowed_counts",

@@ -394,6 +394,8 @@ _register_extra_modules()
 # predate round 4.
 DRIVER_WINDOW = [
     # new or code-changed in round 6 — first driver evidence / re-evidence
+    "bpe_merges",
+    "bpe_token_counts",
     "similarity_topk_ivf_indexed",
     "similarity_topk_pq_indexed",
     "similarity_topk_pq",

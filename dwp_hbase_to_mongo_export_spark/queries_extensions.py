@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, textops
+from .operators import bpe, dedup, multimodal, similarity, textops
 from .queries import query
 from .queries_clustering import _PQ_DSUB, _PQ_ITERS, _PQ_KC, _PQ_M, _pq_ctes
 from .sources.parquet import load_table
@@ -1334,3 +1334,132 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_keeper", F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer fitting (operators/bpe.py) — the DuckDB oracle unrolls
+# the merge loop into CTE layers exactly like the k-means oracles:
+# per step, a LATERAL pair count, a deterministic argmax (count desc,
+# then lexicographic), and the same doubled-replace merge application
+# the Spark side uses, so the whole iterative fit is value-checked.
+# ---------------------------------------------------------------------------
+
+_BPE_V, _BPE_N = 500, 6
+
+
+def _bpe_rule(t: int) -> tuple[str, str]:
+    """(pattern, replacement) SQL expressions for merge rule t."""
+    a, b = f"(SELECT a FROM bb{t})", f"(SELECT b FROM bb{t})"
+    return (
+        f"' ' || {a} || ' ' || {b} || ' '",
+        f"' ' || {a} || {b} || ' '",
+    )
+
+
+def _bpe_merge_sql(seq_expr: str, t: int) -> str:
+    pat, rep = _bpe_rule(t)
+    once = f"replace({seq_expr}, {pat}, {rep})"
+    return f"replace({once}, {pat}, {rep})"
+
+
+def _bpe_ctes(n: int = _BPE_N, top_v: int = _BPE_V) -> str:
+    parts = [
+        "bwords AS (SELECT w AS word FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents) WHERE len(w) BETWEEN 2 AND 12)",
+        # MATERIALIZED: DuckDB inlines plain CTEs, and every bseq layer
+        # references its bb rule 8 times — without materialisation the
+        # expansion is exponential in the number of merge steps (the
+        # first run exhausted the process fd limit re-opening the
+        # documents parquet thousands of times)
+        f"bwc AS MATERIALIZED (SELECT word, cnt FROM (SELECT word, count(*) AS cnt FROM bwords GROUP BY word) ORDER BY cnt DESC, word LIMIT {top_v})",
+        "bseq0 AS (SELECT word, cnt, ' ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), ' ') || ' ' AS seq FROM bwc)",
+    ]
+    for t in range(1, n + 1):
+        parts.append(
+            f"""bp{t} AS (
+      SELECT t[i] AS a, t[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (SELECT cnt, string_split(trim(seq), ' ') AS t FROM bseq{t-1}),
+           LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"bb{t} AS MATERIALIZED (SELECT a, b, pc FROM bp{t} ORDER BY pc DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"bseq{t} AS MATERIALIZED (SELECT word, cnt, {_bpe_merge_sql('seq', t)} AS seq FROM bseq{t-1})"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "bpe_merges",
+    oracle=f"""
+    WITH {_bpe_ctes()}
+    SELECT step, left_sym, right_sym, merged, pair_count FROM (
+      {" UNION ALL ".join(
+        f"SELECT {t} AS step, a AS left_sym, b AS right_sym, a || b AS merged, pc AS pair_count FROM bb{t}"
+        for t in range(1, _BPE_N + 1)
+      )}
+    ) ORDER BY step
+    """,
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer fitting (operators/bpe.py): the
+    top-500 corpus vocabulary is built in ONE corpus-scale pass, then
+    each of 6 merge steps runs one vocabulary-sized pair aggregation,
+    collects the single argmax row (count desc, lexicographic ties —
+    the kmeans driver-round-trip pattern), and applies the merge as a
+    map-only doubled string replace. Returns the learned merge table
+    (step, left_sym, right_sym, merged, pair_count) — what a tokenizer
+    ships. At 100 TB only the word count touches the corpus; the merge
+    loop scales with vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs, top_v=_BPE_V)
+    merges = bpe.fit_bpe(wc, n_merges=_BPE_N)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_encode_chain() -> str:
+    """The 6 learned rules applied in order to a padded word sequence —
+    the SQL mirror of bpe.encode's replace chain."""
+    expr = "seq"
+    for t in range(1, _BPE_N + 1):
+        expr = _bpe_merge_sql(expr, t)
+    return expr
+
+
+@query(
+    "bpe_token_counts",
+    oracle=f"""
+    WITH {_bpe_ctes()},
+    bdoc AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents WHERE doc_id < 500
+      ) WHERE len(w) BETWEEN 2 AND 12
+    ),
+    bpad AS (
+      SELECT doc_id,
+             ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS seq
+      FROM bdoc
+    )
+    SELECT doc_id,
+           CAST(sum(len(string_split(trim({_bpe_encode_chain()}), ' '))) AS BIGINT) AS bpe_tokens
+    FROM bpad GROUP BY doc_id
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe.encode composed with the learned merges: per-document BPE
+    token counts under the 6-rule tokenizer fitted on the SAME corpus —
+    the sizing signal sequence packing and mixture weighting consume
+    (token_counts is the regex baseline; this one reflects the learned
+    vocabulary). Map-only after the fit: one explode + a chain of
+    codegen literal replaces, no Python. Bounded to a constant doc
+    range so oracle cost is fixed across scale factors."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs, top_v=_BPE_V)
+    merges = bpe.fit_bpe(wc, n_merges=_BPE_N)
+    sample = docs.filter(F.col("doc_id") < 500).select("doc_id", "text")
+    return bpe.encode(sample, merges).select("doc_id", "bpe_tokens")
