@@ -396,6 +396,7 @@ DRIVER_WINDOW = [
     # new or code-changed in round 6 — first driver evidence / re-evidence
     "bpe_merges",
     "bpe_token_counts",
+    "embedding_covariance",
     "similarity_topk_ivf_indexed",
     "similarity_topk_pq_indexed",
     "similarity_topk_pq",

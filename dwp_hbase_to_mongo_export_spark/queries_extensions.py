@@ -1463,3 +1463,42 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.fit_bpe(wc, n_merges=_BPE_N)
     sample = docs.filter(F.col("doc_id") < 500).select("doc_id", "text")
     return bpe.encode(sample, merges).select("doc_id", "bpe_tokens")
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000
+    ),
+    d AS (SELECT unnest(range(1, 9)) AS i),
+    g AS (SELECT a.i AS i, b.i AS j FROM d a, d b WHERE a.i <= b.i)
+    SELECT g.i - 1 AS dim_i, g.j - 1 AS dim_j,
+           floor((sum(e[g.i] * e[g.j]) / count(*)
+                  - (sum(e[g.i]) / count(*)) * (sum(e[g.j]) / count(*)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cov
+    FROM v CROSS JOIN g
+    GROUP BY g.i, g.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics (operators/pca.py): the
+    upper-triangular covariance of the first 8 embedding dimensions,
+    finished from ONE mapInPandas pass whose per-batch partials are a
+    single BLAS gram matrix — the shuffle carries (dim_i, dim_j)
+    moment entries, never vectors. This is the aggregation that feeds
+    fit_pca's driver-side eigendecomposition (whitening /
+    dimensionality reduction ahead of PQ or clustering); restricted to
+    8 dims and a constant id range so the oracle's unnest-grid cost is
+    fixed across scale factors — the operator itself computes all 64.
+    Both engines compute cov as s_xy/n - (s_x/n)(s_y/n) in that
+    order, then floor-round to 6, so summation noise stays below the
+    rounding grid."""
+    from .functions.portable import round_portable
+    from .operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    cov = pca.covariance(emb, n_dims=64)
+    return cov.filter(F.col("dim_j") < 8).select(
+        "dim_i", "dim_j", round_portable(F.col("cov"), 6).alias("cov")
+    )
