@@ -397,6 +397,8 @@ DRIVER_WINDOW = [
     "bpe_merges",
     "bpe_token_counts",
     "embedding_covariance",
+    "quality_classifier_weights",
+    "quality_classifier_scores",
     "similarity_topk_ivf_indexed",
     "similarity_topk_pq_indexed",
     "similarity_topk_pq",

@@ -1502,3 +1502,103 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.filter(F.col("dim_j") < 8).select(
         "dim_i", "dim_j", round_portable(F.col("cov"), 6).alias("cov")
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (operators/logreg.py) — the oracle unrolls
+# the full-batch gradient-descent iterations into MATERIALIZED CTE
+# layers. Dot products round before the sigmoid and sigmoids round
+# again (identical doubles reach exp on both engines; 1-ulp libm
+# differences die in the grid), and weights re-round per iteration, so
+# the entire fit is value-checked, not just shape-checked.
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 2
+
+
+def _logreg_ctes(iters: int = _LR_ITERS) -> str:
+    r6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    parts = [
+        "lv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        "CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y "
+        "FROM embeddings WHERE vec_id < 2000)",
+        "ldims AS (SELECT unnest(range(1, 65)) AS j)",
+        "lw0 AS MATERIALIZED (SELECT j, 0.0 AS w FROM ldims)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"lw{t - 1}"
+        wlist = f"(SELECT list(w ORDER BY j) FROM {prev})"
+        dot6 = r6(f"list_dot_product(e, {wlist})")
+        sig6 = r6(f"1.0 / (1.0 + exp(-({dot6})))")
+        parts.append(
+            f"lr{t} AS MATERIALIZED (SELECT vec_id, e, {sig6} - y AS r FROM lv)"
+        )
+        parts.append(
+            f"lg{t} AS (SELECT d.j, sum(r.r * r.e[d.j]) AS g, count(*) AS n"
+            f" FROM lr{t} r CROSS JOIN ldims d GROUP BY d.j)"
+        )
+        parts.append(
+            f"lw{t} AS MATERIALIZED (SELECT p.j, "
+            + r6("p.w - 1.0 * g.g / g.n")
+            + f" AS w FROM {prev} p JOIN lg{t} g USING (j))"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "quality_classifier_weights",
+    oracle=f"""
+    WITH {_logreg_ctes()}
+    SELECT j - 1 AS dim, w FROM lw{_LR_ITERS} ORDER BY dim
+    """,
+)
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression fit (operators/logreg.py): a
+    linear quality classifier trained on embedding features (target:
+    label < 5) by full-batch gradient descent — per iteration one
+    map-only residual pass (weights in the task closure) and one
+    BLAS-partial gradient aggregation; only 64 gradient entries per
+    Arrow batch ever shuffle. Returns the learned (dim, w) vector —
+    what the corpus-scoring gate ships. The FastText/CCNet-style
+    learned filter, expressed as two corpus passes per iteration at
+    any scale."""
+    from .operators import logreg
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    labelled = emb.withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    w = logreg.fit_logreg(labelled, "y", iters=_LR_ITERS)
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(w)], "dim int, w double"
+    )
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH {_logreg_ctes()},
+    wfin AS (SELECT list(w ORDER BY j) AS wl FROM lw{_LR_ITERS}),
+    sc AS (
+      SELECT vec_id,
+             floor((1.0 / (1.0 + exp(-(floor(list_dot_product(e, (SELECT wl FROM wfin)) * 1000000.0 + 0.5) / 1000000.0)))) * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM lv
+    )
+    SELECT vec_id, score, score >= 0.5 AS keep FROM sc
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier APPLIED: every corpus vector scored by the
+    trained weights (logreg.score — pure codegen expressions, no
+    Python, no shuffle) with the keep/drop verdict at threshold 0.5.
+    Training happens once; this scoring pass is the shape that runs
+    over 100 TB."""
+    from .operators import logreg
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    labelled = emb.withColumn("y", (F.col("label") < 5).cast("double"))
+    w = logreg.fit_logreg(labelled, "y", iters=_LR_ITERS)
+    scored = logreg.score(emb, w)
+    return scored.select(
+        "vec_id", "score", (F.col("score") >= 0.5).alias("keep")
+    )
