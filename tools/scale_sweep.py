@@ -59,6 +59,9 @@ DISTINCT_SWEEP_QUERIES = [
     "similarity_topk_ivf_full",  # posting-list probe join, UNBOUNDED corpus
     "bm25_search",             # inverted-index postings join
     "winnowing_overlap",       # fingerprint self-join, df-capped
+    "bpe_merges",              # corpus word count + vocab-sized merge loop
+    "logreg_fit_full",         # per-iter residual pass + BLAS-partial gradient agg
+    "covariance_full",         # single-pass d^2/2 moment aggregation
 ]
 
 
@@ -78,12 +81,47 @@ def _ivf_full_corpus(spark, sf_dir):
     return similarity.ivf_topk(emb, k=5, nprobe=2, max_query_id=10, centroids=cdf)
 
 
+def _logreg_fit_full(spark, sf_dir):
+    """Logistic-regression fit over the WHOLE corpus (the catalog's
+    quality_classifier_* pin vec_id < 2000 for constant oracle cost):
+    2 GD iterations, each one residual pass + one gradient agg — the
+    sweep measures that iteration cost stays linear in corpus size."""
+    from dwp_hbase_to_mongo_export_spark.operators import logreg
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") < 5).cast("double")
+    )
+    w = logreg.fit_logreg(emb, "y", iters=2)
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(w)], "dim int, w double"
+    )
+
+
+def _covariance_full(spark, sf_dir):
+    """Full-corpus 64x64 covariance (catalog query bounds ids and dims
+    for oracle cost): one mapInPandas moment pass + one agg."""
+    from dwp_hbase_to_mongo_export_spark.operators import pca
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    return pca.covariance(load_table(spark, sf_dir, "embeddings"))
+
+
 # sweep entries not present in the catalog (or deliberately unbounded
 # variants of bounded catalog queries)
-SWEEP_OVERRIDES = {"similarity_topk_ivf_full": _ivf_full_corpus}
+SWEEP_OVERRIDES = {
+    "similarity_topk_ivf_full": _ivf_full_corpus,
+    "logreg_fit_full": _logreg_fit_full,
+    "covariance_full": _covariance_full,
+}
 
 BASE = "/root/testdata/sf0.1"
 SMALL = "/root/testdata/sf0.01"
+
+# Heading that begins the hand-maintained tail of SCALING.md; the
+# generator preserves everything from this line onward.
+MANUAL_MARKER = "## Memory-starvation spill drill"
 
 
 def build_replica(n: int, root: str) -> str:
@@ -293,8 +331,20 @@ def main() -> int:
         "",
         *table(drows, dvariants),
     ]
+    # Preserve the manually-authored drill sections (spill drill etc.):
+    # everything from the first MANUAL_MARKER heading onward survives
+    # regeneration verbatim.
+    manual = ""
+    try:
+        with open("SCALING.md") as f:
+            old = f.read()
+        idx = old.find(MANUAL_MARKER)
+        if idx >= 0:
+            manual = "\n" + old[idx:].rstrip() + "\n"
+    except OSError:
+        pass
     with open("SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + manual)
     print("\n".join(lines))
     shutil.rmtree(root, ignore_errors=True)
     return 0
