@@ -607,6 +607,71 @@ def pq_topk(
     )
 
 
+def opq_allocate(eigvals, m: int) -> list[int]:
+    """Eigenvalue allocation in the spirit of OPQ's parametric init
+    (Ge/He/Ke/Sun 2014, public literature): order dimensions by
+    descending eigenvalue and greedily assign each to the subspace with
+    the smallest current VARIANCE SUM (capacity d/m each), so every PQ
+    subspace quantises a comparable share of the energy. The paper
+    balances log-variance PRODUCTS; that criterion degenerates on real
+    spectra — with eigenvalues < 1 every assignment shrinks the
+    product, so the min bucket absorbs everything until capacity
+    (reproducing the naive contiguous split), and on rank-deficient
+    covariance the product is dominated by meaningless near-zero
+    eigenvalues. Min-sum greedy is the standard balanced-partitioning
+    fix and is non-degenerate because sums only grow. Returns a
+    permutation: output position p holds eigenbasis dimension perm[p],
+    first d/m entries = subspace 0. Driver-side, O(d log d)."""
+    import heapq
+
+    d = len(eigvals)
+    assert d % m == 0, (d, m)
+    cap = d // m
+    order = sorted(range(d), key=lambda i: -float(eigvals[i]))
+    heap = [(0.0, j) for j in range(m)]  # (variance sum, subspace)
+    heapq.heapify(heap)
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for dim in order:
+        popped = []
+        while True:
+            s, j = heapq.heappop(heap)
+            if len(buckets[j]) < cap:
+                break
+            popped.append((s, j))
+        for item in popped:
+            heapq.heappush(heap, item)
+        buckets[j].append(dim)
+        heapq.heappush(heap, (s + max(float(eigvals[dim]), 0.0), j))
+    return [dim for b in buckets for dim in b]
+
+
+def opq_rotate(
+    emb: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+    n_dims: int = 64,
+):
+    """'OPQ-lite' preprocessing for PQ: rotate into the PCA eigenbasis,
+    then permute dimensions by eigenvalue allocation so each contiguous
+    d/m subspace carries a balanced share of the variance (plain PCA
+    ordering would concentrate all energy in subspace 0 and starve the
+    rest — the imbalance the OPQ paper corrects). The rotation is
+    orthonormal, so all distances and cosines are EXACTLY preserved
+    (pinned in tests); only the subspace split changes, which is what
+    ADC quantisation error depends on. Map-only: one matmul per Arrow
+    batch, the rotation matrix rides the closure. Returns
+    (rotated_df, rotation_matrix) — quantise with build_pq_index on
+    ``out_col`` and rotate queries with the same matrix."""
+    from . import pca as _pca
+
+    comps, vals, mean = _pca.fit_pca(emb, k=n_dims, vec_col=vec_col, n_dims=n_dims)
+    perm = opq_allocate(vals, m)
+    R = comps[perm, :]  # k x d rows reordered: output dim p = component perm[p]
+    rotated = _pca.project(emb, R, np.zeros(n_dims), vec_col=vec_col, out_col=out_col)
+    return rotated, R
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1): md5 of
     (plane, dim) scaled — a driver-side constant, so the per-row work is

@@ -75,3 +75,73 @@ def test_reconstruction_error_monotone_in_k(spark, emb):
         errs.append(float((R**2).sum()))
     assert errs == sorted(errs, reverse=True)
     assert errs[-1] < 1e-12  # k = d reconstructs exactly
+
+
+def test_opq_rotation_preserves_geometry(spark, emb):
+    """opq_rotate is a pure orthonormal rotation + permutation: pairwise
+    L2 distances and cosines must be EXACTLY preserved (to fp noise),
+    and the eigenvalue allocation must balance per-subspace variance
+    far better than the naive contiguous split of the PCA ordering."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+
+    m = 4
+    sample = emb
+    rotated, R = similarity.opq_rotate(sample, m=m)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+
+    rows = rotated.filter(F.col("vec_id") < 50).select("embedding", "rotated").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Y = np.stack([np.asarray(r["rotated"], dtype=np.float64) for r in rows])
+    dX = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+    dY = np.linalg.norm(Y[:, None, :] - Y[None, :, :], axis=2)
+    assert np.allclose(dX, dY, atol=1e-9)
+    assert np.allclose(np.linalg.norm(X, axis=1), np.linalg.norm(Y, axis=1), atol=1e-9)
+
+    # balance: spread of per-subspace VARIANCE sums under the allocation
+    # vs the naive contiguous split of descending eigenvalues
+    comps, vals, _ = pca.fit_pca(sample, k=64)
+    perm = similarity.opq_allocate(vals, m)
+
+    def spread(order):
+        sums = [sum(vals[d] for d in order[j * 16 : (j + 1) * 16]) for j in range(m)]
+        return max(sums) - min(sums)
+
+    naive = list(np.argsort(vals)[::-1])
+    assert spread(perm) < spread(naive) * 0.25, (spread(perm), spread(naive))
+
+
+def test_opq_rotated_pq_search_is_valid(spark, emb):
+    """build_pq_index/query_pq compose with the rotated corpus: every
+    query gets k ranked neighbors drawn from real corpus ids, and the
+    rotated index's ADC recall is in the same band as the plain one
+    (rotation changes quantisation error, not search mechanics)."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.operators._cache import release
+
+    def recall(vec_col, frame):
+        codes, books = similarity.build_pq_index(
+            frame, m=4, k_codes=8, iters=1, vec_col=vec_col, persist=False
+        )
+        got = similarity.query_pq(
+            codes, books, frame.filter(F.col("vec_id") < 10),
+            k=5, vec_col=vec_col,
+        )
+        approx = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(
+                frame, k=5, max_query_id=10, vec_col=vec_col
+            ).collect()
+        }
+        ids = {r[0] for r in frame.select("vec_id").collect()}
+        assert all(n in ids and q != n for q, n in approx)
+        assert len({q for q, _ in approx}) == 10
+        return len(approx & exact) / len(exact)
+
+    plain = recall("embedding", emb)
+    rotated_df, _ = similarity.opq_rotate(emb, m=4)
+    rot = recall("rotated", rotated_df.select("vec_id", "rotated"))
+    release("pq_index")
+    # not asserted superior (fixture embeddings are near-isotropic) but
+    # must stay in the same band — a broken rotation would crater it
+    assert rot >= plain - 0.25, (plain, rot)
