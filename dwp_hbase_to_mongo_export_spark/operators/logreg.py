@@ -65,6 +65,11 @@ def fit_logreg(
     ``y_col`` must be a 0/1 column. Returns the d-vector of weights
     (no bias term — embeddings here are zero-centred-ish; callers can
     append a constant feature for one)."""
+    from ..sources.parquet import ensure_parallelism
+
+    # every iteration re-scans this frame with a CPU-bound Arrow pass:
+    # decouple parallelism from input file layout once up front
+    emb = ensure_parallelism(emb)
     w = np.zeros(n_dims)
     for _ in range(iters):
         res = emb.select(

@@ -63,8 +63,12 @@ def second_moments(
                 }
             )
 
+    from ..sources.parquet import ensure_parallelism
+
     schema = "dim_i int, dim_j int, s_xy double, s_x double, s_y double, n bigint"
-    part = emb.select(vec_col).mapInPandas(partials, schema)
+    # the BLAS pass is CPU-bound: decouple its parallelism from the
+    # input file layout (a small single-file table is ONE split)
+    part = ensure_parallelism(emb.select(vec_col)).mapInPandas(partials, schema)
     return part.groupBy("dim_i", "dim_j").agg(
         F.sum("s_xy").alias("s_xy"),
         F.sum("s_x").alias("s_x"),
