@@ -1340,44 +1340,47 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE tokenizer fitting (operators/bpe.py) — the DuckDB oracle unrolls
 # the merge loop into CTE layers exactly like the k-means oracles:
 # per step, a LATERAL pair count, a deterministic argmax (count desc,
-# then lexicographic), and the same doubled-replace merge application
-# the Spark side uses, so the whole iterative fit is value-checked.
+# then lexicographic), and the same two-space-boundary single-replace
+# merge application the Spark side uses (exact greedy incl. a == b
+# self-merge runs — operators/bpe.py module docstring has the proof),
+# so the whole iterative fit is value-checked.
 # ---------------------------------------------------------------------------
 
 _BPE_V, _BPE_N = 500, 6
 
 
 def _bpe_rule(t: int) -> tuple[str, str]:
-    """(pattern, replacement) SQL expressions for merge rule t."""
+    """(pattern, replacement) SQL expressions for merge rule t — the
+    two-space-boundary scheme: pattern takes ONE space of each flanking
+    boundary, so one left-to-right replace is exact greedy."""
     a, b = f"(SELECT a FROM bb{t})", f"(SELECT b FROM bb{t})"
     return (
-        f"' ' || {a} || ' ' || {b} || ' '",
+        f"' ' || {a} || '  ' || {b} || ' '",
         f"' ' || {a} || {b} || ' '",
     )
 
 
 def _bpe_merge_sql(seq_expr: str, t: int) -> str:
     pat, rep = _bpe_rule(t)
-    once = f"replace({seq_expr}, {pat}, {rep})"
-    return f"replace({once}, {pat}, {rep})"
+    return f"replace({seq_expr}, {pat}, {rep})"
 
 
 def _bpe_ctes(n: int = _BPE_N, top_v: int = _BPE_V) -> str:
     parts = [
         "bwords AS (SELECT w AS word FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents) WHERE len(w) BETWEEN 2 AND 12)",
         # MATERIALIZED: DuckDB inlines plain CTEs, and every bseq layer
-        # references its bb rule 8 times — without materialisation the
-        # expansion is exponential in the number of merge steps (the
+        # references its bb rule several times — without materialisation
+        # the expansion is exponential in the number of merge steps (the
         # first run exhausted the process fd limit re-opening the
         # documents parquet thousands of times)
         f"bwc AS MATERIALIZED (SELECT word, cnt FROM (SELECT word, count(*) AS cnt FROM bwords GROUP BY word) ORDER BY cnt DESC, word LIMIT {top_v})",
-        "bseq0 AS (SELECT word, cnt, ' ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), ' ') || ' ' AS seq FROM bwc)",
+        "bseq0 AS (SELECT word, cnt, '  ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), '  ') || '  ' AS seq FROM bwc)",
     ]
     for t in range(1, n + 1):
         parts.append(
             f"""bp{t} AS (
       SELECT t[i] AS a, t[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
-      FROM (SELECT cnt, string_split(trim(seq), ' ') AS t FROM bseq{t-1}),
+      FROM (SELECT cnt, string_split(trim(seq), '  ') AS t FROM bseq{t-1}),
            LATERAL (SELECT unnest(range(1, len(t))) AS i) g
       GROUP BY 1, 2)"""
         )
@@ -1442,12 +1445,17 @@ def _bpe_encode_chain() -> str:
     ),
     bpad AS (
       SELECT doc_id,
-             ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS seq
+             '  ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), '  ') || '  ' AS seq
       FROM bdoc
+    ),
+    bcnt AS (
+      SELECT doc_id,
+             CAST(sum(len(string_split(trim({_bpe_encode_chain()}), '  '))) AS BIGINT) AS bpe_tokens
+      FROM bpad GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(len(string_split(trim({_bpe_encode_chain()}), ' '))) AS BIGINT) AS bpe_tokens
-    FROM bpad GROUP BY doc_id
+    SELECT d.doc_id, COALESCE(bcnt.bpe_tokens, 0) AS bpe_tokens
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+    LEFT JOIN bcnt USING (doc_id)
     """,
 )
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,6 +1471,69 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.fit_bpe(wc, n_merges=_BPE_N)
     sample = docs.filter(F.col("doc_id") < 500).select("doc_id", "text")
     return bpe.encode(sample, merges).select("doc_id", "bpe_tokens")
+
+
+@query(
+    "bpe_encode",
+    oracle=f"""
+    WITH {_bpe_ctes()},
+    edoc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> len(w) BETWEEN 2 AND 12) AS ws
+      FROM documents WHERE doc_id < 200
+    ),
+    ewidx AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS word_idx, ws[i] AS w
+      FROM edoc, LATERAL (SELECT unnest(range(1, len(ws)+1)) AS i) g
+    ),
+    eseq AS (
+      SELECT doc_id, word_idx,
+             string_split(trim({_bpe_encode_chain()}), '  ') AS toks
+      FROM (SELECT doc_id, word_idx,
+                   '  ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), '  ') || '  ' AS seq
+            FROM ewidx)
+    ),
+    etok AS (
+      SELECT doc_id, word_idx, CAST(i - 1 AS INT) AS tok_idx, toks[i] AS token
+      FROM eseq, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) g
+    ),
+    evocab AS (
+      -- 26 base chars then merged symbols in learned order, dedup
+      -- keep-first with dense ids: the SQL mirror of bpe.vocabulary
+      SELECT token, CAST(row_number() OVER (ORDER BY mk) - 1 AS INT) AS token_id
+      FROM (
+        SELECT token, min(mk) AS mk FROM (
+          SELECT chr(96 + CAST(i AS INT)) AS token, i - 1 AS mk
+          FROM (SELECT unnest(range(1, 27)) AS i)
+          UNION ALL
+          {" UNION ALL ".join(
+            f"SELECT (SELECT a || b FROM bb{t}) AS token, {25 + t} AS mk"
+            for t in range(1, _BPE_N + 1)
+          )}
+        ) GROUP BY token
+      )
+    )
+    SELECT e.doc_id, e.word_idx, e.tok_idx, e.token,
+           COALESCE(v.token_id, -1) AS token_id
+    FROM etok e LEFT JOIN evocab v USING (token)
+    """,
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer APPLY (operators/bpe.py encode_tokens): the
+    6-rule tokenizer fitted on the corpus encodes a bounded doc sample
+    into ordered BPE token-id sequences — one row per (doc, word_idx,
+    tok_idx) with the token string and its dense vocabulary id (26 base
+    chars then merged symbols in learned order). This is the step an
+    actual training pipeline runs at 100 TB: map-only codegen replaces
+    per merge rule plus ONE broadcast join against the 32-row
+    vocabulary — no corpus shuffle. Bounded to a constant doc range so
+    oracle cost is fixed across scale factors."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs, top_v=_BPE_V)
+    merges = bpe.fit_bpe(wc, n_merges=_BPE_N)
+    sample = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return bpe.encode_tokens(sample, merges)
 
 
 @query(
