@@ -13,13 +13,17 @@
 
 from __future__ import annotations
 
+import logging
 import os
+import threading
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_LOG = logging.getLogger(__name__)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -88,13 +92,16 @@ def _resolve_centroids(
     id-stride subset of the corpus — reproducible for the oracle, but
     its size is |corpus|/stride, which grows linearly with the corpus.
     ``max_centroids`` is the guard that keeps the driver collect
-    bounded at scale: when the stride would select more than
-    ``max_centroids`` rows (estimated from one column-free count), the
-    stride is widened by the smallest integer factor that brings the
-    selection back under the cap. Fixture-sized corpora are unaffected
-    (the oracle mirrors stride-100 selection exactly); a 100 TB corpus
-    should pass trained centroids anyway — the widened stride is the
-    honest fallback, not the recommended index."""
+    bounded at scale: the stride selection is probed with a
+    ``LIMIT max_centroids + 1`` collect first — when it stays under the
+    cap (every fixture corpus, and the common case) that collect IS the
+    centroid set and NO extra corpus pass runs; only on overflow does a
+    count run to widen the stride by the smallest integer factor that
+    brings the selection back under the cap — and the widening is
+    LOGGED, because it silently changes the centroid set (and therefore
+    results) as a corpus grows past stride * max_centroids. A 100 TB
+    corpus should pass trained centroids anyway — the widened stride is
+    the honest fallback, not the recommended index."""
     import math
 
     from .clustering import rows_to_centroids
@@ -105,16 +112,32 @@ def _resolve_centroids(
             F.col(centroids.columns[1]),
         ).collect()
     else:
-        stride = centroid_stride
-        if max_centroids is not None:
-            n = emb.count()
-            widen = max(1, math.ceil(n / (centroid_stride * max_centroids)))
-            stride = centroid_stride * widen
-        cent_rows = (
-            emb.filter(F.col(id_col) % stride == 0)
-            .select(F.col(id_col).cast("bigint"), F.col(vec_col))
-            .collect()
+        sel = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).cast("bigint"), F.col(vec_col)
         )
+        if max_centroids is None:
+            cent_rows = sel.collect()
+        else:
+            # probe with a capped collect: <= max_centroids rows means
+            # the limit returned the COMPLETE selection (no extra scan)
+            cent_rows = sel.limit(max_centroids + 1).collect()
+            if len(cent_rows) > max_centroids:
+                n = emb.count()
+                widen = max(1, math.ceil(n / (centroid_stride * max_centroids)))
+                stride = centroid_stride * widen
+                _LOG.warning(
+                    "IVF centroid stride widened %d -> %d (corpus %d rows "
+                    "exceeds stride * max_centroids = %d): the centroid set "
+                    "— and therefore approximate results — changes with "
+                    "corpus growth on this path; pass trained centroids for "
+                    "a stable quantiser",
+                    centroid_stride, stride, n, centroid_stride * max_centroids,
+                )
+                cent_rows = (
+                    emb.filter(F.col(id_col) % stride == 0)
+                    .select(F.col(id_col).cast("bigint"), F.col(vec_col))
+                    .collect()
+                )
     cents = rows_to_centroids(cent_rows)
     if not cents:
         raise ValueError(
@@ -232,6 +255,30 @@ def append_to_ivf_index(
     )
     batch_index.write.mode("append").partitionBy("cluster").parquet(
         os.path.join(path, "postings")
+    )
+
+
+def compact_ivf_postings(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Compact a saved IVF index's posting store after incremental
+    appends: each append_to_ivf_index call writes one file set per
+    touched cluster directory, so a micro-batch ingest cadence
+    recreates exactly the small-file problem the compaction sink
+    exists to solve — a 100 TB index appended to every few minutes
+    accumulates thousands of KB files per hot cluster, and probe-time
+    scan cost becomes file-open overhead instead of bytes. This
+    composes the partition-aware compactor over the postings directory:
+    each cluster=N leaf is rewritten independently to ~target_bytes
+    files, the Hive layout (and therefore the dynamic-partition-pruning
+    probe path pinned in tests/test_plans.py) is preserved, and the
+    per-leaf crash-safety protocol means a mid-run failure leaves every
+    cluster fully old, fully new, or recoverable on retry. Centroids
+    are untouched — compaction moves bytes, never the quantiser."""
+    from ..sinks.compaction import compact_partitioned_dir
+
+    return compact_partitioned_dir(
+        spark, os.path.join(path, "postings"), target_bytes=target_bytes
     )
 
 
@@ -459,8 +506,13 @@ def pq_encode(
 # 32-bit semantic hash as a probe, CONFIRMED with sameResult before
 # reuse (the swap_cache hash-to-find/sameResult-to-trust pairing — a
 # false hit would silently search with codebooks fitted on a different
-# corpus); bounded so driver memory stays flat
+# corpus); bounded so driver memory stays flat. Mutated only under
+# _PQ_MEMO_LOCK — interleaved/threaded bench invocations (the same
+# pattern _cache._SLOTS guards against) would otherwise race the
+# check-then-set and the insertion-order eviction. The sameResult
+# confirmation runs OUTSIDE the lock (it can call into the JVM).
 _PQ_BOOKS_MEMO: dict = {}
+_PQ_MEMO_LOCK = threading.Lock()
 
 
 def build_pq_index(
@@ -498,7 +550,8 @@ def build_pq_index(
     )
     books = None
     if persist:
-        hit = _PQ_BOOKS_MEMO.get(memo_key)
+        with _PQ_MEMO_LOCK:
+            hit = _PQ_BOOKS_MEMO.get(memo_key)
         if hit is not None and _same_result(hit[0], emb):
             books = hit[1]
     if books is None:
@@ -507,13 +560,58 @@ def build_pq_index(
             id_col=id_col, vec_col=vec_col,
         )
         if persist:
-            _PQ_BOOKS_MEMO[memo_key] = (emb, books)
-            while len(_PQ_BOOKS_MEMO) > 4:  # bounded, insertion-order evict
-                _PQ_BOOKS_MEMO.pop(next(iter(_PQ_BOOKS_MEMO)))
+            with _PQ_MEMO_LOCK:
+                _PQ_BOOKS_MEMO[memo_key] = (emb, books)
+                while len(_PQ_BOOKS_MEMO) > 4:  # bounded, insertion-order evict
+                    _PQ_BOOKS_MEMO.pop(next(iter(_PQ_BOOKS_MEMO)))
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     if persist:
         codes = swap_cache("pq_index", codes)
     return codes, books
+
+
+def save_pq_index(codes: DataFrame, books, path: str) -> None:
+    """Persist a built PQ index DURABLY: the encoded corpus — (id,
+    codes array<bigint>), m small ints per vector — as parquet, plus
+    the m codebooks as a tiny (subspace, code, cw) side relation. This
+    mirrors save_ivf_index's artifact discipline (and the reference's
+    own persist-the-artifact-re-read-cheaply shape,
+    S3StreamingWriter.kt:95-161): the expensive float-corpus scan is
+    build cost, paid once; a fresh session loads the integer codes and
+    the 32-row codebook table and serves ADC queries without EVER
+    touching a float embedding or running Python (the
+    tests/test_plans.py no-Python pin holds on the loaded index).
+    Unlike the IVF postings there is no partition key: every ADC query
+    scores every code row, so pruning has nothing to prune — a flat
+    parquet layout is the right one."""
+    spark = codes.sparkSession
+    codes.write.parquet(os.path.join(path, "codes"))
+    rows = [
+        (j, int(code_id), [float(x) for x in cw])
+        for j, book in enumerate(books)
+        for code_id, cw in book
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code bigint, cw array<double>"
+    ).write.parquet(os.path.join(path, "codebooks"))
+
+
+def load_pq_index(spark, path: str):
+    """Load a save_pq_index artifact: returns (codes, books) exactly as
+    build_pq_index does, ready for query_pq — a fresh session queries
+    the index without re-training or re-encoding anything."""
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    by: dict[int, list] = {}
+    for r in rows:
+        by.setdefault(int(r["subspace"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cw"]])
+        )
+    if not by:
+        raise ValueError(f"{path}: empty PQ codebook relation")
+    m = max(by) + 1
+    assert sorted(by) == list(range(m)), f"{path}: non-contiguous subspaces {sorted(by)}"
+    return codes, [sorted(by[j]) for j in range(m)]
 
 
 def query_pq(

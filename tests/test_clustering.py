@@ -419,3 +419,82 @@ def test_pq_encode_and_adc_topk(spark, emb):
     # the initial plan again below it after execution
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Window (") == 1
+
+
+def test_pq_index_durable_roundtrip(spark, emb, tmp_path):
+    """save_pq_index -> load_pq_index -> query_pq must reproduce the
+    in-session ADC result exactly: codebooks survive the round trip in
+    sorted-code form and the encoded corpus loses no rows. The loaded
+    index needs no warm cache, no re-training and no re-encoding —
+    this is the cross-session deployment path, mirroring the IVF
+    artifact's discipline."""
+    codes, books = similarity.build_pq_index(
+        emb, m=4, k_codes=8, iters=1, persist=False
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    expected = {
+        tuple(r) for r in similarity.query_pq(codes, books, queries, k=5).collect()
+    }
+    path = str(tmp_path / "pq_index")
+    similarity.save_pq_index(codes, books, path)
+    codes2, books2 = similarity.load_pq_index(spark, path)
+    assert books2 == books
+    assert codes2.count() == emb.count()
+    got = {
+        tuple(r) for r in similarity.query_pq(codes2, books2, queries, k=5).collect()
+    }
+    assert got == expected
+
+
+def test_ivf_postings_compaction_preserves_results(spark, emb, tmp_path):
+    """compact_ivf_postings after micro-batch appends: the per-append
+    file sets per cluster directory collapse to one file per leaf, the
+    cluster= partition layout survives, and query_ivf over the
+    compacted store returns exactly the pre-compaction result."""
+    import glob
+    import os
+
+    old = emb.filter(F.col("vec_id") < 100)
+    index, cents = similarity.build_ivf_index(
+        old, centroid_stride=20, max_centroids=None, persist=False
+    )
+    path = str(tmp_path / "ivf_compact")
+    similarity.save_ivf_index(index, cents, path)
+    # 4 micro-batch appends -> up to 5 file sets per touched cluster dir
+    for lo in range(100, 500, 100):
+        similarity.append_to_ivf_index(
+            path, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100))
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def postings_files():
+        return glob.glob(os.path.join(path, "postings", "cluster=*", "*.parquet"))
+
+    def leaf_dirs():
+        return sorted(
+            d for d in glob.glob(os.path.join(path, "postings", "cluster=*"))
+            if os.path.isdir(d)
+        )
+
+    loaded, cents2 = similarity.load_ivf_index(spark, path)
+    before = {
+        tuple(r)
+        for r in similarity.query_ivf(loaded, cents2, queries, nprobe=2, k=5).collect()
+    }
+    files_before, leaves_before = postings_files(), leaf_dirs()
+    assert len(files_before) > len(leaves_before)  # appends fragmented the store
+
+    res = similarity.compact_ivf_postings(spark, path)
+    assert res["n_compacted"] >= 1
+    files_after, leaves_after = postings_files(), leaf_dirs()
+    assert leaves_after == leaves_before  # partition layout preserved
+    assert len(files_after) == len(leaves_after)  # one target-sized file per leaf
+    assert len(files_after) < len(files_before)
+
+    loaded2, cents3 = similarity.load_ivf_index(spark, path)
+    assert cents3 == cents2
+    after = {
+        tuple(r)
+        for r in similarity.query_ivf(loaded2, cents3, queries, nprobe=2, k=5).collect()
+    }
+    assert after == before

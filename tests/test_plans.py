@@ -356,3 +356,58 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_pq_disk_index_query_time_runs_no_python(spark, sf_dir, tmp_path):
+    """The durable PQ artifact's point: a FRESH load (save_pq_index ->
+    load_pq_index) must serve ADC queries as pure JVM relational work —
+    the plan reads the integer codes from a parquet Scan and contains
+    NO ArrowEvalPython/BatchEvalPython anywhere (no warm cache, no
+    re-encode; the distance table is a broadcast literal relation).
+    This re-asserts the in-session no-Python pin on the loaded index."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = similarity.build_pq_index(
+        emb, m=4, k_codes=8, iters=1, persist=False
+    )
+    path = str(tmp_path / "pq_index")
+    similarity.save_pq_index(codes, books, path)
+    codes2, books2 = similarity.load_pq_index(spark, path)
+    out = similarity.query_pq(codes2, books2, emb.filter(F.col("vec_id") < 10), k=5)
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Scan parquet" in plan, plan
+
+
+def test_ivf_compacted_store_still_prunes_partitions(spark, sf_dir, tmp_path):
+    """compact_ivf_postings must not cost the layout its pruning: after
+    appends AND a compaction pass, the probe join over the reloaded
+    store still carries a dynamicpruning PartitionFilter — the
+    file-count win cannot silently turn probes into full scans."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    index, cents = similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") < 200), centroid_stride=50,
+        max_centroids=None, persist=False,
+    )
+    path = str(tmp_path / "ivf_compact_dpp")
+    similarity.save_ivf_index(index, cents, path)
+    similarity.append_to_ivf_index(
+        path, emb.filter(F.col("vec_id") >= 200)
+    )
+    res = similarity.compact_ivf_postings(spark, path)
+    assert res["n_compacted"] >= 1
+    loaded, cents2 = similarity.load_ivf_index(spark, path)
+    out = similarity.query_ivf(
+        loaded, cents2, emb.filter(F.col("vec_id") < 10), nprobe=2, k=5
+    )
+    plan = _plan(out)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dynamicpruning" in ln.lower() for ln in pf), plan
