@@ -167,6 +167,7 @@ def kmeans_fit(
     round_digits: int = 6,
     tol: float | None = None,
     metric: str = "cos",
+    init: Centroids | None = None,
 ) -> Centroids:
     """Lloyd's k-means: ``iters`` rounds of assign + per-dimension mean.
     Returns the final centroids (cluster id -> vector); clusters that
@@ -177,25 +178,39 @@ def kmeans_fit(
     stopped runs are as reproducible as fixed-count ones; the catalog
     oracle uses the fixed-count contract).
 
+    ``init`` overrides the default first-``k``-rows seeding with an
+    explicit Centroids list (``k`` is then ignored). The default is the
+    deterministic oracle contract, but it draws every seed from the
+    LOWEST ids — after an ingest epoch appends data into a new region
+    (index drift), Lloyd from old-region-only seeds can leave the new
+    region without nearby centroids no matter how many iterations run;
+    a drift REBUILD should seed across epochs (see
+    similarity.ivf_index_governance).
+
     Each iteration costs one corpus scan + one (cluster, dim)-keyed
     aggregation whose shuffle is k x d partial rows per partition; the
     k x d centroid collect is bounded driver data (the same class as the
     connected-components fixpoint scalar)."""
-    init = (
-        emb.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).cast("bigint").alias("cluster"),
-            F.col(vec_col).alias("v"),
+    if init is None:
+        init_rows = (
+            emb.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).cast("bigint").alias("cluster"),
+                F.col(vec_col).alias("v"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    if not init:
-        raise ValueError(
-            "cannot fit k-means on an empty input frame (zero rows after "
-            "filters?) — every clustering entry point calls through here"
-        )
-    cents: Centroids = rows_to_centroids(init)
+        if not init_rows:
+            raise ValueError(
+                "cannot fit k-means on an empty input frame (zero rows after "
+                "filters?) — every clustering entry point calls through here"
+            )
+        cents: Centroids = rows_to_centroids(init_rows)
+    else:
+        if not init:
+            raise ValueError("explicit k-means init must be non-empty")
+        cents = sorted((int(c), [float(x) for x in v]) for c, v in init)
     d = len(cents[0][1])
     for _ in range(iters):
         a = assign_to_centroids(emb, cents, vec_col=vec_col, metric=metric)

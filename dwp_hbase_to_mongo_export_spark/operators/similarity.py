@@ -293,6 +293,71 @@ def load_ivf_index(spark, path: str):
     return index, rows_to_centroids(rows)
 
 
+def ivf_index_corpus(index: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """The full vector corpus as stored IN a posting-list relation —
+    the artifact is self-contained, so governance/rebuild never needs
+    the original source table."""
+    return index.select(
+        F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+
+
+def ivf_index_governance(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    recall_floor: float = 0.6,
+) -> dict:
+    """Recall governance for the DURABLE index path — the check whose
+    absence lets a stale quantiser rot silently: ``append_to_ivf_index``
+    deliberately never moves the coarse centroids (moving them would
+    corrupt existing posting lists), so a drifting ingest distribution
+    degrades probe recall with no error anywhere. This measures
+    recall@k of the saved index's own query path against exact
+    brute-force ground truth over the index's own stored corpus, for a
+    caller-chosen query sample (production: sample RECENT ingest ids —
+    drift shows up there first, while old-region queries stay healthy),
+    and turns it into the rebuild decision.
+
+    Returns {recall, n_queries, recall_floor, rebuild}. ``rebuild``
+    True means: re-train the quantiser on the CURRENT corpus and
+    rebuild the posting lists. Seed the re-train across ingest epochs
+    (clustering.kmeans_fit's ``init``) — Lloyd from old-region-only
+    seeds cannot colonise the drifted region, which is exactly how the
+    index got stale in the first place.
+
+    Cost shape: ground truth is brute force ONLY for the bounded query
+    sample (broadcast side), the probe path is the production
+    query_ivf plan, and the recall join moves k rows per query per
+    side — everything after the index scan is sample-sized. This is
+    the disk-path sibling of the in-session ann_recall_report query."""
+    index, cents = load_ivf_index(spark, path)
+    corpus = ivf_index_corpus(index)
+    q = corpus.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in query_ivf(index, cents, q, nprobe=nprobe, k=k).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, query_ids=q, k=k).collect()
+    }
+    if not exact:
+        raise ValueError(
+            f"{path}: governance query sample matched no stored ids — "
+            "a recall over zero queries would read as healthy"
+        )
+    recall = len(approx & exact) / len(exact)
+    return {
+        "recall": recall,
+        "n_queries": len({qid for qid, _ in exact}),
+        "recall_floor": recall_floor,
+        "rebuild": recall < recall_floor,
+    }
+
+
 def query_ivf(
     index: DataFrame,
     cents,

@@ -498,3 +498,76 @@ def test_ivf_postings_compaction_preserves_results(spark, emb, tmp_path):
         for r in similarity.query_ivf(loaded2, cents3, queries, nprobe=2, k=5).collect()
     }
     assert after == before
+
+
+def test_ivf_disk_index_drift_governance_cycle(spark, emb, tmp_path):
+    """The full lifecycle the durable index needs governance for:
+    (1) train a quantiser on the initial corpus, build + save — recall
+    on a query sample is healthy, no rebuild flagged; (2) append a
+    DRIFTED ingest batch (dims reversed: an isometry, so the batch has
+    real internal neighbor structure, but it lives in a region the
+    frozen quantiser never saw); recall measured on recent-ingest
+    queries collapses below the floor and governance flags the rebuild;
+    (3) rebuild from the index's own stored corpus with epoch-spanning
+    k-means seeds — recall on the same drifted queries recovers above
+    the floor and governance stands down. Also pins that old-region-
+    seeded Lloyd CANNOT recover (the trap kmeans_fit's init docstring
+    documents): the rebuild decision is only as good as the re-seed."""
+    vecs = emb.select("vec_id", "embedding")
+    old = vecs.filter(F.col("vec_id") < 250)
+    drift = vecs.filter(F.col("vec_id") >= 250).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    cents_old = clustering.centroids_df(
+        spark, clustering.kmeans_fit(old, k=8, iters=5)
+    )
+    index, cents = similarity.build_ivf_index(
+        old, centroids=cents_old, persist=False
+    )
+    path = str(tmp_path / "ivf_gov")
+    similarity.save_ivf_index(index, cents, path)
+
+    healthy = similarity.ivf_index_governance(
+        spark, path, query_ids=list(range(10)), recall_floor=0.6
+    )
+    assert healthy["recall"] >= 0.6 and not healthy["rebuild"], healthy
+
+    similarity.append_to_ivf_index(path, drift)
+    drifted = similarity.ivf_index_governance(
+        spark, path, query_ids=list(range(250, 260)), recall_floor=0.6
+    )
+    assert drifted["recall"] < 0.6 and drifted["rebuild"], drifted
+    assert drifted["n_queries"] == 10
+
+    # rebuild from the artifact's own corpus, seeds spanning both epochs
+    stored = similarity.ivf_index_corpus(
+        similarity.load_ivf_index(spark, path)[0]
+    )
+    seeds = clustering.rows_to_centroids(
+        stored.filter(
+            (F.col("vec_id") < 8) | ((F.col("vec_id") >= 250) & (F.col("vec_id") < 258))
+        ).select(F.col("vec_id").cast("bigint"), "embedding").collect()
+    )
+    cents_new = clustering.kmeans_fit(stored, iters=5, init=seeds)
+    rebuilt_index, cents2 = similarity.build_ivf_index(
+        stored, centroids=clustering.centroids_df(spark, cents_new), persist=False
+    )
+    path2 = str(tmp_path / "ivf_gov_rebuilt")
+    similarity.save_ivf_index(rebuilt_index, cents2, path2)
+    recovered = similarity.ivf_index_governance(
+        spark, path2, query_ids=list(range(250, 260)), recall_floor=0.6
+    )
+    assert recovered["recall"] >= 0.6 and not recovered["rebuild"], recovered
+    assert recovered["recall"] > drifted["recall"] + 0.1
+
+    # the documented trap: old-epoch-only seeding does NOT recover
+    cents_bad = clustering.kmeans_fit(stored, k=16, iters=5)
+    bad_index, cents3 = similarity.build_ivf_index(
+        stored, centroids=clustering.centroids_df(spark, cents_bad), persist=False
+    )
+    path3 = str(tmp_path / "ivf_gov_badseed")
+    similarity.save_ivf_index(bad_index, cents3, path3)
+    still_bad = similarity.ivf_index_governance(
+        spark, path3, query_ids=list(range(250, 260)), recall_floor=0.6
+    )
+    assert still_bad["rebuild"], still_bad
