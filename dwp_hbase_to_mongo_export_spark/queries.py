@@ -382,62 +382,64 @@ _register_extra_modules()
 # window is explicit data that ONLY __spark_entry__ applies when handing
 # the catalog to the external driver.
 #
-# Round-6 window, same staleness-first discipline as round 5: lead with
-# the queries whose CODE changed this round (the IVF build/query split —
-# one NEW query plus the three existing consumers of the refactored
-# ivf_topk — and the PQ-extended recall report; winnowing re-evidenced
-# after its keyword-only signature change), then the 30 queries whose
-# most recent all-true driver row is round 3 (the staleness floor after
-# r5), then round-4 greens oldest-registered first to fill the
-# ~50-query gate prefix; round-5 greens (checked last round) close the
+# Round-7 window, same staleness-first discipline as rounds 5-6: lead
+# with the 34 queries whose most recent all-true driver row is round 4
+# (the staleness floor after r6 — exactly the list round 6's verdict
+# prescribed), then the queries whose CODE changed or was added this
+# round (the exact-greedy BPE merge rewrite touches both bpe queries;
+# bpe_encode and similarity_topk_opq are NEW; the IVF/PQ index family
+# sits on the reworked centroid-probe/memo paths and the recall report
+# composes all of them). Already-re-evidenced round-4 greens close the
 # list. After this round no query's latest driver evidence should
-# predate round 4.
+# predate round 5.
 DRIVER_WINDOW = [
-    # new or code-changed in round 6 — first driver evidence / re-evidence
+    # last all-true at the driver in round 4 — the staleness floor
+    "bm25_search",
+    "corpus_filter_pipeline",
+    "corpus_global_shuffle",
+    "corpus_mixture",
+    "corpus_temperature_mix",
+    "customers_without_orders",
+    "data_quality_report",
+    "dedup_apply",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "distinct_users_kmv",
+    "distinct_users_per_day",
+    "doc_token_chunks",
+    "embedding_quantize_int8",
+    "export_unwrap_roundtrip",
+    "funnel_analysis",
+    "kmv_sketch_merge",
+    "median_value_by_type",
+    "percentiles_by_type",
+    "q12_shipping_lateness",
+    "retention_cohorts",
+    "revenue_rollup",
+    "salted_skew_agg",
+    "similarity_topk_int8",
+    "snapshot_diff",
+    "streaming_dedup",
+    "text_boilerplate_df",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "topk_orders_per_customer",
+    "train_val_split",
+    "udtf_split_sentences",
+    # new or code-changed in round 7 — first driver evidence / re-evidence
+    "bpe_encode",
+    "similarity_topk_opq",
     "bpe_merges",
     "bpe_token_counts",
-    "embedding_covariance",
-    "quality_classifier_weights",
-    "quality_classifier_scores",
-    "similarity_topk_ivf_indexed",
-    "similarity_topk_pq_indexed",
-    "similarity_topk_pq",
-    "ann_recall_report",
     "similarity_topk_ivf",
     "similarity_topk_ivf_trained",
-    "winnowing_overlap",
-    # last all-true at the driver in round 3 — the staleness floor
-    "stat_aggregates",
-    "cdc_apply_changelog",
-    "grouping_sets_revenue",
-    "range_frame_trailing_sum",
-    "ranking_family",
-    "export_pipeline_e2e",
-    "streaming_export_pipeline",
-    "key_range_partition_stats",
-    "sanitise_strings",
-    "id_reverse_engineer",
-    "business_audit_lift",
-    "equality_wrap",
-    "streaming_incremental_scan",
-    "streaming_stateful_latest",
-    "streaming_windowed_counts",
-    "streaming_stream_join",
-    "hbase_source_scan",
-    "streaming_hbase_source_scan",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_suppliers",
-    "q20_promo_part_suppliers",
-    "q21_sole_late_supplier",
-    "stratified_sample",
-    "sequence_packing",
-    "streaming_session_windows",
-    "validation_quarantine",
-    "db_collection_fallback",
-    "date_fallback_chain",
-    "conditional_field_drop",
-    # round-4 greens, registration order — the next-stalest tier
+    "similarity_topk_ivf_indexed",
+    "similarity_topk_pq",
+    "similarity_topk_pq_indexed",
+    "ann_recall_report",
+    # round-4 greens already re-evidenced in r5/r6, oldest tier first
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -446,87 +448,8 @@ DRIVER_WINDOW = [
     "date_canonicalise",
     "dedup_exact",
     "q4_order_priority",
-    "customers_without_orders",
-    "topk_orders_per_customer",
-    "revenue_rollup",
-    "distinct_users_per_day",
-    "median_value_by_type",
-    "salted_skew_agg",
-    "streaming_dedup",
-    "percentiles_by_type",
-    "udtf_split_sentences",
-    "distinct_users_kmv",
-    "funnel_analysis",
-    "retention_cohorts",
-    "kmv_sketch_merge",
-    "similarity_topk_int8",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "embedding_quantize_int8",
-    "text_boilerplate_df",
-    "corpus_filter_pipeline",
-    "text_unigram_logprob",
-    "dedup_incremental_batch",
-    "tfidf_top_terms",
-    "bm25_search",
-    "dedup_apply",
-    "export_unwrap_roundtrip",
-    "snapshot_diff",
-    "q12_shipping_lateness",
-    "doc_token_chunks",
-    "corpus_mixture",
-    "train_val_split",
-    "corpus_global_shuffle",
-    "corpus_temperature_mix",
-    "data_quality_report",
-    # round-5 greens — freshest, checked only if the window reaches them
-    "latest_per_key",
-    "time_range_scan",
-    "manifest_projection",
-    "session_windows",
-    "corpus_drift_psi",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "streaming_kmeans_assign",
-    "kmeans_purity",
-    "cluster_prototypes",
-    "dedup_simhash",
-    "dedup_simhash_near",
-    "dedup_embedding_cosine_lsh",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "token_counts",
-    "text_pii_redact",
-    "text_repetition",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "decontaminate_corpus",
-    "multimodal_audio_segments",
-    "dedup_clusters",
-    "dedup_clusters_alternating",
-    "q7_nation_volume",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "asof_click_attribution",
-    "range_join_click_to_purchase",
-    "moving_avg_and_gaps",
-    "pivot_event_counts",
-    "cube_revenue",
-    "user_days_click_no_purchase",
-    "user_days_click_and_purchase",
-    "embedding_norms",
+    "sequence_packing",
+    "stratified_sample",
 ]
 
 
