@@ -679,6 +679,47 @@ def load_pq_index(spark, path: str):
     return codes, [sorted(by[j]) for j in range(m)]
 
 
+def append_to_pq_index(
+    path: str,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add a batch of vectors to a saved PQ index: the
+    batch is encoded with the index's OWN stored codebooks (the
+    quantiser must not move, or existing codes silently stop being
+    comparable — the same frozen-quantiser contract as
+    append_to_ivf_index) and the m-small-ints rows are appended to the
+    codes store; nothing already encoded is rewritten. Each append
+    writes its own file set, so a micro-batch cadence fragments the
+    flat codes directory — compose with ``compact_pq_codes`` on the
+    same cadence the IVF postings store uses. Re-train + rebuild when
+    recall governance says the codebooks went stale (the loaded index's
+    results are pinned identical to in-session ones, so the in-session
+    ann_recall_report PQ row transfers verbatim to this artifact)."""
+    spark = new_batch.sparkSession
+    _, books = load_pq_index(spark, path)
+    pq_encode(new_batch, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "codes"))
+
+
+def compact_pq_codes(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Compact a PQ index's codes store after incremental appends: the
+    flat-directory sibling of compact_ivf_postings (the codes relation
+    has no partition key — every ADC query scores every code row, so
+    there is nothing to prune and the flat compactor is the right
+    one). Codebooks are untouched — compaction moves bytes, never the
+    quantiser."""
+    from ..sinks.compaction import compact_parquet_dir
+
+    return compact_parquet_dir(
+        spark, os.path.join(path, "codes"), target_bytes=target_bytes
+    )
+
+
 def query_pq(
     codes: DataFrame,
     books,
@@ -833,6 +874,47 @@ def opq_rotate(
     R = comps[perm, :]  # k x d rows reordered: output dim p = component perm[p]
     rotated = _pca.project(emb, R, np.zeros(n_dims), vec_col=vec_col, out_col=out_col)
     return rotated, R
+
+
+def save_opq_rotation(spark, R, path: str) -> None:
+    """Persist an opq_rotate rotation matrix alongside a saved PQ
+    index: the rotated deployment is only reproducible cross-session if
+    queries are rotated with the SAME matrix the corpus was encoded
+    under — shipping codes without R would strand the index. Stored as
+    a (row, vals) parquet relation (d rows of d doubles, trivially
+    small); apply to a fresh session's queries with
+    ``apply_opq_rotation``."""
+    rows = [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])]
+    spark.createDataFrame(rows, "row int, vals array<double>").write.parquet(
+        os.path.join(path, "rotation")
+    )
+
+
+def load_opq_rotation(spark, path: str):
+    """Load a save_opq_rotation artifact back into the numpy rotation
+    matrix opq_rotate returned (row-order restored)."""
+    rows = spark.read.parquet(os.path.join(path, "rotation")).collect()
+    if not rows:
+        raise ValueError(f"{path}: empty OPQ rotation relation")
+    by = {int(r["row"]): [float(x) for x in r["vals"]] for r in rows}
+    assert sorted(by) == list(range(len(by))), f"{path}: non-contiguous rotation rows"
+    return np.array([by[i] for i in range(len(by))], dtype=np.float64)
+
+
+def apply_opq_rotation(
+    emb: DataFrame,
+    R,
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """Rotate vectors (typically a fresh session's query batch) with a
+    loaded rotation matrix — the same map-only matmul kernel the corpus
+    was encoded under."""
+    from . import pca as _pca
+
+    return _pca.project(
+        emb, R, np.zeros(R.shape[1]), vec_col=vec_col, out_col=out_col
+    )
 
 
 def _plane_component(plane: int, dim: int) -> float:

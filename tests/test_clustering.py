@@ -571,3 +571,91 @@ def test_ivf_disk_index_drift_governance_cycle(spark, emb, tmp_path):
         spark, path3, query_ids=list(range(250, 260)), recall_floor=0.6
     )
     assert still_bad["rebuild"], still_bad
+
+
+def test_pq_index_incremental_append_and_compaction(spark, emb, tmp_path):
+    """append_to_pq_index: build + save on half the corpus, append the
+    other half in micro-batches — the appended batches are encoded with
+    the index's OWN stored codebooks, so the queried result must equal
+    an index built on the FULL corpus with the same codebooks, and
+    compact_pq_codes collapses the per-append file fragments without
+    changing a single result row."""
+    import glob
+    import os
+
+    old = emb.filter(F.col("vec_id") < 250)
+    codes, books = similarity.build_pq_index(
+        old, m=4, k_codes=8, iters=1, persist=False
+    )
+    path = str(tmp_path / "pq_inc")
+    similarity.save_pq_index(codes, books, path)
+    for lo in range(250, 500, 125):
+        similarity.append_to_pq_index(
+            path, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 125))
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    loaded, books2 = similarity.load_pq_index(spark, path)
+    assert books2 == books
+    assert loaded.count() == emb.count()
+    got = {
+        tuple(r) for r in similarity.query_pq(loaded, books2, queries, k=5).collect()
+    }
+    expected = {
+        tuple(r)
+        for r in similarity.query_pq(
+            similarity.pq_encode(emb, books), books, queries, k=5
+        ).collect()
+    }
+    assert got == expected
+
+    files_before = glob.glob(os.path.join(path, "codes", "*.parquet"))
+    res = similarity.compact_pq_codes(spark, path)
+    assert res["compacted"]
+    files_after = glob.glob(os.path.join(path, "codes", "*.parquet"))
+    assert len(files_after) < len(files_before)
+    loaded3, books3 = similarity.load_pq_index(spark, path)
+    assert books3 == books
+    after = {
+        tuple(r) for r in similarity.query_pq(loaded3, books3, queries, k=5).collect()
+    }
+    assert after == got
+
+
+def test_opq_rotation_durable_roundtrip(spark, emb, tmp_path):
+    """The rotated deployment artifact: opq_rotate -> encode the rotated
+    corpus -> save codes + codebooks + ROTATION. A fresh load must (a)
+    restore the exact rotation matrix, (b) rotate a query batch with it,
+    and (c) reproduce the in-session rotated-ADC results exactly —
+    without R the codes would be unservable, which is why it ships
+    inside the artifact."""
+    import numpy as np
+
+    rotated, R = similarity.opq_rotate(emb.select("vec_id", "embedding"), m=4)
+    frame = rotated.select("vec_id", "rotated")
+    codes, books = similarity.build_pq_index(
+        frame, m=4, k_codes=8, iters=1, vec_col="rotated", persist=False
+    )
+    expected = {
+        tuple(r)
+        for r in similarity.query_pq(
+            codes, books, frame.filter(F.col("vec_id") < 10), k=5, vec_col="rotated"
+        ).collect()
+    }
+    path = str(tmp_path / "opq_index")
+    similarity.save_pq_index(codes, books, path)
+    similarity.save_opq_rotation(spark, R, path)
+
+    codes2, books2 = similarity.load_pq_index(spark, path)
+    R2 = similarity.load_opq_rotation(spark, path)
+    assert np.array_equal(R2, R)
+    q = similarity.apply_opq_rotation(
+        emb.select("vec_id", "embedding").filter(F.col("vec_id") < 10), R2
+    ).select("vec_id", "rotated")
+    got = {
+        tuple(r)
+        for r in similarity.query_pq(
+            codes2, books2, q, k=5, vec_col="rotated"
+        ).collect()
+    }
+    assert got == expected
