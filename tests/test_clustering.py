@@ -659,3 +659,94 @@ def test_opq_rotation_durable_roundtrip(spark, emb, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_ingest_into_durable_ivf_index(spark, emb, tmp_path):
+    """The production ingest story, end to end: a durable IVF index is
+    built and saved on the initial corpus, then a STREAM of new vectors
+    (file source, one micro-batch per file) is appended into it via
+    foreachBatch -> append_to_ivf_index — each batch encoded under the
+    frozen stored quantiser, landing in the cluster-partitioned store.
+    After the drain: the loaded index equals a batch build over the
+    full corpus with the same centroids (ingest order/batching cannot
+    change posting-list contents), compaction collapses the per-batch
+    file fragments with results intact, and recall governance over the
+    freshly ingested ids detects the mild real drift of serving an
+    unseen half under an old-half quantiser — then shows probe
+    widening as the cheap remediation that clears the floor."""
+    import glob
+    import os
+    import tempfile
+
+    vecs = emb.select("vec_id", "embedding")
+    old = vecs.filter(F.col("vec_id") < 250)
+    new = vecs.filter(F.col("vec_id") >= 250)
+    cents_df = clustering.centroids_df(
+        spark, clustering.kmeans_fit(old, k=8, iters=5)
+    )
+    index, cents = similarity.build_ivf_index(old, centroids=cents_df, persist=False)
+    path = str(tmp_path / "ivf_stream")
+    similarity.save_ivf_index(index, cents, path)
+
+    # stream the new batch from a 4-file source: 4 micro-batches
+    src_root = str(tmp_path / "src")
+    new.repartition(4).write.parquet(os.path.join(src_root, "embeddings.parquet"))
+    from dwp_hbase_to_mongo_export_spark.streaming.incremental import stream_table
+
+    stream = stream_table(spark, src_root, "embeddings", max_files_per_trigger=1)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivf_ingest_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: similarity.append_to_ivf_index(path, bdf)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "ingest stream did not drain"
+    q.stop()
+
+    loaded, cents2 = similarity.load_ivf_index(spark, path)
+    assert cents2 == cents
+    assert loaded.count() == vecs.count()
+    queries = vecs.filter(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in similarity.query_ivf(loaded, cents2, queries, nprobe=2, k=5).collect()
+    }
+    batch_index, _ = similarity.build_ivf_index(vecs, centroids=cents_df, persist=False)
+    expected = {
+        tuple(r)
+        for r in similarity.query_ivf(batch_index, cents, queries, nprobe=2, k=5).collect()
+    }
+    assert got == expected
+
+    # per-micro-batch fragments -> compaction, results intact
+    files_before = glob.glob(os.path.join(path, "postings", "cluster=*", "*.parquet"))
+    res = similarity.compact_ivf_postings(spark, path)
+    assert res["n_compacted"] >= 1
+    files_after = glob.glob(os.path.join(path, "postings", "cluster=*", "*.parquet"))
+    assert len(files_after) < len(files_before)
+    loaded3, cents3 = similarity.load_ivf_index(spark, path)
+    after = {
+        tuple(r)
+        for r in similarity.query_ivf(loaded3, cents3, queries, nprobe=2, k=5).collect()
+    }
+    assert after == got
+
+    # governance over the fresh ingest: the quantiser was trained on
+    # the OLD half only, and recall for unseen-half queries (0.5) reads
+    # measurably below old-query recall (0.82) — mild real drift, and
+    # the floor correctly flags it at the default probe width...
+    gov = similarity.ivf_index_governance(
+        spark, path, query_ids=list(range(250, 260)), recall_floor=0.6
+    )
+    assert gov["rebuild"] and gov["recall"] < 0.6, gov
+    # ...while widening the probe (nprobe 2 -> 3) is the cheaper-than-
+    # rebuild remediation the same measurement justifies: recall clears
+    # the floor without touching the quantiser or the posting lists.
+    gov3 = similarity.ivf_index_governance(
+        spark, path, query_ids=list(range(250, 260)), nprobe=3, recall_floor=0.6
+    )
+    assert gov3["recall"] >= 0.6 and not gov3["rebuild"], gov3
+    assert gov3["recall"] > gov["recall"]
