@@ -62,6 +62,8 @@ DISTINCT_SWEEP_QUERIES = [
     "bpe_merges",              # corpus word count + vocab-sized merge loop
     "logreg_fit_full",         # per-iter residual pass + BLAS-partial gradient agg
     "covariance_full",         # single-pass d^2/2 moment aggregation
+    "pq_encode_full",          # the durable PQ index's build-side encode scan
+    "bpe_encode_full",         # tokenizer APPLY: explode + codegen replace chain
 ]
 
 
@@ -108,12 +110,52 @@ def _covariance_full(spark, sf_dir):
     return pca.covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+def _pq_encode_full(spark, sf_dir):
+    """PQ ENCODE over the WHOLE corpus — the 100 TB build-side scan the
+    durable index pays exactly once (codebooks are fit on a constant
+    id-bounded sample so the sweep isolates the encode pass: one
+    Arrow-batched argmin kernel per batch, map-only). Returns a tiny
+    aggregate so timing measures compute, not driver transfer."""
+    from dwp_hbase_to_mongo_export_spark.operators import similarity
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(
+        emb.filter(F.col("vec_id") < 6000), m=4, k_codes=8, iters=1
+    )
+    codes = similarity.pq_encode(emb, books)
+    return codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("codes", 1)).alias("s1"),
+    )
+
+
+def _bpe_encode_full(spark, sf_dir):
+    """BPE tokenize the WHOLE corpus under a constant 6-rule merge
+    table (fit on an id-bounded doc sample, so the sweep isolates the
+    encode: one explode + chained codegen replaces + one agg — the
+    tokenizer-apply pass a training pipeline runs at 100 TB; the FIT
+    pass is bpe_merges' row)."""
+    from dwp_hbase_to_mongo_export_spark.operators import bpe
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs.filter(F.col("doc_id") < 6000), top_v=500)
+    merges = bpe.fit_bpe(wc, n_merges=6)
+    enc = bpe.encode(docs.select("doc_id", "text"), merges)
+    return enc.agg(F.count(F.lit(1)).alias("n"), F.sum("bpe_tokens").alias("s"))
+
+
 # sweep entries not present in the catalog (or deliberately unbounded
 # variants of bounded catalog queries)
 SWEEP_OVERRIDES = {
     "similarity_topk_ivf_full": _ivf_full_corpus,
     "logreg_fit_full": _logreg_fit_full,
     "covariance_full": _covariance_full,
+    "pq_encode_full": _pq_encode_full,
+    "bpe_encode_full": _bpe_encode_full,
 }
 
 BASE = "/root/testdata/sf0.1"
