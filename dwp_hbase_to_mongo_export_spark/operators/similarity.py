@@ -246,6 +246,9 @@ def append_to_ivf_index(
     coarse quantiser. Re-train + rebuild only when centroid drift
     (ann_recall_report's governance loop) says the quantiser went
     stale."""
+    if new_batch.isEmpty():
+        return  # a foreachBatch cadence can deliver empty micro-batches;
+        # writing them would add empty file-sets — pure fragmentation
     spark = new_batch.sparkSession
     _, cents = load_ivf_index(spark, path)
     batch_index = _nearest_centroids(new_batch, cents, 1, vec_col, "cluster").select(
@@ -697,6 +700,8 @@ def append_to_pq_index(
     recall governance says the codebooks went stale (the loaded index's
     results are pinned identical to in-session ones, so the in-session
     ann_recall_report PQ row transfers verbatim to this artifact)."""
+    if new_batch.isEmpty():
+        return  # see append_to_ivf_index: empty micro-batches would only fragment
     spark = new_batch.sparkSession
     _, books = load_pq_index(spark, path)
     pq_encode(new_batch, books, id_col=id_col, vec_col=vec_col).write.mode(

@@ -750,3 +750,34 @@ def test_streaming_ingest_into_durable_ivf_index(spark, emb, tmp_path):
     )
     assert gov3["recall"] >= 0.6 and not gov3["rebuild"], gov3
     assert gov3["recall"] > gov["recall"]
+
+
+def test_index_appends_ignore_empty_batches(spark, emb, tmp_path):
+    """foreachBatch cadences deliver empty micro-batches; appending them
+    must be a no-op (no empty file-sets fragmenting either store), and
+    results must be unchanged."""
+    import glob
+    import os
+
+    vecs = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    empty = vecs.filter(F.lit(False))
+
+    index, cents = similarity.build_ivf_index(
+        vecs, centroid_stride=20, max_centroids=None, persist=False
+    )
+    ipath = str(tmp_path / "ivf_empty")
+    similarity.save_ivf_index(index, cents, ipath)
+    before = sorted(glob.glob(os.path.join(ipath, "postings", "**", "*.parquet"), recursive=True))
+    similarity.append_to_ivf_index(ipath, empty)
+    assert sorted(glob.glob(os.path.join(ipath, "postings", "**", "*.parquet"), recursive=True)) == before
+    loaded, _ = similarity.load_ivf_index(spark, ipath)
+    assert loaded.count() == vecs.count()
+
+    codes, books = similarity.build_pq_index(vecs, m=4, k_codes=8, iters=1, persist=False)
+    ppath = str(tmp_path / "pq_empty")
+    similarity.save_pq_index(codes, books, ppath)
+    before = sorted(glob.glob(os.path.join(ppath, "codes", "*.parquet")))
+    similarity.append_to_pq_index(ppath, empty)
+    assert sorted(glob.glob(os.path.join(ppath, "codes", "*.parquet"))) == before
+    loaded2, _ = similarity.load_pq_index(spark, ppath)
+    assert loaded2.count() == vecs.count()
