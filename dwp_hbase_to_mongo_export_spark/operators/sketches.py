@@ -1,0 +1,111 @@
+"""Mergeable frequency sketches: Count-Min (Cormode/Muthukrishnan
+2005, public literature) over md5-derived hash rows.
+
+The heavy-hitter complement to the KMV distinct sketch
+(queries_analytics.py): where KMV answers "how many distinct?", CMS
+answers "about how often does THIS value occur?" from a constant-size
+summary — the corpus-statistics primitive a 100 TB pipeline uses for
+vocabulary screens, boilerplate suspicion, and join-skew probes
+without a full-cardinality groupBy.
+
+Design points, Spark-first:
+
+* ONE corpus scan builds all ``depth`` hash rows: the per-row bucket
+  ids are a single array expression exploded in place (posexplode),
+  so the build is one scan + one map-side-combined aggregation whose
+  shuffle carries at most depth x width partial rows per partition —
+  constant in corpus size, like the kmeans/covariance update shapes.
+* md5-derived buckets, not Murmur: DETERMINISTIC across engines, so
+  the whole sketch — and every estimate taken from it — is
+  value-checkable bit-for-bit against the DuckDB oracle (the same
+  reason the KMV sketch uses md5; HLL's register layout is
+  implementation-private and can't be cross-checked).
+* Mergeable by bucket-wise SUM: sketch(A union B) = merge(sketch(A),
+  sketch(B)) EXACTLY (not just approximately) — per-shard/per-day
+  sketches combine without rescanning, each shard shipping
+  depth x width longs. Pinned by the cms_sketch_merge oracle.
+* The classic CMS guarantee holds: estimates never undercount
+  (est >= true count; overcounts bounded by collisions), pinned for
+  every probe in tests.
+
+Reference scope note: the reference computes no corpus statistics (its
+unit is the exported record — HBaseWriter/S3 sinks); this extends the
+engine's sketch algebra alongside KMV and the moment sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_WIDTH, CMS_DEPTH = 256, 4
+
+
+def cms_bucket(value: Column, d: int, width: int = CMS_WIDTH) -> Column:
+    """Row d's bucket for a value: first 8 md5 hex chars of 'd:value'
+    as a bigint, mod width — the exact expression the oracle mirrors."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), value.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Count-Min sketch of a column's value frequencies: the
+    (d, bucket, cnt) relation, at most depth x width rows. One corpus
+    scan (all depth buckets computed as one exploded array expression),
+    one aggregation."""
+    buckets = F.array(
+        *[cms_bucket(F.col(value_col), d, width) for d in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise sum of sketches built with the same (width, depth):
+    exactly the sketch of the unioned inputs."""
+    assert sketches, "cms_merge needs at least one sketch"
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionAll(s)
+    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Frequency estimates for a probe relation's values: min over the
+    depth rows of that value's bucket count (an absent bucket is 0).
+    The sketch is depth x width rows — broadcast side; the join and the
+    min-agg are probe-sized. Estimates never undercount."""
+    pb = probes.select(
+        "*",
+        F.posexplode(
+            F.array(*[cms_bucket(F.col(value_col), d, width) for d in range(depth)])
+        ).alias("d", "bucket"),
+    )
+    joined = pb.join(F.broadcast(sketch), ["d", "bucket"], "left").withColumn(
+        "_cnt", F.coalesce("cnt", F.lit(0))
+    )
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min("_cnt").cast("bigint").alias(out_col))
+    )

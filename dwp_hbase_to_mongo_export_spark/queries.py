@@ -431,6 +431,8 @@ DRIVER_WINDOW = [
     # new or code-changed in round 7 — first driver evidence / re-evidence
     "bpe_encode",
     "similarity_topk_opq",
+    "word_freq_cms",
+    "cms_sketch_merge",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -703,3 +703,154 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (operators/sketches.py) — the heavy-hitter
+# complement to the KMV distinct sketch above; md5 buckets make every
+# estimate value-checkable bit-for-bit against DuckDB.
+# ---------------------------------------------------------------------------
+
+_CMS_G = "(SELECT unnest(range(0, 4)) AS d)"
+_CMS_WORDS = """
+    cwords AS (
+      SELECT w, source FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w, source
+        FROM documents
+      ) WHERE len(w) >= 2
+    )"""
+
+
+def _cms_bucket_sql(val: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(g.d AS VARCHAR) || ':' || {val}), 1, 8))"
+        " AS BIGINT) % 256"
+    )
+
+
+@query(
+    "word_freq_cms",
+    oracle=f"""
+    WITH {_CMS_WORDS},
+    tc AS (
+      SELECT w AS word, count(*) AS true_cnt FROM cwords GROUP BY w
+      ORDER BY true_cnt DESC, word LIMIT 20
+    ),
+    sk AS (
+      SELECT g.d, {_cms_bucket_sql('w')} AS bucket, count(*) AS cnt
+      FROM cwords CROSS JOIN {_CMS_G} g GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT tc.word, tc.true_cnt, g.d, {_cms_bucket_sql('tc.word')} AS bucket
+      FROM tc CROSS JOIN {_CMS_G} g
+    )
+    SELECT pb.word, pb.true_cnt,
+           CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+    FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket
+    GROUP BY pb.word, pb.true_cnt
+    """,
+)
+def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus vocabulary
+    (operators/sketches.py): ONE corpus scan builds the depth=4 x
+    width=256 sketch (all four bucket ids per word computed as a single
+    exploded array expression, map-side-combined agg — the shuffle
+    carries at most 1024 partial rows per partition regardless of
+    corpus size), then the true top-20 words are probed against it —
+    (word, true_cnt, cms_est), where cms_est >= true_cnt always (the
+    CMS guarantee, additionally pinned corpus-wide in unit tests). The
+    exact-count probe side is bounded (top-20); at 100 TB the sketch
+    replaces the full-cardinality vocabulary groupBy for screens that
+    tolerate bounded overcount."""
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    sketch = sketches.cms_build(words, "word")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("word"))
+        .limit(20)
+    )
+    return sketches.cms_estimate(sketch, top, "word")
+
+
+@query(
+    "cms_sketch_merge",
+    oracle=f"""
+    WITH {_CMS_WORDS},
+    persh AS (
+      SELECT source, g.d, {_cms_bucket_sql('w')} AS bucket, count(*) AS cnt
+      FROM cwords CROSS JOIN {_CMS_G} g GROUP BY 1, 2, 3
+    ),
+    merged AS (SELECT d, bucket, sum(cnt) AS cnt FROM persh GROUP BY 1, 2),
+    direct AS (
+      SELECT g.d, {_cms_bucket_sql('w')} AS bucket, count(*) AS cnt
+      FROM cwords CROSS JOIN {_CMS_G} g GROUP BY 1, 2
+    ),
+    tc AS (
+      SELECT w AS word FROM cwords GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT 10
+    ),
+    pb AS (
+      SELECT tc.word, g.d, {_cms_bucket_sql('tc.word')} AS bucket
+      FROM tc CROSS JOIN {_CMS_G} g
+    ),
+    est AS (
+      SELECT 'merged' AS scope, pb.word,
+             CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS cms_est
+      FROM pb LEFT JOIN merged m ON m.d = pb.d AND m.bucket = pb.bucket
+      GROUP BY pb.word
+      UNION ALL
+      SELECT 'direct', pb.word, CAST(min(coalesce(x.cnt, 0)) AS BIGINT)
+      FROM pb LEFT JOIN direct x ON x.d = pb.d AND x.bucket = pb.bucket
+      GROUP BY pb.word
+    )
+    SELECT scope, word, cms_est FROM est
+    """,
+)
+def cms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS sketch ALGEBRA, pinned: per-source-shard sketches summed
+    bucket-wise must equal the sketch built directly over all data —
+    EXACT mergeability (not approximate), which is what lets per-day /
+    per-shard sketches combine into larger windows without rescanning,
+    each shard shipping depth x width longs. Both scopes' estimates for
+    the same top-10 probe words are emitted; the oracle pins them
+    identical. The per-shard build is ONE grouped pass (source, d,
+    bucket) — the distributed equivalent of building every shard's
+    sketch independently (cms_merge exercises the explicit two-relation
+    form in unit tests)."""
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+        "source",
+    ).filter(F.length("word") >= 2)
+    buckets = F.array(
+        *[sketches.cms_bucket(F.col("word"), d) for d in range(sketches.CMS_DEPTH)]
+    )
+    persh = (
+        words.select("source", F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("source", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = persh.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    direct = sketches.cms_build(words.select("word"), "word")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(10)
+        .select("word")
+    )
+
+    def est(sketch: DataFrame, scope: str) -> DataFrame:
+        return sketches.cms_estimate(sketch, top, "word").select(
+            F.lit(scope).alias("scope"), "word", "cms_est"
+        )
+
+    return est(merged, "merged").unionAll(est(direct, "direct"))

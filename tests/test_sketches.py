@@ -1,0 +1,73 @@
+"""Unit tests for the Count-Min frequency sketch (operators/sketches.py):
+the never-undercount guarantee over EVERY corpus value, exact (not
+approximate) mergeability, one-scan build plan shape, and estimate
+behaviour for absent values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwp_hbase_to_mongo_export_spark.operators import sketches
+from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+
+def _words(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+
+
+def test_cms_never_undercounts_any_value(spark, sf_dir):
+    words = _words(spark, sf_dir)
+    sketch = sketches.cms_build(words, "word")
+    truth = words.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_estimate(sketch, truth, "word")
+    bad = est.filter(F.col("cms_est") < F.col("true_cnt")).count()
+    assert bad == 0  # the CMS guarantee, checked for EVERY distinct word
+    # and the sketch is actually lossy-compact: far fewer cells than words
+    assert sketch.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
+def test_cms_merge_is_exact(spark, sf_dir):
+    words = _words(spark, sf_dir).withColumn(
+        "half", (F.length("word") % 2 == 0).cast("int")
+    )
+    a = sketches.cms_build(words.filter(F.col("half") == 0).select("word"), "word")
+    b = sketches.cms_build(words.filter(F.col("half") == 1).select("word"), "word")
+    merged = {
+        (r.d, r.bucket): r.cnt for r in sketches.cms_merge(a, b).collect()
+    }
+    direct = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(words.select("word"), "word").collect()
+    }
+    assert merged == direct  # bucket-wise identical, not just close
+
+
+def test_cms_absent_value_estimates_small(spark, sf_dir):
+    words = _words(spark, sf_dir)
+    sketch = sketches.cms_build(words, "word")
+    probes = spark.createDataFrame(
+        [("zzzznotaword",), ("qqqqqabsent",)], "word string"
+    )
+    got = {r.word: r.cms_est for r in sketches.cms_estimate(sketch, probes, "word").collect()}
+    truth_max = words.groupBy("word").count().agg(F.max("count")).collect()[0][0]
+    for w, e in got.items():
+        assert 0 <= e < truth_max  # collisions only; min-over-depth damps them
+
+
+def test_cms_build_is_one_scan(spark, sf_dir):
+    """All depth rows come from ONE corpus scan: the physical plan has
+    exactly one parquet Scan (the exploded bucket array, not a
+    per-depth union of scans) and one shuffle (the map-side-combined
+    (d, bucket) agg)."""
+    import re
+
+    words = _words(spark, sf_dir)
+    plan = (
+        sketches.cms_build(words, "word")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1, plan
