@@ -433,6 +433,7 @@ DRIVER_WINDOW = [
     "similarity_topk_opq",
     "word_freq_cms",
     "cms_sketch_merge",
+    "pagerank_entities",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -1673,3 +1673,73 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id", "score", (F.col("score") >= 0.5).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality (operators/graph_rank.py) — the iterative-algorithm
+# family's ranking member, next to connected components (clustering) and
+# k-means (quantisation). The oracle unrolls the fixed 3 iterations as a
+# CTE chain, the same discipline as the logistic-regression fit oracle.
+# ---------------------------------------------------------------------------
+
+_PR_EDGES = """
+    e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg)"""
+
+
+def _pr_step(prev: str, this: str) -> str:
+    return f"""
+    {this} AS (
+      SELECT d.id, d.outdeg,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(r.rank / r.outdeg), 0) AS rank
+      FROM deg d
+      LEFT JOIN edges e ON e.dst = d.id
+      LEFT JOIN {prev} r ON r.id = e.src
+      GROUP BY d.id, d.outdeg
+    )"""
+
+
+@query(
+    "pagerank_entities",
+    oracle=f"""
+    WITH {_PR_EDGES},
+    r0 AS (SELECT id, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    {_pr_step('r0', 'r1')},
+    {_pr_step('r1', 'r2')},
+    {_pr_step('r2', 'r3')}
+    SELECT id AS node_id, round(rank, 6) AS pr FROM r3
+    """,
+)
+def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier trade graph (an edge per
+    distinct customer-ordered-from-supplier relationship via
+    orders |><| lineitem), 3 fixed synchronous iterations at damping
+    0.85 — (node_id, pr) for every incident node, centrality a pipeline
+    uses to weight sources / prioritise entities before sampling.
+
+    Scale: each iteration is one edges-sized equi-join plus one
+    map-side-combined (dst, contribution) shuffle; rank state is one
+    row per node. localCheckpoint truncates the iterative lineage
+    (operators/graph_rank.py). Final ranks rounded to 6 dp so
+    cross-engine double-sum ordering (~1e-13 after 3 iterations) can't
+    reach the value hash."""
+    from .operators.graph_rank import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges).select("node_id", F.round("rank", 6).alias("pr"))
