@@ -109,3 +109,103 @@ def cms_estimate(
         joined.groupBy(*probes.columns)
         .agg(F.min("_cnt").cast("bigint").alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram — the quantile member of the sketch
+# algebra (KMV: distinct, CMS: frequency, histogram: distribution).
+# Fixed DATA-INDEPENDENT bucket boundaries are what make it exactly
+# mergeable (bucket-wise sum, like CMS) and engine-independently
+# checkable; the error bound is structural (one bucket width), unlike
+# KLL/t-digest whose layouts are implementation-private.
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_WIDTH, HIST_NBINS = 0.0, 5.0, 200
+
+
+def hist_bucket(
+    value: Column,
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+    nbins: int = HIST_NBINS,
+) -> Column:
+    """Clamped equi-width bucket id: floor((x - lo)/width) into
+    [0, nbins-1]. Out-of-range values land in the edge buckets, so the
+    sketch never drops mass (edge-bucket estimates are then clamped
+    rather than wrong)."""
+    raw = F.floor((value - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """Histogram sketch of a numeric column: the (bucket, cnt) relation,
+    at most nbins rows. One scan, one map-side-combined aggregation —
+    the shuffle carries at most nbins partial rows per partition."""
+    return (
+        df.select(hist_bucket(F.col(value_col), lo, width, nbins).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Bucket-wise sum of histograms over the same (lo, width, nbins):
+    exactly the histogram of the unioned inputs."""
+    assert hists, "hist_merge needs at least one histogram"
+    u = hists[0]
+    for h in hists[1:]:
+        u = u.unionAll(h)
+    return u.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q in (0, 1],
+    the target mass t = q*N is located in the cumulative distribution
+    and linearly interpolated inside its bucket —
+    est = lo + width*(bucket + (t - cum_below)/cnt). The estimate is
+    within one bucket width of the exact quantile for in-range data
+    (pinned in tests). All relations here are at most nbins rows: the
+    single-partition cumulative window, the broadcast total, and the
+    non-equi probe join are all sketch-sized, never data-sized."""
+    from pyspark.sql.window import Window
+
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    probes = (
+        spark.createDataFrame([(q,) for q in qs], "q double")
+        .crossJoin(F.broadcast(total))
+        .withColumn("t", F.col("q") * F.col("n"))
+    )
+    hit = probes.join(
+        F.broadcast(cum),
+        ((F.col("cum") - F.col("cnt")) < F.col("t")) & (F.col("cum") >= F.col("t")),
+    )
+    return hit.select(
+        "q",
+        F.round(
+            F.lit(lo)
+            + F.lit(width)
+            * (
+                F.col("bucket")
+                + (F.col("t") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            ),
+            4,
+        ).alias("est"),
+    )

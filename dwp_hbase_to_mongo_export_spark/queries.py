@@ -434,6 +434,7 @@ DRIVER_WINDOW = [
     "word_freq_cms",
     "cms_sketch_merge",
     "pagerank_entities",
+    "value_quantiles_hist",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

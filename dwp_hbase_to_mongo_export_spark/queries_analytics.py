@@ -854,3 +854,40 @@ def cms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return est(merged, "merged").unionAll(est(direct, "direct"))
+
+
+@query(
+    "value_quantiles_hist",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) / 5.0), 0), 199) AS INT)
+               AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b),
+    t AS (
+      SELECT q, q * (SELECT sum(cnt) FROM b) AS t
+      FROM (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+    )
+    SELECT t.q,
+           round(0.0 + 5.0 * (c.bucket + (t.t - (c.cum - c.cnt)) / c.cnt), 4)
+             AS est
+    FROM t JOIN c ON (c.cum - c.cnt) < t.t AND c.cum >= t.t
+    """,
+)
+def value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the mergeable equi-width histogram sketch
+    (operators/sketches.py) — the UNBOUNDED-cardinality escape hatch
+    that percentiles_by_type's docstring promises: ONE corpus scan
+    builds the <=200-row (bucket, cnt) relation (shuffle carries at
+    most nbins partials per partition, constant in corpus size), then
+    p25/p50/p90/p99 are interpolated from the cumulative distribution
+    entirely in sketch-sized relations. Estimates are within one bucket
+    width of exact (pinned vs the exact percentiles in unit tests);
+    per-shard histograms merge by bucket-wise sum without rescanning."""
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketches.hist_build(ev, "value")
+    return sketches.hist_quantiles(hist, [0.25, 0.5, 0.9, 0.99])

@@ -71,3 +71,46 @@ def test_cms_build_is_one_scan(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1, plan
     assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1, plan
+
+
+def test_hist_merge_is_exact(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sketches.hist_build(ev.filter(F.col("event_id") % 2 == 0), "value")
+    b = sketches.hist_build(ev.filter(F.col("event_id") % 2 == 1), "value")
+    merged = {r.bucket: r.cnt for r in sketches.hist_merge(a, b).collect()}
+    direct = {r.bucket: r.cnt for r in sketches.hist_build(ev, "value").collect()}
+    assert merged == direct  # bucket-wise identical, not just close
+
+
+def test_hist_quantiles_within_one_bucket_width(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    hist = sketches.hist_build(ev, "value")
+    est = {r.q: r.est for r in sketches.hist_quantiles(hist, qs).collect()}
+    exact = ev.agg(
+        F.expr(f"percentile(value, array({', '.join(map(str, qs))}))").alias("p")
+    ).collect()[0].p
+    assert set(est) == set(qs)
+    for q, true_val in zip(qs, exact):
+        # structural bound: in-range data is off by at most one bucket width
+        assert abs(est[q] - true_val) <= sketches.HIST_WIDTH, (q, est[q], true_val)
+
+
+def test_hist_quantiles_relations_are_sketch_sized(spark, sf_dir):
+    """The quantile probe never touches data-sized relations: every join
+    in the plan is broadcast (the cumulative window + probe join run on
+    <= nbins rows)."""
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketches.hist_build(ev, "value")
+    plan = (
+        sketches.hist_quantiles(hist, [0.5])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
