@@ -209,3 +209,86 @@ def hist_quantiles(
             4,
         ).alias("est"),
     )
+
+
+def hist_build_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """Per-group histogram sketch: the (*group_cols, bucket, cnt)
+    relation, at most |groups| x nbins rows. Same one-scan shape as
+    hist_build — the shuffle carries at most nbins partials per
+    (partition, group), so per-group quantiles over an UNBOUNDED group
+    set cost one aggregation instead of a full per-group sort (the
+    escape hatch percentiles_by_type's exact path can't offer)."""
+    return (
+        df.select(
+            *group_cols,
+            hist_bucket(F.col(value_col), lo, width, nbins).alias("bucket"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles_grouped(
+    hist: DataFrame,
+    qs: list[float],
+    group_cols: list[str],
+    lo: float = HIST_LO,
+    width: float = HIST_WIDTH,
+) -> DataFrame:
+    """Per-group quantile estimates from a grouped histogram sketch:
+    the same locate-and-interpolate as hist_quantiles, with the
+    cumulative window, the totals, and the probe join all keyed by the
+    group columns. Every relation is sketch-sized (|groups| x nbins at
+    most); the probe join is an equi-join on the group key with the
+    mass-range predicate as its residual, so no group's sketch ever
+    meets another's. Error bound per group: one bucket width, same as
+    the global sketch (pinned in tests)."""
+    from pyspark.sql.window import Window
+
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    probes = total.crossJoin(F.broadcast(qdf)).withColumn(
+        "t", F.col("q") * F.col("n")
+    )
+    # rename the sketch side's group columns so the equi-keys resolve
+    # unambiguously (both sides descend from `hist`, and Spark would
+    # otherwise collapse probes[g] == cum[g] to a trivially-true
+    # same-attribute predicate)
+    cum = cum.select(
+        *[F.col(g).alias(f"_g_{g}") for g in group_cols], "bucket", "cnt", "cum"
+    )
+    cond = ((F.col("cum") - F.col("cnt")) < F.col("t")) & (
+        F.col("cum") >= F.col("t")
+    )
+    for g in group_cols:
+        cond = cond & (F.col(g) == F.col(f"_g_{g}"))
+    hit = probes.join(F.broadcast(cum), cond)
+    return hit.select(
+        *group_cols,
+        "q",
+        F.round(
+            F.lit(lo)
+            + F.lit(width)
+            * (
+                F.col("bucket")
+                + (F.col("t") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            ),
+            4,
+        ).alias("est"),
+    )

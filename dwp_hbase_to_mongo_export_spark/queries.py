@@ -435,6 +435,7 @@ DRIVER_WINDOW = [
     "cms_sketch_merge",
     "pagerank_entities",
     "value_quantiles_hist",
+    "quantiles_by_type_hist",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -868,7 +868,7 @@ def cms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b),
     t AS (
       SELECT q, q * (SELECT sum(cnt) FROM b) AS t
-      FROM (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+      FROM (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
     )
     SELECT t.q,
            round(0.0 + 5.0 * (c.bucket + (t.t - (c.cum - c.cnt)) / c.cnt), 4)
@@ -891,3 +891,53 @@ def value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = sketches.hist_build(ev, "value")
     return sketches.hist_quantiles(hist, [0.25, 0.5, 0.9, 0.99])
+
+
+@query(
+    "quantiles_by_type_hist",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((value - 0.0) / 5.0), 0), 199) AS INT)
+               AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+      FROM b
+    ),
+    n AS (SELECT event_type, sum(cnt) AS n FROM b GROUP BY 1),
+    t AS (
+      SELECT n.event_type, qv.q, qv.q * n.n AS t
+      FROM n CROSS JOIN
+        (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q) qv
+    )
+    SELECT t.event_type, t.q,
+           round(0.0 + 5.0 * (c.bucket + (t.t - (c.cum - c.cnt)) / c.cnt), 4)
+             AS est
+    FROM t JOIN c ON c.event_type = t.event_type
+                 AND (c.cum - c.cnt) < t.t AND c.cum >= t.t
+    """,
+)
+def quantiles_by_type_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantiles from the grouped histogram sketch
+    (operators/sketches.hist_build_grouped) — the unbounded-group-count
+    answer to percentiles_by_type: that exact query sorts every group's
+    values; this one replaces the sort with ONE map-side-combined
+    aggregation to a |groups| x 200-row sketch, then interpolates
+    p25/p50/p90/p99 per group inside sketch-sized relations (the probe
+    join is an equi-join on the group key, broadcast-sized). Per-group
+    error bound: one bucket width, pinned vs the exact per-group
+    percentiles in unit tests. At 100 TB with millions of groups the
+    exact path's per-group sort is the bottleneck; the sketch's shuffle
+    stays (groups x bins)-bounded and per-shard sketches merge by
+    bucket-wise sum."""
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketches.hist_build_grouped(ev, "value", ["event_type"])
+    return sketches.hist_quantiles_grouped(
+        hist, [0.25, 0.5, 0.9, 0.99], ["event_type"]
+    )

@@ -114,3 +114,48 @@ def test_hist_quantiles_relations_are_sketch_sized(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hist_grouped_quantiles_within_one_bucket_width(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.9]
+    hist = sketches.hist_build_grouped(ev, "value", ["event_type"])
+    est = {
+        (r.event_type, r.q): r.est
+        for r in sketches.hist_quantiles_grouped(hist, qs, ["event_type"]).collect()
+    }
+    exact = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({', '.join(map(str, qs))}))").alias("p")
+    ).collect()
+    for row in exact:
+        for q, true_val in zip(qs, row.p):
+            got = est[(row.event_type, q)]
+            assert abs(got - true_val) <= sketches.HIST_WIDTH, (
+                row.event_type, q, got, true_val,
+            )
+
+
+def test_hist_grouped_merge_is_exact(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sketches.hist_build_grouped(
+        ev.filter(F.col("event_id") % 2 == 0), "value", ["event_type"]
+    )
+    b = sketches.hist_build_grouped(
+        ev.filter(F.col("event_id") % 2 == 1), "value", ["event_type"]
+    )
+    merged = {
+        (r.event_type, r.bucket): r.cnt
+        for r in a.unionAll(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    direct = {
+        (r.event_type, r.bucket): r.cnt
+        for r in sketches.hist_build_grouped(ev, "value", ["event_type"]).collect()
+    }
+    assert merged == direct
