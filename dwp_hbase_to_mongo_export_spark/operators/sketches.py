@@ -292,3 +292,30 @@ def hist_quantiles_grouped(
             4,
         ).alias("est"),
     )
+
+
+def cms_literal_estimate(
+    value: Column,
+    sketch_rows,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> Column:
+    """Per-row CMS estimate as a pure map-side expression: the collected
+    sketch (<= depth x width rows — a bounded driver collect, same class
+    as centroids/codebooks) is embedded as ``depth`` ARRAY LITERALS
+    (single Literal objects, not per-element codegen), and the estimate
+    is the min over depth of element_at lookups. This is what makes a
+    sketch-SCREENED scan possible: a corpus-scale filter on estimated
+    frequency with NO join and NO shuffle — the never-undercount
+    guarantee means the screen can only pass false positives, never drop
+    a true heavy key."""
+    tables = [[0] * width for _ in range(depth)]
+    for r in sketch_rows:
+        tables[r["d"]][r["bucket"]] = int(r["cnt"])
+    ests = [
+        F.element_at(
+            F.lit(tables[d]), cms_bucket(value, d, width).cast("int") + F.lit(1)
+        )
+        for d in range(depth)
+    ]
+    return F.least(*ests)

@@ -436,6 +436,12 @@ DRIVER_WINDOW = [
     "pagerank_entities",
     "value_quantiles_hist",
     "quantiles_by_type_hist",
+    "kmv_jaccard_sets",
+    "heavy_hitters_screened",
+    "scd2_history",
+    "hybrid_search_rrf",
+    "zorder_layout",
+    "distinct_users_kmv_by_day",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -596,6 +596,90 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_jaccard_sets",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sa AS (SELECT hv FROM h WHERE event_type = 'click' ORDER BY hv LIMIT 64),
+    sb AS (SELECT hv FROM h WHERE event_type = 'purchase' ORDER BY hv LIMIT 64),
+    su AS (
+      SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+      ORDER BY hv LIMIT 64
+    ),
+    both_sets AS (
+      SELECT hv FROM su
+      WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)
+    )
+    SELECT (SELECT count(*) FROM su) AS k_used,
+           CAST(round(((SELECT count(*) FROM su) - 1) * 4294967296.0
+                      / (SELECT max(hv) FROM su), 0) AS BIGINT) AS union_est,
+           round((SELECT count(*) FROM both_sets) * 1.0
+                 / (SELECT count(*) FROM su), 4) AS jaccard_est,
+           CAST(round((SELECT count(*) FROM both_sets) * 1.0
+                      / (SELECT count(*) FROM su)
+                      * (((SELECT count(*) FROM su) - 1) * 4294967296.0
+                         / (SELECT max(hv) FROM su)), 0) AS BIGINT) AS inter_est
+    """,
+)
+def kmv_jaccard_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA: estimate the union size, Jaccard similarity, and
+    intersection size of two user sets (clickers vs purchasers) from
+    their k-minimum-value sketches alone — the third member of the KMV
+    family after the single-set estimate (distinct_users_kmv) and the
+    mergeability pin (kmv_sketch_merge). The classic estimator
+    (Beyer et al. 2007, public literature): among the k smallest hashes
+    of the UNION sketch, the fraction present in both per-set sketches
+    estimates Jaccard; intersection = J x union-estimate — so two 64-long
+    summaries answer an intersection question without ever co-shuffling
+    the underlying sets. md5 hashing keeps every number deterministic and
+    bit-for-bit oracle-checkable (the reason this family avoids HLL).
+
+    Scale: each per-set sketch is a TakeOrdered top-k (each partition
+    forwards its local 64); everything downstream operates on <=128 rows.
+    At 100 TB the two sets never meet — only their sketches do."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    sa = h.filter(F.col("event_type") == "click").select("hv").orderBy("hv").limit(64)
+    sb = (
+        h.filter(F.col("event_type") == "purchase")
+        .select("hv")
+        .orderBy("hv")
+        .limit(64)
+    )
+    su = sa.unionAll(sb).distinct().orderBy("hv").limit(64)
+    both = su.join(sa, "hv", "left_semi").join(sb, "hv", "left_semi")
+    stats = su.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("max_hv")
+    ).crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    return stats.select(
+        "k_used",
+        F.round((F.col("k_used") - 1) * F.lit(4294967296.0) / F.col("max_hv"), 0)
+        .cast("bigint")
+        .alias("union_est"),
+        F.round(F.col("n_both") / F.col("k_used"), 4).alias("jaccard_est"),
+        F.round(
+            F.col("n_both")
+            / F.col("k_used")
+            * ((F.col("k_used") - 1) * F.lit(4294967296.0) / F.col("max_hv")),
+            0,
+        )
+        .cast("bigint")
+        .alias("inter_est"),
+    )
+
+
+@query(
     "corpus_drift_psi",
     oracle="""
     WITH cohorts AS (
@@ -940,4 +1024,216 @@ def quantiles_by_type_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = sketches.hist_build_grouped(ev, "value", ["event_type"])
     return sketches.hist_quantiles_grouped(
         hist, [0.25, 0.5, 0.9, 0.99], ["event_type"]
+    )
+
+
+@query(
+    "heavy_hitters_screened",
+    oracle="""
+    WITH kmv AS (
+      SELECT count(*) AS k, max(hv) AS kth FROM (
+        SELECT hv FROM (
+          SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) AS hv
+          FROM events
+        ) ORDER BY hv LIMIT 64
+      )
+    ),
+    thr AS (
+      SELECT 1.15 * (SELECT count(*) FROM events)
+             / round((k - 1) * 4294967296.0 / kth, 0) AS t
+      FROM kmv
+    )
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= (SELECT t FROM thr)
+    """,
+)
+def heavy_hitters_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters through an all-sketch screen — the pattern a
+    100 TB pipeline uses when the key space is too large for a full
+    groupBy hash table: (1) ONE scan builds a CMS frequency sketch
+    (constant size); (2) the threshold itself is sketch-derived —
+    1.15x the mean key frequency, with the key cardinality estimated by
+    the KMV sketch, so NO exact-distinct pass; (3) the verify scan
+    filters rows MAP-SIDE with the sketch embedded as array literals
+    (operators/sketches.cms_literal_estimate — no join, no shuffle),
+    then aggregates exactly over surviving keys only. CMS never
+    undercounts, so the screen passes a superset of the true heavy
+    keys and the final exact HAVING makes the result EXACT — which is
+    why the oracle is the plain exact query, with the KMV threshold
+    reproduced bit-for-bit.
+
+    Scale: the exact aggregation's key space and shuffle are bounded by
+    the candidate set (true heavies + CMS collision false positives,
+    tunable via width), not by the full key cardinality. Driver
+    collects: the sketch (<= depth x width rows) and the KMV scalar —
+    both bounded."""
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+
+    sketch_rows = sketches.cms_build(ev, "user_id", width=1024).collect()
+    total = sum(int(r["cnt"]) for r in sketch_rows if r["d"] == 0)
+
+    kmv = (
+        ev.select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+        .agg(F.count(F.lit(1)).alias("k"), F.max("hv").alias("kth"))
+        .collect()[0]
+    )
+    est_distinct = round((kmv["k"] - 1) * 4294967296.0 / kmv["kth"], 0)
+    threshold = 1.15 * total / est_distinct
+
+    est = sketches.cms_literal_estimate(F.col("user_id"), sketch_rows, width=1024)
+    return (
+        ev.filter(est >= F.lit(threshold))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+    )
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = 8) -> str:
+    """Morton interleave as DuckDB bit-ops — the SQL mirror of
+    operators/layout.interleave_bits (bit i of a -> 2i+1, of b -> 2i)."""
+    terms = [f"((({a} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)] + [
+        f"((({b} >> {i}) & 1) << {2 * i})" for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+_Z_DAY_SQL = (
+    "least(greatest(CAST(floor(date_diff('day', DATE '1995-01-01', "
+    "CAST(o_orderdate AS DATE)) / 10.0) AS BIGINT), 0), 255)"
+)
+_Z_PRICE_SQL = (
+    "least(greatest(CAST(floor(o_totalprice / 2000.0) AS BIGINT), 0), 255)"
+)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           {_z_interleave_sql(_Z_DAY_SQL, _Z_PRICE_SQL)} AS zval
+    FROM orders
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout rewrite (operators/layout.py — the Morton-curve
+    clustering behind Delta's OPTIMIZE ZORDER BY): orders is rewritten
+    into files clustered by the interleaved bits of its order-day and
+    total-price buckets, so parquet min-max stats are tight on BOTH
+    dimensions per file and a conjunctive box predicate prunes files on
+    either — the multi-dimensional scan-locality lever a 100 TB
+    scan-heavy table needs (a 1-D sort keeps only its own column's
+    stats tight; pinned comparatively via footer stats in
+    tests/test_layout.py). The query returns the REWRITTEN table read
+    back with its z-value recomputed; the oracle computes the identical
+    Morton math over the source table, checking both that the rewrite
+    is lossless and that the bit interleave is engine-exact.
+
+    Scale: the z-value is pure codegen (shift/mask OR-fold over
+    data-independent buckets — no stats pass); the rewrite is one range
+    repartition on z + a within-partition sort, each row moving once —
+    the same cost as any sorted write, amortised over every subsequent
+    pruned scan."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .operators import layout
+
+    o = load_table(spark, sf_dir, "orders")
+    day = layout.fixed_bucket(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")),
+        0.0,
+        10.0,
+        256,
+    )
+    price = layout.fixed_bucket(F.col("o_totalprice"), 0.0, 2000.0, 256)
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_zorder",
+        _os.path.basename(sf_dir.rstrip("/")),
+    )
+    layout.zorder_write(o, path, layout.interleave_bits(day, price), 8)
+
+    back = spark.read.parquet(path)
+    day_b = layout.fixed_bucket(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")),
+        0.0,
+        10.0,
+        256,
+    )
+    price_b = layout.fixed_bucket(F.col("o_totalprice"), 0.0, 2000.0, 256)
+    return back.select(
+        "o_orderkey",
+        "o_totalprice",
+        layout.interleave_bits(day_b, price_b).alias("zval"),
+    )
+
+
+@query(
+    "distinct_users_kmv_by_day",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    per_day AS (
+      SELECT day, hv FROM (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM h) WHERE rn <= 64
+    )
+    SELECT day, count(*) AS k_used,
+           CASE WHEN count(*) < 64 THEN count(*)
+                ELSE CAST(round((count(*) - 1) * 4294967296.0 / max(hv), 0)
+                          AS BIGINT)
+           END AS est_distinct
+    FROM per_day GROUP BY day
+    """,
+)
+def distinct_users_kmv_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP KMV distinct sketch: daily distinct-user estimates from
+    a k=64 sketch per day — the grouped member of the KMV family
+    (global estimate: distinct_users_kmv; mergeability: kmv_sketch_merge;
+    set algebra: kmv_jaccard_sets). Small days (fewer than k distinct
+    hashes) report their EXACT count — the sketch holds the whole hash
+    set — and only saturated days use the (k-1)/kth-fraction estimator,
+    so the estimate is never worse than exact for small groups.
+
+    Scale: the per-day k-mins are a windowed top-k — WindowGroupLimit
+    forwards at most k rows per (day, map partition), so the shuffle
+    carries |days| x 64 x n_partitions hashes at worst, never the user
+    set; with millions of groups this is the same escape hatch the
+    grouped histogram gives percentiles. Per-day sketches also merge
+    upward (day -> month) by re-taking k-mins, without rescanning."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("hv")
+    per_day = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    k = F.count(F.lit(1))
+    return per_day.groupBy("day").agg(
+        k.alias("k_used"),
+        F.when(k < 64, k)
+        .otherwise(
+            F.round((k - 1) * F.lit(4294967296.0) / F.max("hv"), 0).cast("bigint")
+        )
+        .alias("est_distinct"),
     )

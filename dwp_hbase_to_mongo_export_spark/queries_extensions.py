@@ -1743,3 +1743,107 @@ def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges).select("node_id", F.round("rank", 6).alias("pr"))
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+    avgdl AS (SELECT round(avg(dl), 6) AS avgdl FROM dlen),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tokens
+           WHERE t IN ('table', 'scan', 'merge') GROUP BY doc_id, t),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl))
+             ), 6) AS score6
+      FROM tf JOIN df d ON d.t = tf.t
+              JOIN dlen dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN avgdl a CROSS JOIN n
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(score6, 3) DESC, doc_id)
+               AS rank_lex
+      FROM (SELECT doc_id, score6 FROM scored
+            ORDER BY score6 DESC, doc_id LIMIT 20)
+    ),
+    sem AS (
+      SELECT doc_id, rank_sem FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rank_sem
+        FROM embeddings c,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE c.vec_id <> 0
+      ) WHERE rank_sem <= 20
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0)
+             + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank_sem), 0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    2009, public literature) of a lexical and a semantic ranking, the
+    standard RAG-retrieval composition: BM25 top-20 for a 3-term query
+    fused with exact-cosine top-20 for a query vector (vec 0, doc ids
+    row-aligned with the embeddings table), score = sum of 1/(60+rank)
+    over the rankings that contain the document (k=60, the published
+    constant). Rankings key on engine-stable values (3-decimal BM25
+    score, cosine with id tiebreak), so ranks — and therefore the fused
+    scores — are deterministic and bit-for-bit oracle-checkable.
+
+    Scale: each leg is already 100 TB-shaped (BM25's scored relation is
+    |query terms| x df rows; the cosine leg is a map-only broadcast-query
+    scan + TakeOrdered); the fusion itself touches only 2 x 20 rank
+    rows — a constant-size full-outer join regardless of corpus size.
+    Swapping the exact-cosine leg for query_ivf/query_pq changes
+    nothing downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = textops.bm25_search(docs, ["table", "scan", "merge"], top_n=20)
+    from pyspark.sql.window import Window as _W
+
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank_lex"),
+    )
+    sem = similarity.brute_force_topk(emb, k=20, max_query_id=1).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

@@ -911,3 +911,64 @@ def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build — the lakehouse
+    complement to cdc_apply_changelog (which materialises only the
+    LATEST state): compress the changelog to state-CHANGE rows (each
+    row where the tracked attribute differs from the previous version),
+    then assign each change its validity interval [valid_from, valid_to)
+    with the open (is_current) row carrying a NULL end. This is the
+    standard warehouse dimension-history shape: an as-of lookup becomes
+    a range probe into the interval table rather than a scan of the raw
+    changelog.
+
+    Scale: BOTH window passes (the change filter's lag and the interval
+    lead) share the same partitioning key, so Catalyst plans exactly ONE
+    shuffle on user_id and one sort per partition; the lead runs on the
+    already-compressed change rows. No self-join, no per-key collect —
+    at 100 TB this is a single exchange plus linear passes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(wc)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

@@ -53,6 +53,11 @@ def get_spark(
         # Python DataSource filter pushdown (sources/hbase_cells_source.py
         # pushes ts range bounds into its scan) is opt-in in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # write timestamps as INT64 micros, not the deprecated INT96:
+        # INT96 columns carry NO parquet min-max statistics, which
+        # disables file/row-group pruning on every timestamp column —
+        # the whole point of sorted/z-ordered layouts (operators/layout)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -411,3 +411,19 @@ def test_ivf_compacted_store_still_prunes_partitions(spark, sf_dir, tmp_path):
     plan = _plan(out)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("dynamicpruning" in ln.lower() for ln in pf), plan
+
+
+def test_scd2_single_shuffle_two_windows(spark):
+    """SCD2's lag (change filter) and lead (interval assignment) share
+    the user_id partitioning, so the whole history build is ONE exchange
+    + one sort reused by both Window operators."""
+    import re
+    from dwp_hbase_to_mongo_export_spark.queries_joins import scd2_history
+
+    plan = (
+        scd2_history(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1, plan
+    assert plan.count("Window ") == 2, plan
+    assert plan.count("Sort ") == 1, plan

@@ -159,3 +159,58 @@ def test_hist_grouped_merge_is_exact(spark, sf_dir):
         for r in sketches.hist_build_grouped(ev, "value", ["event_type"]).collect()
     }
     assert merged == direct
+
+
+def test_kmv_jaccard_close_to_exact(spark, sf_dir):
+    """The k=64 KMV Jaccard estimate lands within sampling error of the
+    exact Jaccard of the two user sets (std ~ sqrt(J(1-J)/k) ~ 0.06)."""
+    from dwp_hbase_to_mongo_export_spark.queries_analytics import kmv_jaccard_sets
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    row = kmv_jaccard_sets(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    a = {r.user_id for r in ev.filter(F.col("event_type") == "click")
+         .select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.filter(F.col("event_type") == "purchase")
+         .select("user_id").distinct().collect()}
+    exact_j = len(a & b) / len(a | b)
+    assert abs(row.jaccard_est - exact_j) <= 0.2, (row.jaccard_est, exact_j)
+    assert abs(row.union_est - len(a | b)) / len(a | b) <= 0.35
+
+
+def test_cms_screen_superset_and_selective(spark, sf_dir):
+    """The CMS screen (a) never drops a true heavy key (superset — the
+    never-undercount guarantee applied to screening) and (b) actually
+    prunes: the candidate set is smaller than the full key set."""
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.cms_build(ev, "user_id", width=1024).collect()
+    exact = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    threshold = 1.15 * sum(exact.values()) / len(exact)
+    est = sketches.cms_literal_estimate(F.col("user_id"), rows, width=1024)
+    candidates = {
+        r.user_id
+        for r in ev.filter(est >= F.lit(threshold)).select("user_id").distinct().collect()
+    }
+    heavy = {u for u, c in exact.items() if c >= threshold}
+    assert heavy <= candidates  # no false negatives, ever
+    assert len(candidates) < len(exact)  # the screen prunes
+
+
+def test_cms_screen_verify_is_two_scans_no_join(spark, sf_dir):
+    """The screened verify path is map-only below the aggregation: no
+    join operator anywhere (the sketch rides as array literals)."""
+    from dwp_hbase_to_mongo_export_spark.queries_analytics import (
+        heavy_hitters_screened,
+    )
+
+    plan = (
+        heavy_hitters_screened(spark, str(sf_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan

@@ -69,6 +69,13 @@ NESTED_LOOP_ALLOWED = {
     # 4-row quantile-literal cross (broadcast, constant build side);
     # the sketch probe itself is a BroadcastHashJoin on the group key
     "quantiles_by_type_hist",
+    # KMV set algebra: the cross is two 1-row sketch-statistic
+    # aggregates (k/max-hash x both-membership count) — scalar x scalar
+    "kmv_jaccard_sets",
+    # RRF fusion: the nested loop is brute_force_topk's broadcast
+    # 1-query x corpus scan (the same allowed shape as
+    # similarity_topk_bruteforce); the fusion join itself is 20x20 rows
+    "hybrid_search_rrf",
 }
 
 

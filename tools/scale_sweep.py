@@ -43,6 +43,10 @@ SWEEP_QUERIES = [
     "latest_per_key",          # key window dedup
     "envelope_extract",        # map-only JSON parse
     "sequence_packing",        # shard window + two-level agg
+    "value_quantiles_hist",    # histogram sketch: constant-size shuffle
+    "heavy_hitters_screened",  # CMS build + map-side screened exact agg
+    "scd2_history",            # one key shuffle, two shared-sort windows
+    "zorder_layout",           # range-partitioned sorted rewrite
 ]
 
 # The clustering/search/near-dup families need DISTINCT-content
