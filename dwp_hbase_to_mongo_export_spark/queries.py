@@ -442,6 +442,7 @@ DRIVER_WINDOW = [
     "hybrid_search_rrf",
     "zorder_layout",
     "distinct_users_kmv_by_day",
+    "streaming_quantiles_hist",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

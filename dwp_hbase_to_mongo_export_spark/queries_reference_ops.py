@@ -468,3 +468,41 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type"),
     )
 
+
+
+@query(
+    "streaming_quantiles_hist",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) / 5.0), 0), 199) AS INT)
+               AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b),
+    t AS (
+      SELECT q, q * (SELECT sum(cnt) FROM b) AS t
+      FROM (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+    )
+    SELECT t.q,
+           round(0.0 + 5.0 * (c.bucket + (t.t - (c.cum - c.cnt)) / c.cnt), 4)
+             AS est
+    FROM t JOIN c ON (c.cum - c.cnt) < t.t AND c.cum >= t.t
+    """,
+)
+def streaming_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram sketch built INCREMENTALLY over the event stream
+    (streaming/incremental.histogram_sketch_stream): micro-batch bucket
+    counts fold into <= nbins rows of running state (the sketch's merge
+    IS the streaming aggregation), then quantiles are interpolated from
+    the final state. Because the sketch merges exactly, the streaming
+    result is bit-identical to the batch value_quantiles_hist — the
+    SAME oracle pins both, which is the whole point of choosing
+    mergeable summaries for ingest-time statistics."""
+    from .operators import sketches
+    from .streaming import incremental as streaming
+
+    hist = streaming.run_available_now(
+        streaming.histogram_sketch_stream(spark, sf_dir)
+    )
+    return sketches.hist_quantiles(hist, [0.25, 0.5, 0.9, 0.99])

@@ -411,3 +411,22 @@ def transform_with_state_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def histogram_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the mergeable equi-width histogram sketch
+    (operators/sketches.py): each micro-batch's bucket counts fold into
+    the running (bucket, cnt) state by bucket-wise SUM — the sketch's
+    merge operation IS the streaming aggregation, so the final state is
+    bit-identical to the batch-built histogram (pinned by the
+    streaming_quantiles_hist oracle). State is <= nbins rows regardless
+    of stream length — the constant-size running summary a 100 TB
+    ingest pipeline keeps per metric."""
+    from ..operators.sketches import hist_bucket
+
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.select(hist_bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

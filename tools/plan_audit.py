@@ -65,6 +65,8 @@ NESTED_LOOP_ALLOWED = {
     # sketch-sized regardless of corpus size (pinned by
     # tests/test_sketches.py::test_hist_quantiles_relations_are_sketch_sized)
     "value_quantiles_hist",
+    # same probe shape over the stream-built sketch (state <= nbins rows)
+    "streaming_quantiles_hist",
     # grouped variant: the nested loop is the |groups|-row totals x
     # 4-row quantile-literal cross (broadcast, constant build side);
     # the sketch probe itself is a BroadcastHashJoin on the group key
