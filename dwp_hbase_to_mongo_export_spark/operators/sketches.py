@@ -319,3 +319,48 @@ def cms_literal_estimate(
         for d in range(depth)
     ]
     return F.least(*ests)
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    factor: float = 1.15,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy keys via the all-sketch screen: CMS estimates filter
+    rows map-side (no join, no shuffle — cms_literal_estimate), the
+    threshold is ``factor`` x the mean key frequency with cardinality
+    estimated by a k=64 KMV sketch (no exact-distinct pass), and the
+    final exact aggregation + HAVING runs over candidate keys only.
+    Never-undercount makes the screen a superset filter, so the result
+    is exactly {key: true_cnt >= threshold}. Driver collects are the
+    sketch (<= depth x width rows) and one KMV scalar row — bounded.
+
+    Returns (key_col, cnt). The output size is bounded by
+    total/threshold keys (< cardinality/factor), which is what makes
+    collecting it for skew routing legitimate at 100 TB."""
+    sketch_rows = cms_build(df, key_col, width=width).collect()
+    total = sum(int(r["cnt"]) for r in sketch_rows if r["d"] == 0)
+
+    kmv = (
+        df.select(
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+        .agg(F.count(F.lit(1)).alias("k"), F.max("hv").alias("kth"))
+        .collect()[0]
+    )
+    est_distinct = round((kmv["k"] - 1) * 4294967296.0 / kmv["kth"], 0)
+    threshold = factor * total / est_distinct
+
+    est = cms_literal_estimate(F.col(key_col), sketch_rows, width=width)
+    return (
+        df.filter(est >= F.lit(threshold))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+    )

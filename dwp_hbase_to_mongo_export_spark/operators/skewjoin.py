@@ -1,0 +1,64 @@
+"""Skew-split join: route hot join keys through a broadcast path and
+cold keys through the ordinary co-partitioned shuffle join, then union
+— the classic production remedy for EXTREME key skew (one key larger
+than a task), exact by construction.
+
+Where it sits relative to Spark's own machinery:
+
+* AQE's skew-join handling (enabled in session.py) splits oversized
+  SORT-MERGE PARTITIONS at runtime — it helps when a partition is a
+  few times too big, but the hot key's rows are still shuffled, still
+  sorted, and it only kicks in for supported join shapes.
+* The explicit split is stronger for pathological keys: hot FACT rows
+  never shuffle at all (they map-join against a broadcast of just the
+  hot dimension rows), and the cold side keeps a clean co-partitioned
+  plan. The cost of knowing the hot set is one constant-size sketch
+  pass (operators/sketches.exact_heavy_hitters — CMS screen + KMV
+  threshold, no exact-distinct, no full groupBy).
+
+Exactness: the hot list is an exact heavy-hitter set (the screen never
+drops a hot key), the hot/cold row partition is a disjoint cover, and
+each side joins exactly — so union(cold ⋈, hot ⋈) IS the plain join,
+which is what the oracle checks.
+
+Reference scope note: the reference's single fixed join is the
+scan-time cell merge (HBaseResultProcessor.kt); skew routing extends
+the engine for star-schema joins at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketches import exact_heavy_hitters
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    factor: float = 1.15,
+    width: int = 1024,
+) -> DataFrame:
+    """Inner-join ``fact`` with ``dim`` with hot keys routed around the
+    shuffle. The hot set is detected on the FACT side (that is where
+    skew lives); the cold join is hinted SHUFFLE_MERGE to pin the plan
+    a 100 TB dimension forces (too big to broadcast whole — its
+    hot-key SUBSET is what stays broadcastable)."""
+    hot_rows = exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
+    hot_keys = [r[fact_key] for r in hot_rows.collect()]  # bounded: see operator doc
+
+    on = fact[fact_key] == dim[dim_key]
+    if not hot_keys:
+        return fact.join(dim.hint("merge"), on)
+
+    is_hot = F.col(fact_key).isin(hot_keys)
+    cold = fact.filter(~is_hot).join(
+        dim.filter(~F.col(dim_key).isin(hot_keys)).hint("merge"), on
+    )
+    hot = fact.filter(is_hot).join(
+        F.broadcast(dim.filter(F.col(dim_key).isin(hot_keys))), on
+    )
+    return cold.unionByName(hot)

@@ -443,6 +443,8 @@ DRIVER_WINDOW = [
     "zorder_layout",
     "distinct_users_kmv_by_day",
     "streaming_quantiles_hist",
+    "skew_split_join_events",
+    "bloom_semijoin_reduction",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -1073,32 +1073,7 @@ def heavy_hitters_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
 
     ev = load_table(spark, sf_dir, "events")
-
-    sketch_rows = sketches.cms_build(ev, "user_id", width=1024).collect()
-    total = sum(int(r["cnt"]) for r in sketch_rows if r["d"] == 0)
-
-    kmv = (
-        ev.select(
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("hv")
-        )
-        .distinct()
-        .orderBy("hv")
-        .limit(64)
-        .agg(F.count(F.lit(1)).alias("k"), F.max("hv").alias("kth"))
-        .collect()[0]
-    )
-    est_distinct = round((kmv["k"] - 1) * 4294967296.0 / kmv["kth"], 0)
-    threshold = 1.15 * total / est_distinct
-
-    est = sketches.cms_literal_estimate(F.col("user_id"), sketch_rows, width=1024)
-    return (
-        ev.filter(est >= F.lit(threshold))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= F.lit(threshold))
-    )
+    return sketches.exact_heavy_hitters(ev, "user_id", factor=1.15, width=1024)
 
 
 def _z_interleave_sql(a: str, b: str, bits: int = 8) -> str:
@@ -1236,4 +1211,39 @@ def distinct_users_kmv_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((k - 1) * F.lit(4294967296.0) / F.max("hv"), 0).cast("bigint")
         )
         .alias("est_distinct"),
+    )
+
+
+@query(
+    "skew_split_join_events",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_nationkey
+    """,
+)
+def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split join (operators/skewjoin.py): events (fact) joined to
+    customer (dimension) with HOT user keys — detected exactly by the
+    CMS-screen + KMV-threshold heavy-hitter pipeline — routed through a
+    broadcast of just their dimension rows, while cold keys take the
+    ordinary co-partitioned sort-merge join; the union is exactly the
+    plain join (the oracle IS the plain join + aggregation). This is
+    the production remedy for the key AQE's partition-splitting can't
+    save: hot fact rows never shuffle at all.
+
+    Scale: the hot-set detection is one constant-size sketch pass; the
+    broadcast side is |hot keys| dimension rows regardless of dimension
+    size; the cold plan is the one you'd ship anyway. Plan pinned
+    (SortMergeJoin + BroadcastHashJoin + Union) in tests/test_skew.py."""
+    from .operators.skewjoin import skew_split_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = skew_split_join(ev, cust, "user_id", "c_custkey")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )

@@ -972,3 +972,47 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt).alias("valid_to_us"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@query(
+    "bloom_semijoin_reduction",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION (operators/bloom.py): the fact
+    side (lineitem) is screened MAP-SIDE with a deterministic bit set
+    built from the filtered dimension's keys (urgent orders), so rows
+    that cannot match never enter the join's shuffle; the join then
+    discards the bloom's false positives, making the result exactly the
+    plain join (the oracle). This is the explicit, engine-portable form
+    of Spark's runtime bloom injection — deterministic md5 bits, usable
+    under any join shape, pinned below the exchange in tests.
+
+    Scale: the build is one dimension scan to <= m bit positions
+    (constant, bounded collect); the screen is pure codegen on the fact
+    scan (one array-literal lookup per hash); the shuffle then carries
+    |matching| + |FP| rows instead of the whole fact table — at 20%
+    dimension selectivity that is an ~5x shuffle cut for one map pass."""
+    from .operators import bloom
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem")
+    bits = bloom.bloom_build(o, "o_orderkey")
+    screened = li.filter(bloom.bloom_might_contain(F.col("l_orderkey"), bits))
+    return (
+        screened.join(o.hint("merge"), screened.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

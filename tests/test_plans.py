@@ -427,3 +427,30 @@ def test_scd2_single_shuffle_two_windows(spark):
     assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 1, plan
     assert plan.count("Window ") == 2, plan
     assert plan.count("Sort ") == 1, plan
+
+
+def test_bloom_screen_is_map_side_below_exchange(spark):
+    """The bloom membership filter must run ON the fact scan, before any
+    exchange — the whole point of semi-join reduction — and it must cut
+    the screened row count while keeping every true match."""
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import bloom
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(spark, sf, "lineitem")
+    bits = bloom.bloom_build(o, "o_orderkey")
+    screened = li.filter(bloom.bloom_might_contain(F.col("l_orderkey"), bits))
+
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # screen is a pure map pass
+
+    n_all = li.count()
+    n_scr = screened.count()
+    n_match = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    n_scr_match = (
+        screened.join(o, screened.l_orderkey == o.o_orderkey, "left_semi").count()
+    )
+    assert n_scr < n_all  # it prunes
+    assert n_scr_match == n_match  # no false negatives, ever

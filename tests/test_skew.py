@@ -241,3 +241,27 @@ def test_bm25_hot_query_term_stays_bounded(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_skew_split_join_plan_and_exactness(spark, sf_dir):
+    """The skew-split join routes hot keys through a BroadcastHashJoin
+    and cold keys through a SortMergeJoin, unioned — and the result is
+    exactly the plain join."""
+    from dwp_hbase_to_mongo_export_spark.operators.skewjoin import skew_split_join
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, str(sf_dir), "events")
+    cust = load_table(spark, str(sf_dir), "customer")
+    split = skew_split_join(ev, cust, "user_id", "c_custkey")
+
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Union" in plan, plan
+
+    plain = ev.join(cust, ev.user_id == cust.c_custkey)
+    assert split.count() == plain.count()
+    # value-level: per-key event counts agree
+    a = {r.user_id: r.n for r in split.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    b = {r.user_id: r.n for r in plain.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert a == b
