@@ -8,9 +8,11 @@ Spark itself can inject runtime bloom filters
 (spark.sql.optimizer.runtime.bloomFilter.enabled) for supported shapes;
 this explicit operator exists for the same reasons the CMS screen does:
 
-* DETERMINISTIC md5-derived bit positions — the filter, and therefore
-  the screened row set, is reproducible across engines and runs (the
-  native filter's bits are engine-private);
+* DETERMINISTIC seeded-xxhash64 bit positions — the filter, and
+  therefore the screened row set, is reproducible across runs and
+  explicit in the plan (the native filter's bits are engine-private
+  and injection is best-effort); exactness needs no cross-engine hash
+  portability because the join discards false positives either way;
 * the bit set rides as ~m/64 packed-long ARRAY LITERALS (a single
   Literal object), so membership is pure codegen — no join, no
   broadcast exchange, usable under any join shape including ones the
@@ -41,23 +43,19 @@ BLOOM_M, BLOOM_K = 65536, 4  # bits, hash count
 # result.
 
 
+def _position(value: Column, i: int, m: int) -> Column:
+    """Bit position i for a value: seeded xxhash64 mod m. xxhash64 is
+    JVM-native (~ns per call) — the screen runs on EVERY fact row, and
+    an md5-hex + conv formulation measured ~10x slower row cost. The
+    sketch family keeps md5 for cross-engine oracle checkability; the
+    bloom's bits never leave Spark (the oracle is the plain join), so
+    determinism WITHIN the engine is all exactness needs."""
+    return F.pmod(F.xxhash64(value, F.lit(i)), F.lit(m))
+
+
 def bloom_positions(value: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
-    """Array of k bit positions for a value: first 8 md5 hex chars of
-    'i:value' as a bigint mod m — the cms_bucket recipe, so every
-    position is engine-portable and deterministic."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), value.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % m
-            for i in range(k)
-        ]
-    )
+    """Array of the k bit positions (build-side explode helper)."""
+    return F.array(*[_position(value, i, m) for i in range(k)])
 
 
 def bloom_build(
@@ -81,14 +79,22 @@ def bloom_might_contain(
     value: Column, bits: list[int], m: int = BLOOM_M, k: int = BLOOM_K
 ) -> Column:
     """Map-only membership test: all k bits set. The bit vector rides
-    as ONE array literal (a single Literal object, like the CMS
-    screen's tables); each probe is an element_at lookup — pure
-    codegen, no shuffle, no broadcast exchange."""
-    table = F.lit(bits)
-    pos = bloom_positions(value, m, k)
+    as ONE array literal; each probe is an O(1) element_at lookup —
+    pure codegen, no shuffle, no broadcast exchange.
+
+    Construction note: the literal is built as
+    split(lit(csv)).cast(array<int>) — ConstantFolding collapses it to
+    a single ArrayData literal. ``F.lit(list)`` must NOT be used here:
+    it expands to an m-child array(...) expression whose mere ANALYSIS
+    is O(m) tree nodes (measured 25 s at m=65536 before any row ran)."""
+    table = F.split(F.lit(",".join(map(str, bits))), ",").cast("array<int>")
     cond = F.lit(True)
     for i in range(k):
+        # each condition carries ONLY its own position expression —
+        # referencing a shared k-wide array column here would duplicate
+        # the whole position subtree into every conjunct (measured 2x
+        # row cost before codegen CSE could help)
         cond = cond & (
-            F.element_at(table, F.element_at(pos, i + 1).cast("int") + 1) == 1
+            F.element_at(table, _position(value, i, m).cast("int") + 1) == 1
         )
     return cond

@@ -304,17 +304,26 @@ def cms_literal_estimate(
     sketch (<= depth x width rows — a bounded driver collect, same class
     as centroids/codebooks) is embedded as ``depth`` ARRAY LITERALS
     (single Literal objects, not per-element codegen), and the estimate
-    is the min over depth of element_at lookups. This is what makes a
-    sketch-SCREENED scan possible: a corpus-scale filter on estimated
+    is the min over depth of O(1) element_at lookups. This is what makes
+    a sketch-SCREENED scan possible: a corpus-scale filter on estimated
     frequency with NO join and NO shuffle — the never-undercount
     guarantee means the screen can only pass false positives, never drop
-    a true heavy key."""
+    a true heavy key.
+
+    Construction note: each depth row is built as
+    split(lit(csv)).cast(array<bigint>) — ConstantFolding collapses it
+    to one ArrayData literal. ``F.lit(list)`` must NOT be used: it
+    expands to a width-child array(...) whose analysis alone is O(width)
+    tree nodes (measured 25 s at 65536 elements)."""
     tables = [[0] * width for _ in range(depth)]
     for r in sketch_rows:
         tables[r["d"]][r["bucket"]] = int(r["cnt"])
     ests = [
         F.element_at(
-            F.lit(tables[d]), cms_bucket(value, d, width).cast("int") + F.lit(1)
+            F.split(F.lit(",".join(map(str, tables[d]))), ",").cast(
+                "array<bigint>"
+            ),
+            cms_bucket(value, d, width).cast("int") + F.lit(1),
         )
         for d in range(depth)
     ]

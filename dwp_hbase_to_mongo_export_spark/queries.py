@@ -435,7 +435,6 @@ DRIVER_WINDOW = [
     "cms_sketch_merge",
     "pagerank_entities",
     "value_quantiles_hist",
-    "quantiles_by_type_hist",
     "kmv_jaccard_sets",
     "heavy_hitters_screened",
     "scd2_history",
@@ -445,6 +444,8 @@ DRIVER_WINDOW = [
     "streaming_quantiles_hist",
     "skew_split_join_events",
     "bloom_semijoin_reduction",
+    "bm25_indexed",
+    "quantiles_by_type_hist",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

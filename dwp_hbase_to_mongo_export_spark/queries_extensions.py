@@ -10,6 +10,8 @@ the full table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1202,9 +1204,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_top_terms(docs, top_n=3)
 
 
-@query(
-    "bm25_search",
-    oracle=f"""
+# shared by bm25_search (one-shot) and bm25_indexed (durable-index
+# build/query split): two Spark PLANS over the same BM25 semantics pin
+# against the identical oracle — the _IVF_ORACLE discipline for text.
+_BM25_ORACLE = f"""
     WITH {_TOKENS_CTE},
     dlen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
     avgdl AS (SELECT round(avg(dl), 6) AS avgdl FROM dlen),
@@ -1226,8 +1229,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_terms_matched, round(score6, 3) AS score
     FROM scored ORDER BY score6 DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("bm25_search", oracle=_BM25_ORACLE)
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword search for a 3-term query (operators/textops
     .bm25_search): the scored relation is |query|*df rows, never the
@@ -1236,6 +1241,36 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-ties."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bm25_search(docs, ["table", "scan", "merge"], top_n=10)
+
+
+@query("bm25_indexed", oracle=_BM25_ORACLE)
+def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 build/query split over a DURABLE inverted index
+    (operators/textindex.py) — the text modality's
+    similarity_topk_ivf_indexed: one corpus pass persists term-bucketed
+    postings (doc length denormalised into the posting row) plus df
+    stats and a 1-row meta relation; query-time reads ONLY the query
+    terms' buckets via a STATIC partition filter (pinned in
+    tests/test_plans.py — no corpus scan, no Python), joins broadcast
+    stats, and TakeOrdereds the top-10. Identical scoring arithmetic to
+    the live path, so both pin against the same oracle. The index is
+    built once per corpus dir and reused across invocations (bench's
+    best-of-N pays the build exactly once)."""
+    import tempfile as _tempfile
+
+    from .operators import textindex
+
+    path = os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_textindex",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.isdir(os.path.join(path, "meta")):
+        docs = load_table(spark, sf_dir, "documents")
+        textindex.build_text_index(docs, path)
+    return textindex.query_text_index(
+        spark, path, ["table", "scan", "merge"], top_n=10
+    )
 
 
 @query(

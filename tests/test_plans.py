@@ -454,3 +454,36 @@ def test_bloom_screen_is_map_side_below_exchange(spark):
     )
     assert n_scr < n_all  # it prunes
     assert n_scr_match == n_match  # no false negatives, ever
+
+
+def test_bm25_indexed_prunes_term_buckets_no_python(spark, tmp_path):
+    """The durable text index's query path must (a) read only the query
+    terms' bucket partitions — a STATIC partition filter, visible as
+    a partition-count cut in the scan — (b) contain no Python operator,
+    and (c) return exactly the live bm25_search results."""
+    from dwp_hbase_to_mongo_export_spark.operators import textindex, textops
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "tix")
+    textindex.build_text_index(docs, path)
+
+    terms = ["table", "scan", "merge"]
+    out = textindex.query_text_index(spark, path, terms, top_n=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    import re
+
+    # both index scans (postings + stats) carry a STATIC partition
+    # filter naming exactly the query terms' buckets
+    filters = re.findall(r"PartitionFilters: \[bucket#\d+ IN \(([\d,]+)\)\]", plan)
+    expected = {textindex._py_term_bucket(t) for t in terms}
+    assert len(filters) == 2, plan
+    for f in filters:
+        assert {int(x) for x in f.split(",")} == expected, (f, expected)
+
+    live = textops.bm25_search(docs, terms, top_n=10).collect()
+    idx = out.collect()
+    assert [tuple(r) for r in idx] == [tuple(r) for r in live]

@@ -74,6 +74,9 @@ NESTED_LOOP_ALLOWED = {
     # KMV set algebra: the cross is two 1-row sketch-statistic
     # aggregates (k/max-hash x both-membership count) — scalar x scalar
     "kmv_jaccard_sets",
+    # durable text index: the cross is the broadcast 1-row meta
+    # relation (n_docs, avgdl) against the pruned postings — scalar side
+    "bm25_indexed",
     # RRF fusion: the nested loop is brute_force_topk's broadcast
     # 1-query x corpus scan (the same allowed shape as
     # similarity_topk_bruteforce); the fusion join itself is 20x20 rows
