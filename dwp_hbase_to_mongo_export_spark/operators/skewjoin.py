@@ -41,14 +41,26 @@ def skew_split_join(
     dim_key: str,
     factor: float = 1.15,
     width: int = 1024,
+    max_hot: int = 1000,
 ) -> DataFrame:
     """Inner-join ``fact`` with ``dim`` with hot keys routed around the
     shuffle. The hot set is detected on the FACT side (that is where
     skew lives); the cold join is hinted SHUFFLE_MERGE to pin the plan
     a 100 TB dimension forces (too big to broadcast whole — its
-    hot-key SUBSET is what stays broadcastable)."""
-    hot_rows = exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
-    hot_keys = [r[fact_key] for r in hot_rows.collect()]  # bounded: see operator doc
+    hot-key SUBSET is what stays broadcastable).
+
+    ``max_hot`` guards the degenerate case where a tight distribution
+    puts MANY keys just past the threshold: only the heaviest max_hot
+    route hot (keeping the isin literal and the broadcast bounded);
+    demoting a key to the cold path never changes the result, only the
+    routing — so the cap trades routing optimality for a bounded plan,
+    never correctness."""
+    hot_rows = (
+        exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
+        .orderBy(F.desc("cnt"), F.asc(fact_key))
+        .limit(max_hot)
+    )
+    hot_keys = [r[fact_key] for r in hot_rows.collect()]  # bounded by max_hot
 
     on = fact[fact_key] == dim[dim_key]
     if not hot_keys:
