@@ -64,6 +64,12 @@ HEADLINE = [
     "winnowing_overlap",
     "corpus_temperature_mix",
     "streaming_kmeans_assign",
+    "heavy_hitters_screened",
+    "zorder_layout",
+    "bloom_semijoin_reduction",
+    "bm25_indexed",
+    "scd2_incremental",
+    "value_quantiles_hist",
 ]
 
 

@@ -74,7 +74,13 @@ def pagerank(
     Exactly one bounded driver scalar: N = node count (needed in the
     closed-form update); everything else stays distributed.
     """
-    und = symmetrize(edges)
+    # materialise the symmetrized edges ONCE: they feed the node set,
+    # the degree relation, and every iteration's join — without this
+    # the upstream edge derivation (often itself a join, e.g. the
+    # trade graph's orders |><| lineitem) re-executes 2 + iterations
+    # times (measured ~25% wall-time cut on the sf0.1 catalog query;
+    # the remaining cost is the iterations' own eager checkpoints)
+    und = symmetrize(edges).localCheckpoint(eager=True)
     nodes = und.select(F.col("src").alias("node_id")).distinct()
     # outdeg == degree in the symmetrized graph; always >= 1 by
     # construction so rank/outdeg below never divides by zero and no
