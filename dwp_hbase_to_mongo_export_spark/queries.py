@@ -447,6 +447,7 @@ DRIVER_WINDOW = [
     "bm25_indexed",
     "quantiles_by_type_hist",
     "scd2_incremental",
+    "weighted_sample_aes",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

@@ -427,3 +427,60 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "threshold",
         )
     )
+
+
+@query(
+    "weighted_sample_aes",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, rank FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY round(-ln((hv + 1) / 4294967296.0) / n_chars, 9),
+                        doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= 100
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement (Efraimidis/Spirakis 2006
+    A-ES, public literature): each document draws an exponential key
+    e_i = -ln(u_i)/w_i from a deterministic md5 uniform u_i and its
+    weight (n_chars — longer documents proportionally likelier); the k
+    smallest keys ARE a weighted sample without replacement — the
+    size-k pick a mixture pipeline uses when per-source Bernoulli gates
+    (stratified_sample / corpus_temperature_mix) can't hit an exact
+    budget. The md5 uniform makes the draw reproducible by construction
+    (retries and both engines agree); the sort key is rounded to 9 dp
+    before ranking with an id tiebreak so a last-ulp libm ln()
+    difference between engines cannot flip an ordering, and the output
+    exposes ranks, not floats, so no value is FP-sensitive.
+
+    Scale: one map pass computes keys; the global smallest-k is a
+    TakeOrdered (per-partition heads + driver merge) under the
+    row_number filter — no full sort, no shuffle of the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", key.alias("_k"))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.asc("_k"), F.asc("doc_id"))))
+        .filter(F.col("rank") <= 100)
+        .select("doc_id", "rank")
+    )

@@ -510,3 +510,15 @@ def test_scd2_merge_batch_equals_rebuild_and_passes_through(spark):
     c1 = scd2.changes(ev)
     c2 = scd2.changes(c1)
     assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
+
+
+def test_weighted_sample_global_rank_is_take_ordered(spark, sf_dir):
+    """The A-ES global rank<=k must NOT be a full global sort:
+    LimitPushDownThroughWindow turns it into TakeOrderedAndProject
+    (per-partition top-k heads + driver merge) with the final Window
+    running over k rows only; the scan reads just (doc_id, n_chars)."""
+    plan = _plan(catalog.QUERIES["weighted_sample_aes"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject(limit=100" in plan, plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
