@@ -448,6 +448,7 @@ DRIVER_WINDOW = [
     "quantiles_by_type_hist",
     "scd2_incremental",
     "weighted_sample_aes",
+    "continuous_aggregate_rollup",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

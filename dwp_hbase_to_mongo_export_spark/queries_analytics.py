@@ -1247,3 +1247,69 @@ def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "continuous_aggregate_rollup",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(round(value, 4) AS DECIMAL(20,6))), 2) AS DOUBLE)
+             AS sum_value,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def continuous_aggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE-style continuous aggregate: the HOURLY partial-state
+    relation (count / decimal sum / min / max per hour and type) is
+    materialised once, and the daily answer is computed by MERGING the
+    hourly partials — never re-touching raw events. This is the
+    TimescaleDB continuous-aggregate / materialized-rollup pattern: at
+    100 TB the hourly relation is ~|hours| x |types| rows, the daily
+    (or monthly) re-aggregation is sketch-sized, and an incremental
+    refresh only recomputes the hours a late batch touches. The ORACLE
+    computes the daily answer DIRECTLY from raw events — merged
+    partials must equal the direct aggregation exactly, which is why
+    the sum partials ride as DECIMAL (associative addition; a double
+    sum's value depends on merge order and would diverge between the
+    two aggregation shapes, not just between engines).
+
+    Scale: two map-side-combined aggregations, the second over the
+    already-tiny hourly relation; every aggregate here is mergeable
+    state (count/sum/min/max — the same algebra the KMV/CMS/histogram
+    sketches pin for their domains)."""
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.round("value", 4).cast("decimal(20,6)")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v6).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_value"),
+            F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("avg_value"),
+            F.round(F.min("mn"), 4).alias("min_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+        )
+        .select(
+            F.unix_micros("day").alias("day_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
