@@ -622,7 +622,23 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round((SELECT count(*) FROM both_sets) * 1.0
                       / (SELECT count(*) FROM su)
                       * (((SELECT count(*) FROM su) - 1) * 4294967296.0
-                         / (SELECT max(hv) FROM su)), 0) AS BIGINT) AS inter_est
+                         / (SELECT max(hv) FROM su)), 0) AS BIGINT) AS inter_est,
+           CAST(greatest(0,
+                round(((SELECT count(*) FROM sa) - 1) * 4294967296.0
+                      / (SELECT max(hv) FROM sa), 0)
+                - round((SELECT count(*) FROM both_sets) * 1.0
+                        / (SELECT count(*) FROM su)
+                        * (((SELECT count(*) FROM su) - 1) * 4294967296.0
+                           / (SELECT max(hv) FROM su)), 0))
+                AS BIGINT) AS diff_a_est,
+           CAST(greatest(0,
+                round(((SELECT count(*) FROM sb) - 1) * 4294967296.0
+                      / (SELECT max(hv) FROM sb), 0)
+                - round((SELECT count(*) FROM both_sets) * 1.0
+                        / (SELECT count(*) FROM su)
+                        * (((SELECT count(*) FROM su) - 1) * 4294967296.0
+                           / (SELECT max(hv) FROM su)), 0))
+                AS BIGINT) AS diff_b_est
     """,
 )
 def kmv_jaccard_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +649,10 @@ def kmv_jaccard_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeability pin (kmv_sketch_merge). The classic estimator
     (Beyer et al. 2007, public literature): among the k smallest hashes
     of the UNION sketch, the fraction present in both per-set sketches
-    estimates Jaccard; intersection = J x union-estimate — so two 64-long
-    summaries answer an intersection question without ever co-shuffling
+    estimates Jaccard; intersection = J x union-estimate; set DIFFERENCES
+    follow by inclusion-exclusion from each side's own sketch estimate
+    (|A\\B| ~ |A| - |A inter B|, floored at 0) — so two 64-long
+    summaries answer every binary set question without ever co-shuffling
     the underlying sets. md5 hashing keeps every number deterministic and
     bit-for-bit oracle-checkable (the reason this family avoids HLL).
 
@@ -659,23 +677,32 @@ def kmv_jaccard_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     su = sa.unionAll(sb).distinct().orderBy("hv").limit(64)
     both = su.join(sa, "hv", "left_semi").join(sb, "hv", "left_semi")
-    stats = su.agg(
-        F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("max_hv")
-    ).crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    stats = (
+        su.agg(F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("max_hv"))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+        .crossJoin(
+            sa.agg(F.count(F.lit(1)).alias("k_a"), F.max("hv").alias("max_a"))
+        )
+        .crossJoin(
+            sb.agg(F.count(F.lit(1)).alias("k_b"), F.max("hv").alias("max_b"))
+        )
+    )
+    scale = F.lit(4294967296.0)
+    inter = F.round(
+        F.col("n_both") / F.col("k_used") * ((F.col("k_used") - 1) * scale / F.col("max_hv")),
+        0,
+    )
+    a_est = F.round((F.col("k_a") - 1) * scale / F.col("max_a"), 0)
+    b_est = F.round((F.col("k_b") - 1) * scale / F.col("max_b"), 0)
     return stats.select(
         "k_used",
-        F.round((F.col("k_used") - 1) * F.lit(4294967296.0) / F.col("max_hv"), 0)
+        F.round((F.col("k_used") - 1) * scale / F.col("max_hv"), 0)
         .cast("bigint")
         .alias("union_est"),
         F.round(F.col("n_both") / F.col("k_used"), 4).alias("jaccard_est"),
-        F.round(
-            F.col("n_both")
-            / F.col("k_used")
-            * ((F.col("k_used") - 1) * F.lit(4294967296.0) / F.col("max_hv")),
-            0,
-        )
-        .cast("bigint")
-        .alias("inter_est"),
+        inter.cast("bigint").alias("inter_est"),
+        F.greatest(F.lit(0.0), a_est - inter).cast("bigint").alias("diff_a_est"),
+        F.greatest(F.lit(0.0), b_est - inter).cast("bigint").alias("diff_b_est"),
     )
 
 
