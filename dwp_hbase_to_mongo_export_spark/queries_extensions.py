@@ -1262,7 +1262,10 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(
         _tempfile.gettempdir(),
-        "spark_graft_textindex",
+        # version token: an index persisted by an OLDER code layout
+        # (different tokenizer/partitioning) must never be silently
+        # reused — bump when build_text_index's artifact shape changes
+        "spark_graft_textindex_v1",
         os.path.basename(sf_dir.rstrip("/")),
     )
     if not os.path.isdir(os.path.join(path, "meta")):
