@@ -449,6 +449,7 @@ DRIVER_WINDOW = [
     "scd2_incremental",
     "weighted_sample_aes",
     "continuous_aggregate_rollup",
+    "streaming_word_freq_cms",
     "bpe_merges",
     "bpe_token_counts",
     "similarity_topk_ivf",

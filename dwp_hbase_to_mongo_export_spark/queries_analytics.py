@@ -839,9 +839,10 @@ def _cms_bucket_sql(val: str) -> str:
     )
 
 
-@query(
-    "word_freq_cms",
-    oracle=f"""
+# shared by word_freq_cms (batch) and streaming_word_freq_cms (the
+# sketch built incrementally over the document stream): the CMS merge
+# is exact, so both paths pin against the identical oracle
+_WORD_FREQ_CMS_ORACLE = f"""
     WITH {_CMS_WORDS},
     tc AS (
       SELECT w AS word, count(*) AS true_cnt FROM cwords GROUP BY w
@@ -859,8 +860,10 @@ def _cms_bucket_sql(val: str) -> str:
            CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
     FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket
     GROUP BY pb.word, pb.true_cnt
-    """,
-)
+    """
+
+
+@query("word_freq_cms", oracle=_WORD_FREQ_CMS_ORACLE)
 def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch over the corpus vocabulary
     (operators/sketches.py): ONE corpus scan builds the depth=4 x
@@ -1340,3 +1343,32 @@ def continuous_aggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@query("streaming_word_freq_cms", oracle=_WORD_FREQ_CMS_ORACLE)
+def streaming_word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS frequency sketch built INCREMENTALLY over the document
+    stream (streaming/incremental.cms_sketch_stream): micro-batch
+    bucket counts fold into <= depth x width rows of running state —
+    the sketch's exact merge IS the streaming aggregation — then the
+    batch-exact top-20 probe reads estimates from the final state.
+    Bit-identical to the batch word_freq_cms under the SAME oracle
+    (the streaming_quantiles_hist discipline, for the frequency member
+    of the sketch family)."""
+    from .operators import sketches
+    from .streaming import incremental as streaming
+
+    sketch = streaming.run_available_now(
+        streaming.cms_sketch_stream(spark, sf_dir)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("word"))
+        .limit(20)
+    )
+    return sketches.cms_estimate(sketch, top, "word")

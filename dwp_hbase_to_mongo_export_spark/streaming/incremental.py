@@ -430,3 +430,29 @@ def histogram_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the Count-Min frequency sketch
+    (operators/sketches.py) over the document word stream: each
+    micro-batch's (d, bucket) counts fold into the running sketch state
+    by bucket-wise SUM — CMS merge IS the streaming aggregation, so the
+    final state is bit-identical to the batch-built sketch (pinned by
+    the streaming_word_freq_cms oracle). State is <= depth x width rows
+    regardless of stream length — the running vocabulary-frequency
+    summary an ingest pipeline keeps without a full-cardinality
+    groupBy."""
+    from ..operators.sketches import CMS_DEPTH, cms_bucket
+
+    docs = stream_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    buckets = F.array(
+        *[cms_bucket(F.col("word"), d) for d in range(CMS_DEPTH)]
+    )
+    return (
+        words.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
