@@ -77,7 +77,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
-    qs = queries()
+    # Time the full operator surface: the gated catalog plus bench-only
+    # entries (no oracle by structure — e.g. the OPQ rotation — but
+    # still first-class timing surfaces).
+    from dwp_hbase_to_mongo_export_spark.queries import BENCH_ONLY
+
+    qs = dict(queries())
+    qs.update(BENCH_ONLY)
     names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
 
     # Warm the JVM (codegen + C2 JIT) AND the Python worker pool before

@@ -41,9 +41,20 @@ def test_oracle_match(name, spark, sf_dir, duck):
 
 
 def test_every_query_has_runnable_entry(spark, sf_dir):
-    for name, fn in catalog.QUERIES.items():
+    # BENCH_ONLY entries (oracle-less by structure, outside the driver
+    # gate) still must build a valid plan — they are bench/audit
+    # surfaces, not dead code.
+    for name, fn in {**catalog.QUERIES, **catalog.BENCH_ONLY}.items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def test_bench_only_disjoint_from_gated_surface():
+    """A bench-only entry in the gated catalog would reintroduce the
+    round-7 red row (an entry the driver can never hash-check)."""
+    assert not set(catalog.BENCH_ONLY) & set(catalog.QUERIES)
+    assert "similarity_topk_opq" in catalog.BENCH_ONLY
+    assert not set(catalog.BENCH_ONLY) & set(catalog.ORACLE)
 
 
 def test_entry_smoke(spark):

@@ -89,7 +89,15 @@ def main() -> int:
     spark = get_spark(app_name="plan-audit")
     rows = []
     flagged = []
-    for name, fn in queries().items():
+    # The audit covers the FULL operator surface: the gated catalog plus
+    # the bench-only entries (oracle-less by structure, e.g. the OPQ
+    # rotation) — a query leaving the correctness gate must not also
+    # leave the plan audit.
+    from dwp_hbase_to_mongo_export_spark.queries import BENCH_ONLY
+
+    audited = dict(queries())
+    audited.update(BENCH_ONLY)
+    for name, fn in audited.items():
         try:
             df = fn(spark, sf_dir)
             buf = io.StringIO()
