@@ -35,6 +35,9 @@ engine's sketch algebra alongside KMV and the moment sketches.
 
 from __future__ import annotations
 
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -146,9 +149,14 @@ def hist_build(
 ) -> DataFrame:
     """Histogram sketch of a numeric column: the (bucket, cnt) relation,
     at most nbins rows. One scan, one map-side-combined aggregation —
-    the shuffle carries at most nbins partial rows per partition."""
+    the shuffle carries at most nbins partial rows per partition.
+    NULLs are excluded (percentile semantics): without the filter,
+    floor(NULL)=NULL but greatest(NULL, 0)=0 — Spark's greatest/least
+    skip nulls — so every null would silently count as low-edge mass
+    and skew low quantiles on nullable columns."""
     return (
-        df.select(hist_bucket(F.col(value_col), lo, width, nbins).alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(hist_bucket(F.col(value_col), lo, width, nbins).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -224,9 +232,12 @@ def hist_build_grouped(
     hist_build — the shuffle carries at most nbins partials per
     (partition, group), so per-group quantiles over an UNBOUNDED group
     set cost one aggregation instead of a full per-group sort (the
-    escape hatch percentiles_by_type's exact path can't offer)."""
+    escape hatch percentiles_by_type's exact path can't offer). NULL
+    values are excluded, matching hist_build (and percentile
+    semantics)."""
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             hist_bucket(F.col(value_col), lo, width, nbins).alias("bucket"),
         )
@@ -330,6 +341,86 @@ def cms_literal_estimate(
     return F.least(*ests)
 
 
+def kmv_hash(value: Column) -> Column:
+    """The KMV hash: first 8 md5 hex chars as a bigint in [0, 2^32) —
+    deterministic across engines (the reason this family avoids HLL),
+    shared by every KMV build and mirrored by every KMV oracle."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_partials(
+    df: DataFrame,
+    hv_col: str = "hv",
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Partition-local bottom-k DISTINCT fold — the constant-state KMV
+    partial. Emits at most k rows per (input partition, group), so the
+    exchange ABOVE this node carries <= k x n_partitions (x |groups
+    present per partition|) hashes instead of the per-partition-distinct
+    key set that a ``.distinct()`` build shuffles (cardinality-sized —
+    the same cost class as an exact count-distinct, exactly what the
+    sketch exists to avoid; the round-7 KMV builds paid it while their
+    docstrings claimed otherwise). Plan-pinned: no Exchange below this
+    node (tests/test_sketches.py).
+
+    The fold is EXACT, so the sketch value cannot change: any hash in
+    the global bottom-k distinct set (of any group) has fewer than k
+    distinct hashes below it globally, hence fewer than k below it
+    within its own partition — so it survives the partition-local fold,
+    and a downstream distinct + bottom-k over the partials reproduces
+    the full-data sketch bit-for-bit (pinned by the unchanged KMV
+    oracles).
+
+    Python-worker note: every row crosses to Python ONCE, map-side, as
+    an Arrow-batched single-bigint column (plus narrow group keys) —
+    linear, shuffle-free, and the only non-JVM stage in the KMV family;
+    the per-partition state is |groups| x k hashes."""
+    gcols = list(group_cols)
+    cols = gcols + [hv_col]
+    proj = df.select(*cols)
+    schema = proj.schema
+
+    def fold(batches):
+        import pandas as pd
+
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = (
+                pdf
+                if state is None
+                else pd.concat((state, pdf), ignore_index=True)
+            )
+            cur = cur.drop_duplicates(cols).sort_values(cols, kind="mergesort")
+            state = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
+        if state is not None and len(state):
+            yield state
+
+    return proj.mapInPandas(fold, schema)
+
+
+def kmv_estimate_py(k_used: int, kth_hash: int | None, k: int = 64) -> float:
+    """Driver-side KMV cardinality estimate with the degenerate inputs
+    handled and HALF-UP rounding: (k-1)/kth-fraction for a SATURATED
+    sketch; the EXACT count (= k_used — an unsaturated sketch holds the
+    entire hash set, the distinct_users_kmv_by_day convention, and with
+    k_used this small the fraction estimator is pure noise) when
+    k_used < k or the kth hash is 0 (md5's first 8 hex chars can be
+    all-zero); ValueError on empty input — an estimate of 0 distinct
+    keys divides a threshold by zero downstream and means the caller
+    scanned nothing. ``math.floor(x + 0.5)`` (half away from zero for
+    positive x) matches both Spark's F.round and DuckDB's round();
+    Python's built-in round() is half-to-even and diverges on boundary
+    quotients."""
+    if k_used == 0:
+        raise ValueError("KMV estimate over empty input: no hashes to sketch")
+    if k_used < k or not kth_hash:
+        return float(k_used)
+    return float(math.floor((k_used - 1) * 4294967296.0 / kth_hash + 0.5))
+
+
 def exact_heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -339,31 +430,32 @@ def exact_heavy_hitters(
     """EXACT heavy keys via the all-sketch screen: CMS estimates filter
     rows map-side (no join, no shuffle — cms_literal_estimate), the
     threshold is ``factor`` x the mean key frequency with cardinality
-    estimated by a k=64 KMV sketch (no exact-distinct pass), and the
-    final exact aggregation + HAVING runs over candidate keys only.
-    Never-undercount makes the screen a superset filter, so the result
-    is exactly {key: true_cnt >= threshold}. Driver collects are the
-    sketch (<= depth x width rows) and one KMV scalar row — bounded.
+    estimated by a k=64 KMV sketch built from constant-state partials
+    (kmv_partials — the exchange carries <= 64 hashes per partition, no
+    exact-distinct pass), and the final exact aggregation + HAVING runs
+    over candidate keys only. Never-undercount makes the screen a
+    superset filter, so the result is exactly {key: true_cnt >=
+    threshold}. Driver collects are the sketch (<= depth x width rows)
+    and one KMV scalar row — bounded.
 
     Returns (key_col, cnt). The output size is bounded by
     total/threshold keys (< cardinality/factor), which is what makes
-    collecting it for skew routing legitimate at 100 TB."""
+    collecting it for skew routing legitimate at 100 TB. Degenerate
+    inputs (single distinct key — the pathological-skew shape
+    skew_split_join exists for; empty frame) take the exact-count /
+    ValueError paths of kmv_estimate_py instead of dividing by zero."""
     sketch_rows = cms_build(df, key_col, width=width).collect()
     total = sum(int(r["cnt"]) for r in sketch_rows if r["d"] == 0)
 
     kmv = (
-        df.select(
-            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("hv")
-        )
+        kmv_partials(df.select(kmv_hash(F.col(key_col)).alias("hv")))
         .distinct()
         .orderBy("hv")
         .limit(64)
         .agg(F.count(F.lit(1)).alias("k"), F.max("hv").alias("kth"))
         .collect()[0]
     )
-    est_distinct = round((kmv["k"] - 1) * 4294967296.0 / kmv["kth"], 0)
+    est_distinct = kmv_estimate_py(kmv["k"], kmv["kth"])
     threshold = factor * total / est_distinct
 
     est = cms_literal_estimate(F.col(key_col), sketch_rows, width=width)

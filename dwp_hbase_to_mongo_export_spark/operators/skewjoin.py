@@ -14,7 +14,8 @@ Where it sits relative to Spark's own machinery:
   hot dimension rows), and the cold side keeps a clean co-partitioned
   plan. The cost of knowing the hot set is one constant-size sketch
   pass (operators/sketches.exact_heavy_hitters — CMS screen + KMV
-  threshold, no exact-distinct, no full groupBy).
+  threshold built from constant-state partials, no exact-distinct
+  pass, no full groupBy).
 
 Exactness: the hot list is an exact heavy-hitter set (the screen never
 drops a hot key), the hot/cold row partition is a disjoint cover, and

@@ -393,18 +393,22 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked across engines), KMV over an md5 hash is DETERMINISTIC
     — the oracle reproduces the estimate bit-for-bit.
 
-    Scale: the k smallest hashes are a TakeOrdered top-k — each partition
-    keeps its local 64, the driver merges 64 x n_partitions values; no
-    full sort, no global shuffle of the hash set. The sketch is mergeable
-    (union of k-min sets -> k-min of union), which is what makes it a
-    sketch: per-day sketches combine into a month without rescanning."""
+    Scale: CONSTANT-STATE build (sketches.kmv_partials) — each partition
+    folds to its local 64 distinct minima map-side, so the exchange
+    carries <= 64 hashes per partition (no shuffle of the per-partition-
+    distinct key set — the cardinality-sized exchange the round-7 build
+    paid; plan-pinned Exchange-free below the fold in
+    tests/test_sketches.py); the final distinct + TakeOrdered operates
+    on <= 64 x n_partitions rows. The sketch is mergeable (union of
+    k-min sets -> k-min of union), which is what makes it a sketch:
+    per-day sketches combine into a month without rescanning."""
+    from .operators import sketches
+
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv")
-    ).distinct()
-    smallest = h.orderBy("hv").limit(64)
+    partials = sketches.kmv_partials(
+        ev.select(sketches.kmv_hash(F.col("user_id")).alias("hv"))
+    )
+    smallest = partials.distinct().orderBy("hv").limit(64)
     return smallest.agg(
         F.count(F.lit(1)).alias("k_used"),
         F.max("hv").alias("kth_hash"),
@@ -562,26 +566,32 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs, not its hash set). Both rows of the output carry the SAME
     estimate; the oracle pins that equality exactly.
 
-    Scale: per-shard k-mins are a windowed top-k with WindowGroupLimit
-    (each partition forwards at most k rows per shard); the merge
-    operates on shards x k rows — constant-sized regardless of corpus."""
+    Scale: CONSTANT-STATE build — kmv_partials folds each partition to
+    its local 64 distinct minima PER SHARD map-side, so the exchange
+    carries <= shards x 64 hashes per partition (never the hash set);
+    the per-shard k-mins are then a windowed top-k over that partial
+    relation, and the merge operates on shards x k rows. The direct
+    (all-data) sketch is derived from the SAME partials: a hash in the
+    global bottom-64 is in its shard's bottom-64, hence in its
+    partition's per-shard partial — the mergeability being pinned."""
     from pyspark.sql.window import Window
+
+    from .operators import sketches
 
     ev = load_table(spark, sf_dir, "events")
     h = ev.select(
         (F.dayofmonth("ts") % 4).alias("shard"),
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
-    ).distinct()
+        sketches.kmv_hash(F.col("user_id")).alias("hv"),
+    )
+    partials = sketches.kmv_partials(h, "hv", ["shard"]).distinct()
     w = Window.partitionBy("shard").orderBy("hv")
     per_shard = (
-        h.withColumn("rn", F.row_number().over(w))
+        partials.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 64)
         .select("shard", "hv")
     )
     merged = per_shard.select("hv").distinct().orderBy("hv").limit(64)
-    direct = h.select("hv").distinct().orderBy("hv").limit(64)
+    direct = partials.select("hv").distinct().orderBy("hv").limit(64)
 
     def sketch_agg(df: DataFrame, scope: str) -> DataFrame:
         return df.agg(
@@ -656,22 +666,32 @@ def kmv_jaccard_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the underlying sets. md5 hashing keeps every number deterministic and
     bit-for-bit oracle-checkable (the reason this family avoids HLL).
 
-    Scale: each per-set sketch is a TakeOrdered top-k (each partition
-    forwards its local 64); everything downstream operates on <=128 rows.
-    At 100 TB the two sets never meet — only their sketches do."""
+    Scale: CONSTANT-STATE build — kmv_partials folds each partition to
+    its local 64 distinct minima per event_type map-side, so the
+    exchange carries <= 2 x 64 hashes per partition; everything
+    downstream operates on <=128 rows. At 100 TB the two sets never
+    meet — only their sketches do."""
+    from .operators import sketches
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
     h = ev.select(
         "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
-    ).distinct()
-    sa = h.filter(F.col("event_type") == "click").select("hv").orderBy("hv").limit(64)
-    sb = (
-        h.filter(F.col("event_type") == "purchase")
+        sketches.kmv_hash(F.col("user_id")).alias("hv"),
+    )
+    p = sketches.kmv_partials(h, "hv", ["event_type"])
+    sa = (
+        p.filter(F.col("event_type") == "click")
         .select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+    )
+    sb = (
+        p.filter(F.col("event_type") == "purchase")
+        .select("hv")
+        .distinct()
         .orderBy("hv")
         .limit(64)
     )
@@ -1218,21 +1238,26 @@ def distinct_users_kmv_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — and only saturated days use the (k-1)/kth-fraction estimator,
     so the estimate is never worse than exact for small groups.
 
-    Scale: the per-day k-mins are a windowed top-k — WindowGroupLimit
-    forwards at most k rows per (day, map partition), so the shuffle
-    carries |days| x 64 x n_partitions hashes at worst, never the user
-    set; with millions of groups this is the same escape hatch the
-    grouped histogram gives percentiles. Per-day sketches also merge
-    upward (day -> month) by re-taking k-mins, without rescanning."""
+    Scale: CONSTANT-STATE build — kmv_partials folds each partition to
+    its local 64 distinct minima PER DAY map-side, so the shuffle
+    carries |days present per partition| x 64 hashes per partition at
+    worst, never the user set (the round-7 build's leading .distinct()
+    shuffled the per-partition-distinct (day, hv) pairs —
+    cardinality-sized); the per-day window top-k then runs over the
+    partial relation. With millions of groups this is the same escape
+    hatch the grouped histogram gives percentiles. Per-day sketches
+    also merge upward (day -> month) by re-taking k-mins, without
+    rescanning."""
+    from .operators import sketches
+
     ev = load_table(spark, sf_dir, "events")
     h = ev.select(
         F.col("ts").cast("date").cast("string").alias("day"),
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
-    ).distinct()
+        sketches.kmv_hash(F.col("user_id")).alias("hv"),
+    )
+    p = sketches.kmv_partials(h, "hv", ["day"]).distinct()
     w = Window.partitionBy("day").orderBy("hv")
-    per_day = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    per_day = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
     k = F.count(F.lit(1))
     return per_day.groupBy("day").agg(
         k.alias("k_used"),

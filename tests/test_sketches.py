@@ -214,3 +214,136 @@ def test_cms_screen_verify_is_two_scans_no_join(spark, sf_dir):
     )
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Constant-state KMV build (kmv_partials) — the round-8 rewrite of the
+# .distinct().orderBy().limit(k) builds whose exchange was
+# cardinality-sized while the docstrings claimed constant state.
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_partials_bounded_and_exact(spark, sf_dir):
+    """The fold emits at most k rows per partition, all distinct within
+    a partition, and the downstream distinct+bottom-k over the partials
+    reproduces the full-data sketch EXACTLY (same hashes, same kth)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(sketches.kmv_hash(F.col("user_id")).alias("hv"))
+    partials = sketches.kmv_partials(h, "hv", (), 64)
+    per_part = (
+        partials.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("hv").alias("nd"))
+        .collect()
+    )
+    assert per_part, "events fixture must not be empty"
+    for r in per_part:
+        assert r["n"] <= 64
+        assert r["n"] == r["nd"]  # partition-local distinct
+    got = sorted(
+        r["hv"] for r in partials.distinct().orderBy("hv").limit(64).collect()
+    )
+    want = sorted(r["hv"] for r in h.distinct().orderBy("hv").limit(64).collect())
+    assert got == want  # bit-identical sketch -> unchanged oracles
+
+
+def test_kmv_partials_grouped_exact(spark, sf_dir):
+    """Grouped fold: per-group bottom-k over the partials equals the
+    per-group bottom-k over the full data for every group."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("event_type").alias("g"),
+        sketches.kmv_hash(F.col("user_id")).alias("hv"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g").orderBy("hv")
+
+    def bottomk(df):
+        return {
+            (r["g"], r["hv"])
+            for r in df.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 64)
+            .collect()
+        }
+
+    assert bottomk(sketches.kmv_partials(h, "hv", ["g"], 64)) == bottomk(h)
+
+
+def test_kmv_partials_no_exchange_below_fold(spark, sf_dir):
+    """Plan pin for the constant-state claim: every Exchange sits ABOVE
+    the MapInPandas fold — the only relation ever shuffled is the
+    <= k-rows-per-partition partial state, never the hash set (no
+    full-cardinality aggregate below the final merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(sketches.kmv_hash(F.col("user_id")).alias("hv"))
+    sketch = (
+        sketches.kmv_partials(h, "hv", (), 64).distinct().orderBy("hv").limit(64)
+    )
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas") :]
+    assert "Exchange" not in below, below
+    assert "HashAggregate" not in below, below  # no distinct below the fold
+
+
+def test_kmv_estimate_degenerate_inputs():
+    """Unsaturated sketches (k_used < k: the sketch holds the WHOLE
+    hash set) and zero-hash inputs take the exact-count path instead of
+    the noisy fraction estimator / a zero division; empty input
+    raises."""
+    import pytest
+
+    assert sketches.kmv_estimate_py(1, 123456) == 1.0
+    assert sketches.kmv_estimate_py(2, 2**31) == 2.0  # unsaturated
+    assert sketches.kmv_estimate_py(63, 2**31) == 63.0  # unsaturated
+    assert sketches.kmv_estimate_py(64, 0) == 64.0  # kth hash can BE zero
+    with pytest.raises(ValueError):
+        sketches.kmv_estimate_py(0, None)
+    # saturated path: half-up, not banker's — a boundary quotient must
+    # match Spark/DuckDB round() (half away from zero). Python's
+    # round(0.5) is 0 (half-to-even); all three engines here say 1.
+    assert sketches.kmv_estimate_py(64, 63 * 2**33) == 1.0  # quotient 0.5
+    assert sketches.kmv_estimate_py(64, 2**32) == 63.0
+
+
+def test_exact_heavy_hitters_single_key_frame(spark):
+    """The pathological-skew shape skew_split_join exists for: ONE
+    distinct key. Round-7 code divided by zero (est_distinct rounded to
+    0); now the KMV falls back to the exact count (1) and the screen
+    evaluates normally. The RESULT is exact for the definition: with one
+    key, threshold = 1.15 x mean = 1.15 x the key's own count, so no
+    key clears it — empty, not a crash. Two keys at 9:1 skew shows the
+    hot one surviving the same pipeline."""
+    df = spark.range(500).select(F.lit(7).alias("k"))
+    assert sketches.exact_heavy_hitters(df, "k").collect() == []
+    skewed = spark.range(500).select(
+        F.when(F.col("id") % 10 == 0, 1).otherwise(7).alias("k")
+    )
+    rows = sketches.exact_heavy_hitters(skewed, "k").collect()
+    assert [(r["k"], r["cnt"]) for r in rows] == [(7, 450)]
+
+
+def test_exact_heavy_hitters_empty_frame_raises(spark):
+    import pytest
+
+    df = spark.range(0).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        sketches.exact_heavy_hitters(df, "k")
+
+
+def test_hist_build_excludes_nulls(spark):
+    """NULL values must not count as low-edge mass (floor(NULL)=NULL but
+    greatest(NULL,0)=0): the sketch now matches percentile semantics —
+    nulls are simply absent."""
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (None,), (999.0,)], "v double"
+    )
+    counts = {r["bucket"]: r["cnt"] for r in sketches.hist_build(df, "v").collect()}
+    assert sum(counts.values()) == 2  # only the non-null rows
+    assert counts.get(0, 0) == 1  # the genuine low value, not the nulls
+    grouped = sketches.hist_build_grouped(
+        df.withColumn("g", F.lit("a")), "v", ["g"]
+    )
+    assert sum(r["cnt"] for r in grouped.collect()) == 2
