@@ -90,6 +90,47 @@ def build(
     return intervals(changes(ev, key, attr, ts, tiebreak), key, attr, ts, tiebreak)
 
 
+def enforce_watermark(
+    old_changes: DataFrame,
+    batch: DataFrame,
+    key: str,
+    ts: str,
+) -> None:
+    """LOUD failure when a batch violates merge_batch's append-only
+    contract (some batch row's ts precedes its key's last recorded
+    change ts). Without this, a late batch silently produces history
+    that diverges from the full rebuild — the worst failure mode
+    (wrong, quiet): the change compression that built old_changes may
+    have dropped a duplicate the late row should have split, and the
+    compressed form cannot reconstruct it.
+
+    Cost shape: both sides reduce to ONE row per key before they meet —
+    per-key max over the change rows (change-row-sized, far below the
+    raw changelog) against per-key min over the batch (batch-sized);
+    the join is key-sized and inner on the batch's keys only. One extra
+    Spark job, which is why the check is opt-in on merge_batch
+    (``validate=True``) rather than unconditional."""
+    old_last = old_changes.groupBy(key).agg(F.max(ts).alias("_old_max_ts"))
+    batch_min = batch.groupBy(key).agg(F.min(ts).alias("_batch_min_ts"))
+    late = (
+        batch_min.join(old_last, key)
+        .filter(F.col("_batch_min_ts") < F.col("_old_max_ts"))
+        .limit(5)
+        .collect()
+    )
+    if late:
+        detail = ", ".join(
+            f"{r[key]}: batch min {r['_batch_min_ts']} < recorded max"
+            f" {r['_old_max_ts']}"
+            for r in late
+        )
+        raise ValueError(
+            "scd2.merge_batch watermark violation — batch rows precede "
+            f"their key's recorded history (late data belongs in a full "
+            f"rebuild, not a merge): {detail}"
+        )
+
+
 def merge_batch(
     old_changes: DataFrame,
     batch: DataFrame,
@@ -97,6 +138,7 @@ def merge_batch(
     attr: str = "event_type",
     ts: str = "ts",
     tiebreak: str = "event_id",
+    validate: bool = False,
 ) -> DataFrame:
     """Incremental SCD2: merge an append-only batch into an existing
     history, given the history's CHANGE ROWS (the compressed changelog —
@@ -104,11 +146,17 @@ def merge_batch(
     persists exactly this relation). Returns the same schema as
     ``build`` over the full changelog, equal to it row-for-row.
 
+    ``validate=True`` runs the ``enforce_watermark`` guard first (one
+    key-sized extra job) and raises on a contract-violating batch
+    instead of quietly emitting divergent history.
+
     Plan shape: the batch's key set splits the old change rows with one
     semi/anti join pair; only the affected slice re-runs the two window
     passes (its size is the batch plus the touched keys' change rows);
     untouched keys' intervals are emitted directly from their change
     rows without recomputation of membership."""
+    if validate:
+        enforce_watermark(old_changes, batch, key, ts)
     cols = [key, attr, ts, tiebreak]
     affected = batch.select(key).distinct()
     untouched = old_changes.join(affected, key, "left_anti")

@@ -1034,9 +1034,12 @@ def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     key passes through a key anti-join untouched. The ORACLE is the
     full-from-scratch rebuild over ALL events: incremental merge and
     rebuild must agree row-for-row, which is the correctness contract a
-    lakehouse MERGE pipeline runs on (and the reason late out-of-order
-    data is excluded by the append-only watermark contract — see the
-    operator docstring for why late rows force a rebuild).
+    lakehouse MERGE pipeline runs on. The merge runs with
+    ``validate=True``: the watermark guard (scd2.enforce_watermark, one
+    key-sized extra job) raises loudly on a contract-violating late
+    batch instead of quietly emitting divergent history — the timestamp
+    split here satisfies the contract by construction, so the guard is
+    pure insurance and the oracle stays green with it on.
 
     Scale: a daily batch touching 0.1% of keys re-windows ~0.1% of the
     history; the pass-through side never rewrites rows."""
@@ -1046,4 +1049,4 @@ def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit("2024-01-21").cast("timestamp")
     old_changes = scd2.changes(ev.filter(F.col("ts") < split))
     batch = ev.filter(F.col("ts") >= split)
-    return scd2.merge_batch(old_changes, batch)
+    return scd2.merge_batch(old_changes, batch, validate=True)

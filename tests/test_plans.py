@@ -512,6 +512,36 @@ def test_scd2_merge_batch_equals_rebuild_and_passes_through(spark):
     assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
 
 
+def test_scd2_merge_watermark_guard_trips_on_late_batch(spark):
+    """A batch carrying a row OLDER than its key's recorded history
+    violates merge_batch's append-only contract; with validate=True the
+    guard fails LOUDLY (naming the key) instead of quietly emitting
+    history that diverges from a full rebuild — the wrong-and-quiet
+    failure mode the round-7 review flagged. A contract-satisfying
+    batch passes with the guard on (and the gated scd2_incremental
+    query runs validate=True against its oracle every round)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import scd2
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    old_changes = scd2.changes(ev.filter(F.col("ts") < split))
+
+    # a "late" batch: rows from BEFORE the split re-delivered
+    late = ev.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
+    assert late.count() > 0
+    with pytest.raises(ValueError, match="watermark violation"):
+        scd2.merge_batch(old_changes, late, validate=True).collect()
+
+    good = ev.filter(F.col("ts") >= split)
+    merged = {
+        tuple(r) for r in scd2.merge_batch(old_changes, good, validate=True).collect()
+    }
+    assert merged == {tuple(r) for r in scd2.build(ev).collect()}
+
+
 def test_weighted_sample_global_rank_is_take_ordered(spark, sf_dir):
     """The A-ES global rank<=k must NOT be a full global sort:
     LimitPushDownThroughWindow turns it into TakeOrderedAndProject
