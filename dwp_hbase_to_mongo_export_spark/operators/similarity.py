@@ -210,7 +210,9 @@ def build_ivf_index(
     return index, cents
 
 
-def save_ivf_index(index: DataFrame, cents, path: str) -> None:
+def save_ivf_index(
+    index: DataFrame, cents, path: str, fingerprint: str | None = None
+) -> None:
     """Persist a built IVF index DURABLY: the posting lists as a
     cluster-PARTITIONED parquet table (one directory per centroid)
     plus the centroid table as a small side relation. This is the
@@ -219,13 +221,22 @@ def save_ivf_index(index: DataFrame, cents, path: str) -> None:
     partition pruning — the scan reads ONLY the nprobe probed
     clusters' files (pinned by tests/test_plans.py), making the
     "a probe touches nprobe/|centroids| of the data" claim true at the
-    FILE level, across sessions, with no warm cache required."""
+    FILE level, across sessions, with no warm cache required.
+
+    ``fingerprint`` (functions/fingerprint.source_fingerprint of the
+    source corpus) is stamped into a 1-row meta relation so a consumer
+    keying reuse on the PATH can verify the source did not change
+    underneath it (load_ivf_index's expect_fingerprint)."""
     spark = index.sparkSession
     index.write.partitionBy("cluster").parquet(os.path.join(path, "postings"))
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cent_id bigint, cv array<double>",
     ).write.parquet(os.path.join(path, "centroids"))
+    if fingerprint is not None:
+        spark.createDataFrame(
+            [(fingerprint,)], "fingerprint string"
+        ).write.parquet(os.path.join(path, "meta"))
 
 
 def append_to_ivf_index(
@@ -285,12 +296,29 @@ def compact_ivf_postings(
     )
 
 
-def load_ivf_index(spark, path: str):
+def load_ivf_index(spark, path: str, expect_fingerprint: str | None = None):
     """Load a save_ivf_index artifact: returns (index, cents) exactly
     as build_ivf_index does, ready for query_ivf — a fresh session
-    queries the index without ever touching the float corpus."""
+    queries the index without ever touching the float corpus.
+
+    ``expect_fingerprint``: the CURRENT source's fingerprint; loading
+    raises when the artifact was stamped from different source content
+    (or carries no stamp to check) — the stale-artifact failure mode is
+    a silently wrong answer, so path-keyed reuse must verify content."""
     from .clustering import rows_to_centroids
 
+    if expect_fingerprint is not None:
+        meta_dir = os.path.join(path, "meta")
+        stored = None
+        if os.path.isdir(meta_dir):
+            row = spark.read.parquet(meta_dir).head()
+            stored = row["fingerprint"] if row else None
+        if stored != expect_fingerprint:
+            raise ValueError(
+                f"{path}: stored source fingerprint {stored!r} does not "
+                f"match the current source {expect_fingerprint!r} — the "
+                "corpus changed under the artifact; rebuild the index"
+            )
     index = spark.read.parquet(os.path.join(path, "postings"))
     rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     return index, rows_to_centroids(rows)

@@ -14,10 +14,38 @@ similarity.py:213):
   posting row, so query-time needs NO join against a corpus-sized
   doc-length relation.
 * ``stats/`` — (term, df) with the same bucket partitioning.
-* ``meta/`` — one row: (n_docs, avgdl), avgdl pre-rounded to 6
-  decimals exactly as the live bm25_search computes it, so the indexed
-  path is bit-identical to the one-shot path and pins against the SAME
-  oracle.
+* ``meta/`` — one row: (n_docs, n_tok_docs, sum_dl, avgdl,
+  fingerprint), avgdl pre-rounded to 6 decimals exactly as the live
+  bm25_search computes it, so the indexed path is bit-identical to the
+  one-shot path and pins against the SAME oracle. n_tok_docs/sum_dl are
+  the EXACT partial state avgdl merges from (append_to_text_index);
+  fingerprint binds the artifact to its source's content
+  (functions/fingerprint.source_fingerprint) so a regenerated corpus at
+  the same path is never silently served stale postings.
+
+INCREMENTAL lifecycle (the IVF index's append/compact/governance
+discipline, applied to text — a 100 TB corpus ingesting daily cannot
+rebuild postings from scratch each day; the reference's incremental
+mode appends new cells behind a fixed artifact, HBaseReader.kt:131-150):
+
+* ``append_to_text_index`` — NEW documents' postings append into the
+  same term buckets (delta-sized work); df stats and n_docs/sum_dl/
+  avgdl refresh by MERGING the delta's statistics with the stored ones
+  (vocabulary-/scalar-sized, never a corpus re-scan). Because df, dl,
+  tf, n_docs and avgdl all merge exactly for disjoint doc sets,
+  build→append→query is bit-identical to a full rebuild (pinned in
+  tests). Contract: delta docs are NEW ids (a changed existing doc
+  needs a rebuild — its old postings cannot be found without a
+  corpus-sized anti-join).
+* ``compact_text_index`` — per-bucket small-file compaction of the
+  posting store after many appends (sinks/compaction per-leaf
+  crash-safe protocol; the Hive bucket layout and its static pruning
+  survive).
+* Crash-safety: stats/meta rewrites go through a staging dir + swap
+  (recover-on-entry, same discipline as the compactor); an append in
+  flight drops an ``_append-pending`` marker that query_text_index
+  refuses to read through — a torn append (postings appended, stats
+  not yet merged) can therefore never serve silently-wrong scores.
 
 Query-time plan shape: pruned postings scan (|query terms| buckets)
 ⋈ broadcast stats ⋈ broadcast meta → TakeOrdered top-n. Zero Python,
@@ -34,6 +62,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +70,7 @@ from pyspark.sql import functions as F
 from .textops import _doc_tokens
 
 N_TERM_BUCKETS = 64
+_PENDING = "_append-pending"
 
 
 def term_bucket(term: Column) -> Column:
@@ -57,43 +87,201 @@ def _py_term_bucket(term: str) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % N_TERM_BUCKETS
 
 
+def _index_relations(
+    corpus: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, stats, meta_counts) for a corpus slice — shared by the
+    full build and the delta append. meta_counts is one row of EXACT
+    partial state: (n_docs, n_tok_docs, sum_dl) — counts and a bigint
+    sum, so slices merge by addition with no float involved."""
+    toks = _doc_tokens(corpus, text_col, id_col)
+    dlen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    postings = tf.join(dlen, id_col).select(
+        F.col("t").alias("term"),
+        F.col(id_col).alias("doc_id"),
+        "tf",
+        "dl",
+        term_bucket(F.col("t")).alias("bucket"),
+    )
+    stats = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.col("t").alias("term"), "df", term_bucket(F.col("t")).alias("bucket"))
+    )
+    meta_counts = corpus.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(
+            dlen.agg(
+                F.count(F.lit(1)).alias("n_tok_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+            )
+        )
+    )
+    return postings, stats, meta_counts
+
+
+# avgdl from the exact partials, as ONE Spark expression so the build,
+# the append-merge, and the live bm25_search produce bit-identical
+# doubles: sum_dl is exact (bigint), the double division equals
+# F.avg(dl) (integer-valued doubles below 2^53 add exactly), and
+# F.round matches the live path's rounding.
+def _with_avgdl(meta_counts: DataFrame) -> DataFrame:
+    return meta_counts.withColumn(
+        "avgdl",
+        F.round(F.col("sum_dl").cast("double") / F.col("n_tok_docs"), 6),
+    )
+
+
 def build_text_index(
     corpus: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprint: str | None = None,
 ) -> None:
     """ONE corpus-scale pass to the three artifact relations. The
     shuffles are the (doc, term) tf aggregation and the vocabulary-sized
     df aggregation — the same work the live bm25_search pays per query,
-    paid once."""
-    toks = _doc_tokens(corpus, text_col, id_col)
-    dlen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    postings = (
-        tf.join(dlen, id_col)
-        .select(
-            F.col("t").alias("term"),
-            F.col(id_col).alias("doc_id"),
-            "tf",
-            "dl",
-            term_bucket(F.col("t")).alias("bucket"),
-        )
-    )
+    paid once. ``fingerprint`` (see functions/fingerprint) is stamped
+    into meta so readers can reject the artifact when the source
+    changes under the same path. meta is written LAST — it is the
+    commit record: a crashed build leaves no (or a stale-fingerprint)
+    meta, which fingerprint-checking consumers treat as absent."""
+    pending = os.path.join(path, _PENDING)
+    if os.path.exists(pending):
+        os.remove(pending)  # full rebuild supersedes any torn append
+    postings, stats, meta_counts = _index_relations(corpus, text_col, id_col)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
-    )
-    stats = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).select(
-        F.col("t").alias("term"), "df", term_bucket(F.col("t")).alias("bucket")
     )
     stats.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "stats")
     )
-    meta = (
-        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(dlen.agg(F.round(F.avg("dl"), 6).alias("avgdl"))))
+    meta = _with_avgdl(meta_counts).withColumn(
+        "fingerprint", F.lit(fingerprint or "")
     )
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _swap_write(df: DataFrame, target: str, partition_by: str | None = None) -> None:
+    """Materialise ``df`` into a staging dir, then swap it in — safe
+    even when ``df`` READS from ``target`` (the merge shapes below),
+    because the staging write completes before the swap. Same
+    recover-on-entry discipline as sinks/compaction: a crash between
+    the two renames strands the table in ``.swap-old``, restored here;
+    a crash before the swap leaves the original untouched."""
+    staging = target.rstrip("/") + ".swap-staging"
+    backup = target.rstrip("/") + ".swap-old"
+    if os.path.isdir(backup):
+        if not os.path.isdir(target):
+            os.rename(backup, target)
+        else:
+            shutil.rmtree(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+    os.rename(target, backup)
+    os.rename(staging, target)
+    shutil.rmtree(backup)
+
+
+def append_to_text_index(
+    delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str | None = None,
+) -> None:
+    """Incrementally add NEW documents to a saved text index:
+    delta-sized tokenisation/aggregation work, postings appended into
+    the same term buckets (static bucket pruning keeps working), df
+    stats merged by per-term ADDITION with the stored stats
+    (vocabulary-sized, never a corpus re-scan), and n_docs/sum_dl/avgdl
+    refreshed from the exact stored partials. For disjoint doc sets
+    every statistic merges exactly, so the appended index answers
+    queries bit-identically to a full rebuild over old ∪ delta (pinned
+    in tests/test_extensions.py).
+
+    Contract: delta doc ids are NEW (an updated existing doc requires a
+    rebuild — its old postings are unreachable without a corpus-sized
+    anti-join). Crash-safety: the ``_append-pending`` marker brackets
+    the append; query_text_index refuses a marked index, so a torn
+    append (postings in, stats not yet merged) fails loudly instead of
+    scoring with inconsistent statistics. The stats/meta rewrites
+    themselves go through the staged swap."""
+    if delta.isEmpty():
+        return  # empty micro-batches would only fragment the store
+    spark = delta.sparkSession
+    pending = os.path.join(path, _PENDING)
+    with open(pending, "w", encoding="utf-8") as f:
+        f.write(fingerprint or "")
+    postings, stats_delta, meta_counts = _index_relations(delta, text_col, id_col)
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    old_stats = spark.read.parquet(os.path.join(path, "stats")).select(
+        "term", "df", "bucket"
+    )
+    merged_stats = (
+        old_stats.unionByName(stats_delta)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .select("term", "df", "bucket")
+    )
+    _swap_write(merged_stats, os.path.join(path, "stats"), partition_by="bucket")
+    old_meta = spark.read.parquet(os.path.join(path, "meta")).select(
+        "n_docs", "n_tok_docs", "sum_dl"
+    )
+    summed = (
+        old_meta.unionByName(meta_counts)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tok_docs").cast("bigint").alias("n_tok_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+    merged_meta = _with_avgdl(summed).withColumn(
+        "fingerprint", F.lit(fingerprint or "")
+    )
+    _swap_write(merged_meta, os.path.join(path, "meta"))
+    os.remove(pending)
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Per-bucket small-file compaction of the posting store after many
+    appends — each append writes one file set per touched bucket, so a
+    daily-ingest cadence accumulates small files exactly like the IVF
+    posting store (compact_ivf_postings). The Hive ``bucket=N`` layout
+    (and its static pruning) is preserved; each leaf uses the
+    compactor's crash-safe swap protocol. Stats/meta are rewritten
+    wholesale on every append, so only postings fragment."""
+    from ..sinks.compaction import compact_partitioned_dir
+
+    return compact_partitioned_dir(
+        spark, os.path.join(path, "postings"), target_bytes=target_bytes
+    )
+
+
+def stored_fingerprint(spark: SparkSession, path: str) -> str | None:
+    """The source fingerprint stamped into the index meta; None when
+    the artifact is absent, torn (pending append marker), or predates
+    fingerprinting — every case a fingerprint-checking consumer must
+    treat as 'rebuild'."""
+    if os.path.exists(os.path.join(path, _PENDING)):
+        return None
+    meta_dir = os.path.join(path, "meta")
+    if not os.path.isdir(meta_dir):
+        return None
+    meta = spark.read.parquet(meta_dir)
+    if "fingerprint" not in meta.columns:
+        return None
+    row = meta.select("fingerprint").head()
+    return row["fingerprint"] if row else None
 
 
 def query_text_index(
@@ -109,7 +297,15 @@ def query_text_index(
     carry a STATIC partition filter — only those buckets' files are
     listed or read (pinned in tests/test_plans.py). Identical scoring
     arithmetic to the live bm25_search (same idf, same rounding), so
-    both paths share one oracle."""
+    both paths share one oracle. Refuses a torn index (an append died
+    mid-flight): postings may already contain delta rows the stats
+    don't know about, and scoring would be silently wrong."""
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending or died mid-flight — the "
+            "postings and statistics may disagree; retry the append or "
+            "rebuild the index"
+        )
     buckets = sorted({_py_term_bucket(t) for t in query_terms})
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))

@@ -269,3 +269,152 @@ def test_decontaminate_flags_exact_overlap(spark):
     assert out[1].contaminated and out[1].n_contaminated_grams >= 1
     assert not out[2].contaminated and out[2].n_contaminated_grams == 0
     assert not out[3].contaminated  # too short to have any 8-gram
+
+
+# ---------------------------------------------------------------------------
+# Text-index incremental lifecycle (round 8): append + compact + source
+# fingerprinting — the IVF index discipline applied to the BM25 store.
+# ---------------------------------------------------------------------------
+
+
+def _ti():
+    from dwp_hbase_to_mongo_export_spark.operators import textindex
+
+    return textindex
+
+
+def test_text_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """build(old) -> append(delta) answers queries BIT-IDENTICALLY to a
+    full rebuild over old ∪ delta: df/tf/dl/n_docs merge exactly for
+    disjoint doc sets and avgdl recomputes from the exact stored
+    partials — the done-criterion the round-7 verdict set."""
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    split = 300
+    old = docs.filter(F.col("doc_id") < split)
+    delta = docs.filter(F.col("doc_id") >= split)
+    assert old.count() > 0 and delta.count() > 0
+
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    textindex.build_text_index(old, inc_path)
+    textindex.append_to_text_index(delta, inc_path)
+    textindex.build_text_index(docs, full_path)
+
+    terms = ["table", "scan", "merge"]
+    got = textindex.query_text_index(spark, inc_path, terms, top_n=10).collect()
+    want = textindex.query_text_index(spark, full_path, terms, top_n=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # the merged statistics themselves are identical, not just the top-10
+    s_inc = {
+        (r.term, r.df)
+        for r in spark.read.parquet(inc_path + "/stats").collect()
+    }
+    s_full = {
+        (r.term, r.df)
+        for r in spark.read.parquet(full_path + "/stats").collect()
+    }
+    assert s_inc == s_full
+    m_inc = spark.read.parquet(inc_path + "/meta").head()
+    m_full = spark.read.parquet(full_path + "/meta").head()
+    for c in ("n_docs", "n_tok_docs", "sum_dl", "avgdl"):
+        assert m_inc[c] == m_full[c], c
+
+
+def test_text_index_compaction_preserves_results(spark, sf_dir, tmp_path):
+    """Several appends fragment the bucket directories; compaction
+    shrinks the file count, keeps the Hive bucket layout (static
+    pruning contract), and changes no query answer."""
+    import glob
+
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(docs.filter(F.col("doc_id") < 200), path)
+    for lo, hi in ((200, 300), (300, 400), (400, 10_000_000)):
+        textindex.append_to_text_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), path
+        )
+    terms = ["table", "scan", "merge"]
+    before = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    n_before = len(glob.glob(path + "/postings/bucket=*/*.parquet"))
+    res = textindex.compact_text_index(spark, path, target_bytes=64 * 1024 * 1024)
+    n_after = len(glob.glob(path + "/postings/bucket=*/*.parquet"))
+    assert res["n_compacted"] > 0 and n_after < n_before
+    assert sorted(glob.glob(path + "/postings/bucket=*")), "layout survived"
+    after = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_text_index_pending_marker_blocks_reads(spark, sf_dir, tmp_path):
+    """A torn append (marker present) must fail loudly at query time —
+    postings/stats may disagree and the wrong answer would be quiet."""
+    import os
+
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(docs, path)
+    open(os.path.join(path, "_append-pending"), "w").close()
+    with pytest.raises(ValueError, match="pending"):
+        textindex.query_text_index(spark, path, ["table"], top_n=5)
+    assert textindex.stored_fingerprint(spark, path) is None  # torn -> rebuild
+
+
+def test_text_index_fingerprint_rejects_mutated_source(spark, sf_dir, tmp_path):
+    """The bm25_indexed reuse gate: an index stamped from one source
+    content must NOT be reused after the source changes under the same
+    path — the stored fingerprint goes stale and the consumer rebuilds
+    (round-7 advice: basename-keyed caching served stale postings)."""
+    import shutil as _sh
+
+    from dwp_hbase_to_mongo_export_spark.functions.fingerprint import (
+        source_fingerprint,
+    )
+
+    textindex = _ti()
+    src = tmp_path / "corpus.parquet"
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.coalesce(1).write.parquet(str(src))
+    fp1 = source_fingerprint(str(src))
+
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(spark.read.parquet(str(src)), path, fingerprint=fp1)
+    assert textindex.stored_fingerprint(spark, path) == fp1
+
+    # mutate the source under the SAME path (regenerated fixture)
+    _sh.rmtree(str(src))
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).coalesce(1).write.parquet(str(src))
+    fp2 = source_fingerprint(str(src))
+    assert fp2 != fp1
+    assert textindex.stored_fingerprint(spark, path) != fp2  # stale detected
+
+
+def test_ivf_index_fingerprint_verified_on_load(spark, sf_dir, tmp_path):
+    """load_ivf_index(expect_fingerprint=...) raises on a mismatching
+    (or missing) stamp instead of serving an index built from different
+    source content."""
+    from dwp_hbase_to_mongo_export_spark.functions.fingerprint import (
+        source_fingerprint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    index, cents = similarity.build_ivf_index(
+        emb, centroid_stride=100, persist=False
+    )
+    fp = source_fingerprint(sf_dir + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(index, cents, path, fingerprint=fp)
+    loaded, _ = similarity.load_ivf_index(spark, path, expect_fingerprint=fp)
+    assert loaded.count() == index.count()
+    with pytest.raises(ValueError, match="fingerprint"):
+        similarity.load_ivf_index(spark, path, expect_fingerprint="different")
+
+    nofp = str(tmp_path / "ivf2")
+    similarity.save_ivf_index(index, cents, nofp)  # unstamped artifact
+    with pytest.raises(ValueError, match="fingerprint"):
+        similarity.load_ivf_index(spark, nofp, expect_fingerprint=fp)
+    similarity.load_ivf_index(spark, nofp)  # no expectation -> loads
