@@ -43,6 +43,7 @@ def skew_split_join(
     factor: float = 1.15,
     width: int = 1024,
     max_hot: int = 1000,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Inner-join ``fact`` with ``dim`` with hot keys routed around the
     shuffle. The hot set is detected on the FACT side (that is where
@@ -50,18 +51,32 @@ def skew_split_join(
     a 100 TB dimension forces (too big to broadcast whole — its
     hot-key SUBSET is what stays broadcastable).
 
+    ``hot_keys``: pass a precomputed hot list to skip detection — the
+    production shape: hot keys are distribution properties, stable
+    across a pipeline's runs, so the sketch pass is paid once (or read
+    from yesterday's run) and amortised; an empty list explicitly
+    requests the plain cold-path join. With hot_keys=None the
+    detection sketch pass (2 fact scans: CMS+KMV build, screened exact
+    count) runs inline — tools/skew_bench.py measures both shapes
+    against AQE, and at local-shuffle scales the inline detection
+    dominates (SCALING.md): prefer the precomputed form wherever the
+    join itself is not much more expensive than a fact scan.
+
     ``max_hot`` guards the degenerate case where a tight distribution
     puts MANY keys just past the threshold: only the heaviest max_hot
     route hot (keeping the isin literal and the broadcast bounded);
     demoting a key to the cold path never changes the result, only the
     routing — so the cap trades routing optimality for a bounded plan,
     never correctness."""
-    hot_rows = (
-        exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
-        .orderBy(F.desc("cnt"), F.asc(fact_key))
-        .limit(max_hot)
-    )
-    hot_keys = [r[fact_key] for r in hot_rows.collect()]  # bounded by max_hot
+    if hot_keys is None:
+        hot_rows = (
+            exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
+            .orderBy(F.desc("cnt"), F.asc(fact_key))
+            .limit(max_hot)
+        )
+        hot_keys = [r[fact_key] for r in hot_rows.collect()]  # bounded by max_hot
+    else:
+        hot_keys = list(hot_keys)[:max_hot]
 
     on = fact[fact_key] == dim[dim_key]
     if not hot_keys:
