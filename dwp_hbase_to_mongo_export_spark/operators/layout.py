@@ -42,7 +42,15 @@ Z_BITS = 8  # bits per dimension; 2 dims -> 16-bit z-value
 def fixed_bucket(value: Column, lo: float, width: float, nbuckets: int) -> Column:
     """Monotone data-independent bucket id: floor((x-lo)/width) clamped
     to [0, nbuckets-1] — same family as the histogram sketch's bucket,
-    so no stats pass is needed and the mapping is engine-portable."""
+    so no stats pass is needed and the mapping is engine-portable.
+
+    NULL caveat: floor(NULL)=NULL but greatest(NULL,0)=0 (Spark's
+    greatest/least skip nulls), so a NULL value lands in bucket 0. For
+    a LAYOUT key that is acceptable — every row must land somewhere and
+    co-locating nulls at the low edge is as good a place as any — which
+    is why, unlike hist_build (where bucket-0 nulls skew quantiles),
+    callers here need not pre-filter; they only need to know nulls
+    cluster into the lowest z-region."""
     raw = F.floor((value - F.lit(lo)) / F.lit(width))
     return F.least(F.greatest(raw, F.lit(0)), F.lit(nbuckets - 1)).cast("bigint")
 

@@ -267,6 +267,89 @@ def compact_text_index(
     )
 
 
+def text_index_governance(
+    spark: SparkSession,
+    path: str,
+    sample_terms: list[str],
+    max_terms: int = 64,
+) -> dict:
+    """Integrity governance for the durable text index — the BM25
+    sibling of similarity.ivf_index_governance, and the check whose
+    absence lets an append-contract violation rot silently: appending a
+    doc id that was ALREADY indexed double-counts it in the merged df
+    stats (stats become per-term posting-ROW counts, true df is
+    per-term DISTINCT docs) and every idf drifts with no error
+    anywhere. For a bounded caller-chosen term sample (production:
+    sample the query-log's head terms — score drift shows up there
+    first), recompute df from the postings themselves and compare with
+    the stored stats; also verify each sampled doc carries ONE
+    consistent dl across its postings (a re-appended changed doc shows
+    two).
+
+    Cost shape: the scans are statically pruned to the sampled terms'
+    buckets and everything downstream is sample-sized (<= max_terms
+    groups); the collect is bounded by max_terms rows. Returns
+    {n_terms_checked, df_mismatches, dl_inconsistent_docs, healthy,
+    rebuild} — rebuild True means the append contract was violated and
+    the artifact must be rebuilt from the corpus (a targeted repair
+    cannot know which postings are the stale ones)."""
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending — retry or rebuild before "
+            "governing; a torn artifact always reads unhealthy"
+        )
+    terms = sorted(set(sample_terms))[:max_terms]
+    if not terms:
+        raise ValueError(
+            "text_index_governance needs a non-empty term sample — "
+            "a health check over zero terms would read as healthy"
+        )
+    buckets = sorted({_py_term_bucket(t) for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    stats = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", F.col("df").alias("df_stored"))
+    )
+    recomputed = postings.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_true"),
+        F.count(F.lit(1)).alias("posting_rows"),
+    )
+    df_mismatches = [
+        {
+            "term": r["term"],
+            "df_stored": r["df_stored"],
+            "df_true": r["df_true"],
+        }
+        for r in recomputed.join(stats, "term", "full_outer")
+        .filter(
+            F.coalesce(F.col("df_stored"), F.lit(-1))
+            != F.coalesce(F.col("df_true"), F.lit(-1))
+        )
+        .collect()
+    ]
+    dl_bad = [
+        r["doc_id"]
+        for r in postings.groupBy("doc_id")
+        .agg(F.count_distinct("dl").alias("n_dl"))
+        .filter(F.col("n_dl") > 1)
+        .collect()
+    ]
+    healthy = not df_mismatches and not dl_bad
+    return {
+        "n_terms_checked": len(terms),
+        "df_mismatches": df_mismatches,
+        "dl_inconsistent_docs": sorted(dl_bad),
+        "healthy": healthy,
+        "rebuild": not healthy,
+    }
+
+
 def stored_fingerprint(spark: SparkSession, path: str) -> str | None:
     """The source fingerprint stamped into the index meta; None when
     the artifact is absent, torn (pending append marker), or predates

@@ -418,3 +418,30 @@ def test_ivf_index_fingerprint_verified_on_load(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="fingerprint"):
         similarity.load_ivf_index(spark, nofp, expect_fingerprint=fp)
     similarity.load_ivf_index(spark, nofp)  # no expectation -> loads
+
+
+def test_text_index_governance_detects_contract_violation(spark, sf_dir, tmp_path):
+    """A healthy build+append governs clean; re-appending an ALREADY
+    indexed doc (the contract violation) is caught — stored df drifts
+    from postings-recomputed df and the doc carries inconsistent dl."""
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(docs.filter(F.col("doc_id") < 300), path)
+    textindex.append_to_text_index(
+        docs.filter(F.col("doc_id") >= 300), path
+    )
+    sample = ["table", "scan", "merge", "data", "the"]
+    res = textindex.text_index_governance(spark, path, sample)
+    assert res["healthy"] and not res["rebuild"]
+    assert res["n_terms_checked"] == len(set(sample))
+
+    # violate the contract: re-append doc 0 with CHANGED text
+    bad = docs.filter(F.col("doc_id") == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" table table extra words"))
+    )
+    textindex.append_to_text_index(bad, path)
+    res2 = textindex.text_index_governance(spark, path, sample)
+    assert not res2["healthy"] and res2["rebuild"]
+    assert res2["df_mismatches"]  # df double-counted for doc 0's terms
+    assert 0 in res2["dl_inconsistent_docs"]
