@@ -47,6 +47,9 @@ SWEEP_QUERIES = [
     "heavy_hitters_screened",  # CMS build + map-side screened exact agg
     "scd2_history",            # one key shuffle, two shared-sort windows
     "zorder_layout",           # range-partitioned sorted rewrite
+    "distinct_users_kmv",      # constant-state KMV fold (r8): linear
+                               # map-side Arrow scan, <=64-row/partition
+                               # exchange — growth measures the scan
 ]
 
 # The clustering/search/near-dup families need DISTINCT-content
