@@ -384,21 +384,29 @@ def kmv_partials(
     schema = proj.schema
 
     def fold(batches):
-        import pandas as pd
-
-        state: pd.DataFrame | None = None
-        for pdf in batches:
-            cur = (
-                pdf
-                if state is None
-                else pd.concat((state, pdf), ignore_index=True)
-            )
-            cur = cur.drop_duplicates(cols).sort_values(cols, kind="mergesort")
-            state = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
-        if state is not None and len(state):
-            yield state
+        out = bottom_k_distinct_fold(batches, cols, gcols, k)
+        if out is not None and len(out):
+            yield out
 
     return proj.mapInPandas(fold, schema)
+
+
+def bottom_k_distinct_fold(batches, cols: list[str], gcols: list[str], k: int):
+    """The pure pandas core of kmv_partials' per-partition fold: stream
+    batches, keep the k smallest DISTINCT hv rows (per group when
+    grouped). Module-level so hypothesis can drive it directly against
+    an exact reference (tests/test_properties.py) — the distributed
+    wrapper adds nothing semantically, only partitioning, and the
+    partition/global merge equivalence is pinned separately in
+    tests/test_sketches.py."""
+    import pandas as pd
+
+    state: pd.DataFrame | None = None
+    for pdf in batches:
+        cur = pdf if state is None else pd.concat((state, pdf), ignore_index=True)
+        cur = cur.drop_duplicates(cols).sort_values(cols, kind="mergesort")
+        state = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
+    return state
 
 
 def kmv_estimate_py(k_used: int, kth_hash: int | None, k: int = 64) -> float:

@@ -93,3 +93,26 @@ def test_driver_window_is_valid():
         n for n in catalog.DRIVER_WINDOW if n in catalog.QUERIES
     ]
     assert sorted(order) == sorted(catalog.QUERIES)
+
+
+def test_never_driver_checked_queries_lead_the_window():
+    """The round-7 secondary gap, made structurally un-reintroducible:
+    any gated query with NO all-true row in ANY CORRECTNESS_r*.json
+    (i.e. registered but never driver-checked) MUST occupy the leading
+    positions of DRIVER_WINDOW — a new query registered past the
+    window, or a window rotated without the unchecked tier first, fails
+    here. Ordering among checked queries stays the builder's per-round
+    judgment (staleness-first via tools/rotate_window.py, with room to
+    pull code-changed queries forward)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from rotate_window import latest_green_round
+
+    green = latest_green_round(str(Path(__file__).resolve().parent.parent))
+    never = sorted(n for n in catalog.QUERIES if green.get(n, 0) == 0)
+    if never:  # nothing to require on a fully-evidenced catalog
+        assert never == sorted(catalog.DRIVER_WINDOW[: len(never)]), (
+            f"never-driver-checked queries must lead DRIVER_WINDOW: {never}"
+        )

@@ -263,3 +263,66 @@ def test_round_portable_cross_engine_parity(spark):
             if struct.pack("<d", a) != struct.pack("<d", b)
         ]
         assert not mismatches, (digits, mismatches[:5], len(mismatches))
+
+
+# ---------------------------------------------------------------------------
+# Constant-state KMV fold (operators/sketches.bottom_k_distinct_fold):
+# the pure pandas core of the partition-local bottom-k-distinct partial.
+# Reference implementation: python sets + sorted()[:k], per group.
+# ---------------------------------------------------------------------------
+
+_kmv_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 40)),
+    min_size=0,
+    max_size=120,
+)
+
+
+def _split_batches(rows, cut_points):
+    import pandas as pd
+
+    cuts = sorted({min(c, len(rows)) for c in cut_points}) + [len(rows)]
+    out, prev = [], 0
+    for c in cuts:
+        out.append(pd.DataFrame(rows[prev:c], columns=["g", "hv"]))
+        prev = c
+    return out
+
+
+@given(_kmv_rows, st.lists(st.integers(0, 120), max_size=4), st.integers(1, 7))
+@settings(max_examples=200, deadline=None)
+def test_bottom_k_fold_grouped_matches_reference(rows, cuts, k):
+    from dwp_hbase_to_mongo_export_spark.operators.sketches import (
+        bottom_k_distinct_fold,
+    )
+
+    state = bottom_k_distinct_fold(
+        iter(_split_batches(rows, cuts)), ["g", "hv"], ["g"], k
+    )
+    got = (
+        set()
+        if state is None or not len(state)
+        else {(r.g, int(r.hv)) for r in state.itertuples()}
+    )
+    want = set()
+    for g in {g for g, _ in rows}:
+        for hv in sorted({hv for gg, hv in rows if gg == g})[:k]:
+            want.add((g, hv))
+    assert got == want
+
+
+@given(_kmv_rows, st.lists(st.integers(0, 120), max_size=4), st.integers(1, 7))
+@settings(max_examples=200, deadline=None)
+def test_bottom_k_fold_global_matches_reference(rows, cuts, k):
+    from dwp_hbase_to_mongo_export_spark.operators.sketches import (
+        bottom_k_distinct_fold,
+    )
+
+    frames = [f[["hv"]] for f in _split_batches(rows, cuts)]
+    state = bottom_k_distinct_fold(iter(frames), ["hv"], [], k)
+    got = (
+        []
+        if state is None or not len(state)
+        else sorted(int(r.hv) for r in state.itertuples())
+    )
+    assert got == sorted({hv for _, hv in rows})[:k]
