@@ -380,7 +380,11 @@ def kmv_partials(
     the per-partition state is |groups| x k hashes."""
     gcols = list(group_cols)
     cols = gcols + [hv_col]
-    proj = df.select(*cols)
+    # a NULL hash is not a hash (it means the hashed value was NULL):
+    # excluding it here keeps the sketch semantics explicit — pandas
+    # would otherwise sort NaN last and Spark's orderBy would sort it
+    # FIRST, a cross-layer disagreement waiting for nullable keys
+    proj = df.filter(F.col(hv_col).isNotNull()).select(*cols)
     schema = proj.schema
 
     def fold(batches):

@@ -163,13 +163,15 @@ def build_text_index(
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
-def _swap_write(df: DataFrame, target: str, partition_by: str | None = None) -> None:
-    """Materialise ``df`` into a staging dir, then swap it in — safe
-    even when ``df`` READS from ``target`` (the merge shapes below),
-    because the staging write completes before the swap. Same
-    recover-on-entry discipline as sinks/compaction: a crash between
-    the two renames strands the table in ``.swap-old``, restored here;
-    a crash before the swap leaves the original untouched."""
+def _recover_swap(target: str) -> None:
+    """Entry-time recovery for a _swap_write target (the compactor's
+    discipline): a crash between the two swap renames strands the live
+    table in ``.swap-old`` with no target — restore it; a backup
+    alongside a surviving target is a completed swap whose cleanup
+    died — drop it; staging remnants are always junk. Every reader and
+    writer of a swappable relation calls this BEFORE touching the
+    path — recovery inside the writer alone would leave a torn state
+    unreadable until the next write."""
     staging = target.rstrip("/") + ".swap-staging"
     backup = target.rstrip("/") + ".swap-old"
     if os.path.isdir(backup):
@@ -179,6 +181,17 @@ def _swap_write(df: DataFrame, target: str, partition_by: str | None = None) -> 
             shutil.rmtree(backup)
     if os.path.isdir(staging):
         shutil.rmtree(staging)
+
+
+def _swap_write(df: DataFrame, target: str, partition_by: str | None = None) -> None:
+    """Materialise ``df`` into a staging dir, then swap it in — safe
+    even when ``df`` READS from ``target`` (the merge shapes below),
+    because the staging write completes before the swap. Same
+    recover-on-entry discipline as sinks/compaction (_recover_swap); a
+    crash before the swap leaves the original untouched."""
+    staging = target.rstrip("/") + ".swap-staging"
+    backup = target.rstrip("/") + ".swap-old"
+    _recover_swap(target)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
@@ -215,6 +228,8 @@ def append_to_text_index(
     if delta.isEmpty():
         return  # empty micro-batches would only fragment the store
     spark = delta.sparkSession
+    _recover_swap(os.path.join(path, "stats"))
+    _recover_swap(os.path.join(path, "meta"))
     pending = os.path.join(path, _PENDING)
     with open(pending, "w", encoding="utf-8") as f:
         f.write(fingerprint or "")
@@ -358,6 +373,7 @@ def stored_fingerprint(spark: SparkSession, path: str) -> str | None:
     if os.path.exists(os.path.join(path, _PENDING)):
         return None
     meta_dir = os.path.join(path, "meta")
+    _recover_swap(meta_dir)
     if not os.path.isdir(meta_dir):
         return None
     meta = spark.read.parquet(meta_dir)
@@ -389,6 +405,8 @@ def query_text_index(
             "postings and statistics may disagree; retry the append or "
             "rebuild the index"
         )
+    _recover_swap(os.path.join(path, "stats"))
+    _recover_swap(os.path.join(path, "meta"))
     buckets = sorted({_py_term_bucket(t) for t in query_terms})
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))

@@ -445,3 +445,29 @@ def test_text_index_governance_detects_contract_violation(spark, sf_dir, tmp_pat
     assert not res2["healthy"] and res2["rebuild"]
     assert res2["df_mismatches"]  # df double-counted for doc 0's terms
     assert 0 in res2["dl_inconsistent_docs"]
+
+
+def test_text_index_swap_recovers_from_crash_between_renames(spark, sf_dir, tmp_path):
+    """_swap_write's torn state: a crash BETWEEN the two renames leaves
+    the stats relation stranded in `.swap-old` with no live target. The
+    next append's entry recovery must restore it and proceed — ending
+    bit-identical to the never-crashed full rebuild."""
+    import os as _os
+
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(docs.filter(F.col("doc_id") < 300), path)
+
+    stats = _os.path.join(path, "stats")
+    _os.rename(stats, stats + ".swap-old")  # simulate mid-swap crash
+    assert not _os.path.isdir(stats)
+
+    textindex.append_to_text_index(docs.filter(F.col("doc_id") >= 300), path)
+    full = str(tmp_path / "full")
+    textindex.build_text_index(docs, full)
+    terms = ["table", "scan", "merge"]
+    got = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    want = textindex.query_text_index(spark, full, terms, top_n=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert not _os.path.isdir(stats + ".swap-old")  # cleaned up

@@ -552,3 +552,23 @@ def test_weighted_sample_global_rank_is_take_ordered(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "doc_id" in read_schema and "n_chars" in read_schema
     assert "text" not in read_schema
+
+
+def test_scd2_watermark_guard_allows_equal_timestamp(spark):
+    """The contract is ts >= last recorded ts: a batch row landing
+    EXACTLY on its key's recorded boundary must pass the guard (>=,
+    not >) — rejecting it would refuse legitimate same-instant CDC
+    deliveries ordered by the tiebreak column."""
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import scd2
+
+    old = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", 10)],
+        "user_id long, event_type string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = spark.createDataFrame(
+        [(1, "b", "2024-01-01 00:00:00", 11)],
+        "user_id long, event_type string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2.merge_batch(scd2.changes(old), batch, validate=True).collect()
+    assert len(out) == 2  # both states recorded, no guard trip

@@ -347,3 +347,18 @@ def test_hist_build_excludes_nulls(spark):
         df.withColumn("g", F.lit("a")), "v", ["g"]
     )
     assert sum(r["cnt"] for r in grouped.collect()) == 2
+
+
+def test_kmv_partials_excludes_null_hashes(spark):
+    """kmv_hash(NULL)=NULL is not a hash: the fold must drop it rather
+    than let pandas (NaN sorts last) and Spark (nulls sort FIRST asc)
+    disagree about whether it is a minimum."""
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,), (None,), (3,)], "hv long"
+    )
+    partials = sketches.kmv_partials(df, "hv", (), 2)
+    assert None not in {r["hv"] for r in partials.collect()}
+    merged = sorted(
+        r["hv"] for r in partials.distinct().orderBy("hv").limit(2).collect()
+    )
+    assert merged == [1, 2]
