@@ -35,6 +35,38 @@ from pyspark.sql import functions as F
 from .sketches import exact_heavy_hitters
 
 
+def detect_hot_keys_sampled(
+    fact: DataFrame,
+    fact_key: str,
+    sample_fraction: float = 0.02,
+    min_share: float = 0.001,
+    max_hot: int = 1000,
+    seed: int = 42,
+) -> list:
+    """Hot-key candidates from a SEEDED Bernoulli sample — the cheap
+    detection mode for skew ROUTING, where exactness buys nothing: a
+    borderline key the sample misses simply takes the cold path and the
+    join result is unchanged. A key is hot when its share of the sample
+    is >= ``min_share`` (default 0.1% — far below 'one key larger than
+    a task', far above binomial noise at the default 2% sample: a true
+    0.1%-share key appears ~sample_rows/1000 times). Cost: one
+    fraction-of-a-scan plus a sample-cardinality-bounded aggregation —
+    vs the exact sketch pipeline's ~2 full fact scans. The seed makes
+    routing (not just results) deterministic across runs."""
+    smp = fact.select(fact_key).sample(fraction=sample_fraction, seed=seed)
+    counts = smp.groupBy(fact_key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n")).collect()[0]["n"] or 0
+    if not total:
+        return []
+    rows = (
+        counts.filter(F.col("cnt") >= F.lit(min_share * total))
+        .orderBy(F.desc("cnt"), F.asc(fact_key))
+        .limit(max_hot)
+        .collect()
+    )
+    return [r[fact_key] for r in rows]
+
+
 def skew_split_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -44,6 +76,9 @@ def skew_split_join(
     width: int = 1024,
     max_hot: int = 1000,
     hot_keys: list | None = None,
+    detect: str = "exact",
+    sample_fraction: float = 0.02,
+    min_share: float = 0.001,
 ) -> DataFrame:
     """Inner-join ``fact`` with ``dim`` with hot keys routed around the
     shuffle. The hot set is detected on the FACT side (that is where
@@ -51,16 +86,24 @@ def skew_split_join(
     a 100 TB dimension forces (too big to broadcast whole — its
     hot-key SUBSET is what stays broadcastable).
 
-    ``hot_keys``: pass a precomputed hot list to skip detection — the
-    production shape: hot keys are distribution properties, stable
-    across a pipeline's runs, so the sketch pass is paid once (or read
-    from yesterday's run) and amortised; an empty list explicitly
-    requests the plain cold-path join. With hot_keys=None the
-    detection sketch pass (2 fact scans: CMS+KMV build, screened exact
-    count) runs inline — tools/skew_bench.py measures both shapes
-    against AQE, and at local-shuffle scales the inline detection
-    dominates (SCALING.md): prefer the precomputed form wherever the
-    join itself is not much more expensive than a fact scan.
+    Detection modes — the RESULT is the plain join under every mode
+    (routing is the only thing detection decides, and demoting any key
+    to the cold path is always correct):
+
+    * ``hot_keys=[...]`` — precomputed list, no detection scan: the
+      production shape; hot keys are distribution properties, stable
+      across a pipeline's runs, so detection is paid once (or read from
+      yesterday's run) and amortised. An empty list explicitly requests
+      the plain cold-path join.
+    * ``detect="sample"`` — seeded-sample share threshold
+      (detect_hot_keys_sampled): one fraction-of-a-scan; the right
+      inline default when the join runs once and exact frequencies are
+      not otherwise needed.
+    * ``detect="exact"`` — the CMS+KMV screened pipeline
+      (exact_heavy_hitters, ~2 full fact scans): pays for an EXACT
+      frequency-thresholded hot set — use when the hot list itself is a
+      deliverable (skew reports, reuse via ``hot_keys`` next run).
+      tools/skew_bench.py measures all shapes against AQE (SCALING.md).
 
     ``max_hot`` guards the degenerate case where a tight distribution
     puts MANY keys just past the threshold: only the heaviest max_hot
@@ -69,12 +112,23 @@ def skew_split_join(
     routing — so the cap trades routing optimality for a bounded plan,
     never correctness."""
     if hot_keys is None:
-        hot_rows = (
-            exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
-            .orderBy(F.desc("cnt"), F.asc(fact_key))
-            .limit(max_hot)
-        )
-        hot_keys = [r[fact_key] for r in hot_rows.collect()]  # bounded by max_hot
+        if detect == "sample":
+            hot_keys = detect_hot_keys_sampled(
+                fact,
+                fact_key,
+                sample_fraction=sample_fraction,
+                min_share=min_share,
+                max_hot=max_hot,
+            )
+        elif detect == "exact":
+            hot_rows = (
+                exact_heavy_hitters(fact, fact_key, factor=factor, width=width)
+                .orderBy(F.desc("cnt"), F.asc(fact_key))
+                .limit(max_hot)
+            )
+            hot_keys = [r[fact_key] for r in hot_rows.collect()]  # <= max_hot
+        else:
+            raise ValueError(f"unknown detect mode {detect!r}")
     else:
         hot_keys = list(hot_keys)[:max_hot]
 

@@ -1281,23 +1281,32 @@ def distinct_users_kmv_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-split join (operators/skewjoin.py): events (fact) joined to
-    customer (dimension) with HOT user keys — detected exactly by the
-    CMS-screen + KMV-threshold heavy-hitter pipeline — routed through a
-    broadcast of just their dimension rows, while cold keys take the
-    ordinary co-partitioned sort-merge join; the union is exactly the
-    plain join (the oracle IS the plain join + aggregation). This is
-    the production remedy for the key AQE's partition-splitting can't
-    save: hot fact rows never shuffle at all.
+    customer (dimension) with HOT user keys routed through a broadcast
+    of just their dimension rows, while cold keys take the ordinary
+    co-partitioned sort-merge join; the union is exactly the plain join
+    (the oracle IS the plain join + aggregation). This is the
+    production remedy for the key AQE's partition-splitting can't save:
+    hot fact rows never shuffle at all.
 
-    Scale: the hot-set detection is one constant-size sketch pass; the
-    broadcast side is |hot keys| dimension rows regardless of dimension
-    size; the cold plan is the one you'd ship anyway. Plan pinned
-    (SortMergeJoin + BroadcastHashJoin + Union) in tests/test_skew.py."""
+    Detection here is the SAMPLED mode (detect_hot_keys_sampled, one
+    seeded fraction-of-a-scan): routing needs no exact frequencies — a
+    borderline key the sample misses rides the cold path and the result
+    is unchanged, which is why the oracle holds under any detection
+    mode. The exact CMS+KMV pipeline stays a first-class op with its
+    own gate (heavy_hitters_screened) for when the hot list itself is
+    the deliverable; tools/skew_bench.py measures both inline modes
+    against AQE (SCALING.md).
+
+    Scale: detection costs sample_fraction of a scan + a sample-bounded
+    aggregation; the broadcast side is |hot keys| dimension rows
+    regardless of dimension size; the cold plan is the one you'd ship
+    anyway. Plan pinned (SortMergeJoin + BroadcastHashJoin + Union) in
+    tests/test_skew.py; sampled-mode exactness pinned there too."""
     from .operators.skewjoin import skew_split_join
 
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
-    joined = skew_split_join(ev, cust, "user_id", "c_custkey")
+    joined = skew_split_join(ev, cust, "user_id", "c_custkey", detect="sample")
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),

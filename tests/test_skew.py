@@ -265,3 +265,40 @@ def test_skew_split_join_plan_and_exactness(spark, sf_dir):
     a = {r.user_id: r.n for r in split.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     b = {r.user_id: r.n for r in plain.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert a == b
+
+
+def test_skew_split_join_sampled_detection_is_exact_too(spark, sf_dir):
+    """detect='sample' changes only the routing scan cost, never the
+    result: the sampled-detection split equals the plain join
+    value-for-value, a missed borderline key simply rides the cold
+    path, and the seeded sample makes the routing itself deterministic
+    across runs."""
+    from dwp_hbase_to_mongo_export_spark.operators.skewjoin import (
+        detect_hot_keys_sampled,
+        skew_split_join,
+    )
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    ev = load_table(spark, str(sf_dir), "events")
+    cust = load_table(spark, str(sf_dir), "customer")
+    split = skew_split_join(ev, cust, "user_id", "c_custkey", detect="sample")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey)
+    a = {
+        r.user_id: r.n
+        for r in split.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    b = {
+        r.user_id: r.n
+        for r in plain.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert a == b
+    # deterministic routing: same seed, same hot list
+    k1 = detect_hot_keys_sampled(ev, "user_id", sample_fraction=0.5)
+    k2 = detect_hot_keys_sampled(ev, "user_id", sample_fraction=0.5)
+    assert k1 == k2
+    # a genuinely hot key is found by the sample
+    skewed = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, 1).otherwise(F.col("id")).alias("k")
+    )
+    hot = detect_hot_keys_sampled(skewed, "k", sample_fraction=0.5)
+    assert hot[:1] == [1]

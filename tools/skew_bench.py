@@ -86,6 +86,10 @@ def main() -> None:
     def split(fact, dim):
         return skew_split_join(fact, dim, "k", "dk")
 
+    def split_sampled(fact, dim):
+        # inline detection from a seeded 2% sample (routing-grade)
+        return skew_split_join(fact, dim, "k", "dk", detect="sample")
+
     def split_known(fact, dim):
         # the production shape: hot list precomputed/amortised
         return skew_split_join(fact, dim, "k", "dk", hot_keys=[hot_key])
@@ -108,7 +112,8 @@ def main() -> None:
             },
             plain,
         ),
-        "skew_split_join_inline_detect": run("split", no_bcast, split),
+        "skew_split_join_inline_exact": run("split", no_bcast, split),
+        "skew_split_join_inline_sampled": run("split-sampled", no_bcast, split_sampled),
         "skew_split_join_known_hot": run("split-known", no_bcast, split_known),
     }
     print(
