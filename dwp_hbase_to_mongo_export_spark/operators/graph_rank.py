@@ -26,10 +26,15 @@ Design points, Spark-first:
   lineage — without it iteration t replays all t-1 predecessor joins
   (the identical discipline, and reason, as components.py).
 * At scale the per-iteration shuffle is bounded by the edge relation:
-  join on src (co-partitioned if ``edges`` is pre-partitioned by src
-  and reused across iterations — Spark reuses the exchange), then one
-  shuffle of (dst, contribution) partials with map-side combine. Rank
-  state is one row per node — orders of magnitude smaller than edges.
+  join on src, then one shuffle of (dst, contribution) partials with
+  map-side combine. Rank state is one row per node — orders of
+  magnitude smaller than edges. NOTE on co-partitioning: in-session
+  pre-partitioning does NOT survive the per-iteration localCheckpoint
+  under AQE (LogicalRDD reports unknown partitioning — probed and
+  reverted in round 8); eliminating the per-iteration edge exchange
+  for real requires the edge relation stored BUCKETED by src
+  (write.bucketBy), which is a storage-layout decision above this
+  operator.
 * FIXED iteration count, not convergence-tested: a convergence test is
   a full pass + driver round-trip per iteration, and fixed-k is what
   makes the result oracle-expressible (an unrolled k-step SQL CTE
@@ -80,7 +85,16 @@ def pagerank(
     # trade graph's orders |><| lineitem) re-executes 2 + iterations
     # times (bench-measured 7.8 s -> 3.6 s on the sf0.1 catalog query
     # at local[32]; the remaining cost is the iterations' own eager
-    # checkpoints)
+    # checkpoints). Pre-partitioning by src was tried (round 8) and
+    # REVERTED: under AQE, localCheckpoint's LogicalRDD reports
+    # UnknownPartitioning (probed in tests — the SPARK-39915 behaviour
+    # class), so the iteration joins re-shuffle regardless and the
+    # extra build shuffle bought nothing measurable (A/B at sf0.1:
+    # 4.6 vs 4.7 s, inside noise). On a real cluster the per-iteration
+    # edge exchange is the scaling cost: the deployment-grade fix is
+    # bucketed storage for the edge relation (write bucketBy(src),
+    # read with bucketed scans), which survives checkpoint/session
+    # boundaries in a way in-memory partitioning here cannot.
     und = symmetrize(edges).localCheckpoint(eager=True)
     nodes = und.select(F.col("src").alias("node_id")).distinct()
     # outdeg == degree in the symmetrized graph; always >= 1 by

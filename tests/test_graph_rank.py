@@ -62,3 +62,29 @@ def test_pagerank_star_hub_dominates(spark):
     assert all(hub > leaf for leaf in ranks.values())
     # leaves are symmetric, so their ranks are identical
     assert max(ranks.values()) - min(ranks.values()) < 1e-15
+
+
+def test_checkpoint_partitioning_loss_tripwire(spark):
+    """Documents WHY pagerank does not pre-partition its edges: under
+    AQE, localCheckpoint's LogicalRDD reports UnknownPartitioning, so a
+    repartition("src") before the checkpoint cannot save the
+    per-iteration edge-join exchange (probed and reverted, round 8; the
+    deployment-grade fix is bucketed edge storage). TRIPWIRE: if a
+    Spark upgrade starts preserving the partitioning here, this test
+    fails — that is the signal to reinstate pre-partitioned edges in
+    operators/graph_rank.pagerank and pin the exchange count instead."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(200).select(
+        (F.col("id") % 20).alias("src"), (F.col("id") % 7).alias("dst")
+    )
+    und = (
+        graph_rank.symmetrize(edges)
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    part = str(und._jdf.queryExecution().executedPlan().outputPartitioning())
+    assert "hashpartitioning" not in part, (
+        "localCheckpoint now preserves partitioning — reinstate "
+        f"pre-partitioned edges in graph_rank.pagerank ({part})"
+    )
