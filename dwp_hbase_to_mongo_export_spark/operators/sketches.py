@@ -409,7 +409,14 @@ def bottom_k_distinct_fold(batches, cols: list[str], gcols: list[str], k: int):
     for pdf in batches:
         cur = pdf if state is None else pd.concat((state, pdf), ignore_index=True)
         cur = cur.drop_duplicates(cols).sort_values(cols, kind="mergesort")
-        state = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
+        # dropna=False: pandas groupby silently DROPS NaN group keys by
+        # default — a null-keyed group would vanish from the sketch
+        # while Spark-side consumers still expect its row
+        state = (
+            cur.groupby(gcols, sort=False, dropna=False).head(k)
+            if gcols
+            else cur.head(k)
+        )
     return state
 
 
