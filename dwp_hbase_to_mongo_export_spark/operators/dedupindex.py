@@ -1,0 +1,420 @@
+"""Durable MinHash-LSH dedup signature index — build / append / query /
+compact / govern, the same artifact lifecycle the IVF vector store
+(operators/similarity.py) and the BM25 text index (operators/
+textindex.py) already have, applied to the near-dup family.
+
+Why it must exist at 100 TB: the one-shot ``minhash_lsh_dedup`` pays a
+full-corpus signature pass per invocation. A production corpus ingests
+daily; what it needs is the signatures of the EXISTING corpus persisted
+once, so each nightly batch pays only batch-sized Python (its own
+shingle/minhash work) and joins against the stored band keys — the
+dedup analogue of the reference's incremental export mode, which scans
+only records newer than the last run behind a fixed artifact
+(src/main/kotlin/app/batch/HBaseReader.kt:131-150).
+
+Artifact layout at ``path/``:
+
+- ``bands/``    Hive-partitioned by ``band`` (n_bands leaves):
+                (band_key string, doc id). Each append writes only into
+                the band directories, rows sorted by id within each
+                write so parquet min-max stats make id-filtered
+                governance scans cheap.
+- ``sets/``     Hive-partitioned by ``bucket`` = pmod(xxhash64(id), 64):
+                (id, hs array<bigint>). The verify join probes it with a
+                broadcast candidate list on (bucket, id), so dynamic
+                partition pruning keeps a query from scanning the
+                corpus-sized set store (the IVF posting-store
+                discipline, pinned in tests/test_plans.py).
+- ``meta/``     one row: n_docs, the signature parameters (n_perm,
+                rows_per_band, k, max_chars) and the source-content
+                fingerprint. Written LAST on build — it is the commit
+                record — and swap-rewritten on append.
+
+Signature values are produced by the SAME kernel as the one-shot path
+(``dedup.minhash_sets_and_sigs``: md5-prefix shingle hash, (a*h+b) mod M
+minima) and band keys by the same concat shape, so query results are
+bit-identical to running ``minhash_lsh_dedup`` over old ∪ batch and the
+existing DuckDB oracle arithmetic carries over unchanged.
+
+Append contract: delta ids are NEW. A re-appended id double-writes its
+set/band rows; ``dedup_index_governance`` detects exactly that (plus
+signature/band drift) from bounded samples, mirroring
+``textindex.text_index_governance``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import minhash_sets_and_sigs
+from .textindex import _PENDING, _recover_swap, _swap_write
+
+N_SET_BUCKETS = 64
+
+
+def _bucket_of(id_col: str):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SET_BUCKETS)).cast("int")
+
+
+def band_rows(
+    mh: DataFrame, id_col: str, n_perm: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_key) from the (id, sigs) frame — the exact
+    band-key shape minhash_lsh_dedup builds inline (comma-joined
+    signature decimals per band), factored so the stored and the
+    query-time band keys come from one expression."""
+    n_bands = n_perm // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sigs", i + 1).cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mh.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.band_key"
+    )
+
+
+def _sig_relations(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int,
+    rows_per_band: int,
+    k: int,
+    max_chars: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, sets) relations for one corpus/delta: one Arrow pass
+    produces (id, hs, sigs); bands explode map-side from sigs; sets are
+    the hs arrays with their storage bucket. Sorting within the band
+    partitions keeps per-id governance scans skippable via row-group
+    min-max."""
+    mh = minhash_sets_and_sigs(
+        docs, text_col, id_col, n_perm=n_perm, k=k, max_chars=max_chars
+    )
+    # NO repartition("band"): that would collapse the build to n_bands
+    # tasks (8) — a 100 TB anti-pattern. Every task writes one sorted
+    # file per band leaf instead (id-ordered for min-max skipping);
+    # the resulting file count is what compact_dedup_index is for.
+    bands = band_rows(mh, id_col, n_perm, rows_per_band).sortWithinPartitions(
+        id_col
+    )
+    sets = mh.select(id_col, "hs").withColumn("bucket", _bucket_of(id_col))
+    return bands, sets
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    rows_per_band: int = 2,
+    k: int = 5,
+    max_chars: int = 256,
+    fingerprint: str | None = None,
+) -> None:
+    """ONE corpus-scale signature pass to the two artifact relations.
+    The only shuffles are the by-band repartition of the band rows and
+    the parquet write of the bucketed sets — no joins, no aggregation:
+    signature state is per-document. meta (params + fingerprint +
+    n_docs) is written LAST as the commit record; a crashed build
+    leaves no meta and consumers treat the artifact as absent."""
+    pending = os.path.join(path, _PENDING)
+    if os.path.exists(pending):
+        os.remove(pending)  # full rebuild supersedes any torn append
+    bands, sets = _sig_relations(
+        corpus, text_col, id_col, n_perm, rows_per_band, k, max_chars
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+    sets.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "sets")
+    )
+    spark = corpus.sparkSession
+    n_docs = spark.read.parquet(os.path.join(path, "sets")).count()
+    meta = spark.createDataFrame(
+        [(n_docs, n_perm, rows_per_band, k, max_chars, fingerprint or "")],
+        "n_docs bigint, n_perm int, rows_per_band int, k int, "
+        "max_chars int, fingerprint string",
+    )
+    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _read_meta(spark: SparkSession, path: str):
+    meta_dir = os.path.join(path, "meta")
+    _recover_swap(meta_dir)
+    return spark.read.parquet(meta_dir).head()
+
+
+def append_to_dedup_index(
+    delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str | None = None,
+) -> None:
+    """Incrementally index NEW documents: delta-sized signature work,
+    band/set rows appended into the same partition layout, n_docs
+    refreshed by addition (never a corpus re-scan). Signature
+    parameters come from the stored meta, so an append can never mix
+    permutation constants with the build's. For disjoint id sets the
+    merged artifact is row-identical to a full rebuild over old ∪ delta
+    (pinned in tests/test_extensions.py). Crash-safety: the
+    ``_append-pending`` marker brackets the append and query/governance
+    refuse a marked index; the meta rewrite goes through the staged
+    swap."""
+    if delta.isEmpty():
+        return  # empty micro-batches would only fragment the store
+    spark = delta.sparkSession
+    m = _read_meta(spark, path)
+    pending = os.path.join(path, _PENDING)
+    with open(pending, "w", encoding="utf-8") as f:
+        f.write(fingerprint or "")
+    bands, sets = _sig_relations(
+        delta,
+        text_col,
+        id_col,
+        m["n_perm"],
+        m["rows_per_band"],
+        m["k"],
+        m["max_chars"],
+    )
+    bands.write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+    sets.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "sets")
+    )
+    n_new = delta.select(F.count(F.lit(1))).head()[0]
+    meta = spark.createDataFrame(
+        [
+            (
+                int(m["n_docs"]) + int(n_new),
+                int(m["n_perm"]),
+                int(m["rows_per_band"]),
+                int(m["k"]),
+                int(m["max_chars"]),
+                fingerprint or "",
+            )
+        ],
+        "n_docs bigint, n_perm int, rows_per_band int, k int, "
+        "max_chars int, fingerprint string",
+    )
+    _swap_write(meta, os.path.join(path, "meta"))
+    os.remove(pending)
+
+
+def compact_dedup_index(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Per-leaf small-file compaction of BOTH partitioned relations
+    after many appends (each append writes one file set per touched
+    band/bucket). Hive layouts — and therefore the sets store's dynamic
+    pruning — are preserved; each leaf uses the compactor's crash-safe
+    swap protocol."""
+    from ..sinks.compaction import compact_partitioned_dir
+
+    return {
+        "bands": compact_partitioned_dir(
+            spark, os.path.join(path, "bands"), target_bytes=target_bytes
+        ),
+        "sets": compact_partitioned_dir(
+            spark, os.path.join(path, "sets"), target_bytes=target_bytes
+        ),
+    }
+
+
+def stored_fingerprint(spark: SparkSession, path: str) -> str | None:
+    """The source fingerprint stamped into meta; None when the artifact
+    is absent or torn — every case a fingerprint-checking consumer must
+    treat as 'rebuild'."""
+    if os.path.exists(os.path.join(path, _PENDING)):
+        return None
+    meta_dir = os.path.join(path, "meta")
+    _recover_swap(meta_dir)
+    if not os.path.isdir(meta_dir):
+        return None
+    try:
+        row = spark.read.parquet(meta_dir).select("fingerprint").head()
+    except Exception:
+        return None
+    return row["fingerprint"] if row else None
+
+
+def query_dedup_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Near-dups of a NEW batch against the indexed corpus:
+    (batch id, dup_of corpus id, jaccard >= threshold).
+
+    Cost shape — the whole point of the artifact: Python runs ONLY on
+    the batch (its signature pass, map-only, batch-sized); the corpus
+    side is two parquet scans with zero Python (pinned in
+    tests/test_plans.py). Candidates come from the (band, band_key)
+    equi-join of the batch's band rows against the stored bands; the
+    exact-jaccard verify reads corpus hs sets through a broadcast
+    candidate join on (bucket, id), so dynamic partition pruning limits
+    the set-store scan to the candidates' buckets. Values are identical
+    to ``minhash_lsh_dedup`` over old ∪ batch restricted to cross
+    pairs, so the same oracle arithmetic pins both.
+
+    Refuses a torn index (append died mid-flight): bands may already
+    hold delta rows whose set rows never landed, and a candidate
+    without its verify set would be silently dropped."""
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending or died mid-flight — the "
+            "band and set relations may disagree; retry the append or "
+            "rebuild the index"
+        )
+    from ._cache import swap_cache
+
+    m = _read_meta(spark, path)
+    mh = swap_cache(
+        "dedup_index_query",
+        minhash_sets_and_sigs(
+            batch,
+            text_col,
+            id_col,
+            n_perm=m["n_perm"],
+            k=m["k"],
+            max_chars=m["max_chars"],
+        ),
+    )
+    batch_bands = band_rows(mh, id_col, m["n_perm"], m["rows_per_band"])
+    stored_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        F.col(id_col).alias("dup_of"), "band", "band_key"
+    )
+    cand = (
+        batch_bands.join(stored_bands, ["band", "band_key"])
+        .select(F.col(id_col).alias("id_a"), F.col("dup_of").alias("id_b"))
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("bucket", _bucket_of(id_col))
+    )
+    corpus_sets = (
+        spark.read.parquet(os.path.join(path, "sets"))
+        .join(F.broadcast(cand_ids), ["bucket", id_col])
+        .select(id_col, "hs")
+    )
+    all_sets = mh.select(id_col, "hs").unionByName(corpus_sets)
+    from .dedup import jaccard_of_sets
+
+    out = jaccard_of_sets(
+        all_sets, cand, id_col, set_col="hs", min_jaccard=threshold
+    ).filter(F.col("jaccard") >= threshold)
+    return out.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("dup_of"),
+        "jaccard",
+    )
+
+
+def dedup_index_governance(
+    spark: SparkSession,
+    path: str,
+    sample_ids: list[int],
+    max_ids: int = 64,
+) -> dict:
+    """Integrity governance for the durable dedup index — the check
+    whose absence lets an append-contract violation rot silently:
+    re-appending an ALREADY-indexed id double-writes its set/band rows,
+    after which every batch that collides with it reports duplicate
+    candidate pairs and (if the text changed between writes) verifies
+    against an arbitrary one of two hs sets. For a bounded
+    caller-chosen id sample, verify (a) each sampled id has exactly ONE
+    set row, and (b) the stored band keys equal the keys recomputed
+    from the stored hs arrays with the meta's permutation constants —
+    drift means the artifact was written by different parameters than
+    meta claims.
+
+    Cost shape: the sets scan is statically pruned to the sampled ids'
+    buckets; the bands scan is id-filtered against row-group min-max
+    (build/append sort band rows by id); everything downstream is
+    sample-sized. Returns {n_ids_checked, duplicate_ids,
+    band_mismatches, healthy, rebuild}."""
+    import numpy as np
+
+    from .dedup import MINHASH_MOD, minhash_perm_constants
+
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending — retry or rebuild before "
+            "governing; a torn artifact always reads unhealthy"
+        )
+    ids = sorted(set(sample_ids))[:max_ids]
+    if not ids:
+        raise ValueError(
+            "dedup_index_governance needs a non-empty id sample — "
+            "a health check over zero ids would read as healthy"
+        )
+    m = _read_meta(spark, path)
+    id_col = "doc_id"
+    sets = (
+        spark.read.parquet(os.path.join(path, "sets"))
+        .filter(F.col(id_col).isin(ids))
+        .select(id_col, "hs")
+        .collect()
+    )
+    seen: dict[int, list] = {}
+    for r in sets:
+        seen.setdefault(r[id_col], []).append(r["hs"])
+    duplicate_ids = sorted(i for i, rows in seen.items() if len(rows) > 1)
+    consts = minhash_perm_constants(m["n_perm"])
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    rpb = m["rows_per_band"]
+    expected: dict[tuple[int, int], str] = {}
+    for i, rows in seen.items():
+        if len(rows) != 1:
+            continue  # already reported as duplicate
+        hs = np.array(rows[0], dtype=np.int64)
+        sigs = ((A * hs[None, :] + B) % MINHASH_MOD).min(axis=1)
+        for b in range(m["n_perm"] // rpb):
+            expected[(i, b)] = ",".join(
+                str(int(s)) for s in sigs[b * rpb : (b + 1) * rpb]
+            )
+    stored = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .filter(F.col(id_col).isin(ids))
+        .select(id_col, "band", "band_key")
+        .collect()
+    )
+    band_mismatches = []
+    stored_keys = {(r[id_col], r["band"]): r["band_key"] for r in stored}
+    for key, want in expected.items():
+        got = stored_keys.get(key)
+        if got != want:
+            band_mismatches.append(
+                {"doc_id": key[0], "band": key[1], "stored": got, "expected": want}
+            )
+    healthy = not duplicate_ids and not band_mismatches
+    return {
+        "n_ids_checked": len(ids),
+        "duplicate_ids": duplicate_ids,
+        "band_mismatches": band_mismatches,
+        "healthy": healthy,
+        "rebuild": not healthy,
+    }
