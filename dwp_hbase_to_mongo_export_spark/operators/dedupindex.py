@@ -44,15 +44,37 @@ signature/band drift) from bounded samples, mirroring
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import minhash_sets_and_sigs
-from .textindex import _PENDING, _recover_swap, _swap_write
+from .textindex import _BUILD_PENDING, _PENDING, _recover_swap, _swap_write
 
 N_SET_BUCKETS = 64
+_PENDING_IDS = "_pending-ids"
+
+
+def _check_markers(path: str) -> None:
+    """Reader-side refusal for a marked artifact, advising the action
+    that is actually SAFE per marker (a crashed append may already have
+    landed band/set rows, so 'retry the append' without recovery would
+    double-write them — round-8 advice, shared with textindex)."""
+    if os.path.exists(os.path.join(path, _BUILD_PENDING)):
+        raise ValueError(
+            f"{path}: a rebuild died mid-flight — bands/sets/meta may "
+            "mix two generations; rebuild the index from the corpus"
+        )
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending or died mid-flight — the "
+            "band and set relations may disagree (delta rows may "
+            "already be stored); run recover_dedup_index_append and "
+            "re-append the delta, or rebuild the index"
+        )
 
 
 def _bucket_of(id_col: str):
@@ -129,12 +151,26 @@ def build_dedup_index(
     """ONE corpus-scale signature pass to the two artifact relations.
     The only shuffles are the by-band repartition of the band rows and
     the parquet write of the bucketed sets — no joins, no aggregation:
-    signature state is per-document. meta (params + fingerprint +
-    n_docs) is written LAST as the commit record; a crashed build
-    leaves no meta and consumers treat the artifact as absent."""
+    signature state is per-document. meta (params + id_col +
+    fingerprint + n_docs) is written LAST as the commit record; a
+    crashed FIRST build leaves no meta and consumers treat the artifact
+    as absent. An in-place REBUILD over an existing artifact cannot
+    rely on that (old meta stays readable while bands→sets→meta
+    overwrites land), so it is bracketed by a ``_build-pending`` marker
+    every reader refuses (round-8 advice, shared with textindex)."""
+    rebuild_over_existing = os.path.isdir(
+        os.path.join(path, "meta")
+    ) or os.path.isdir(os.path.join(path, "bands"))
+    build_marker = os.path.join(path, _BUILD_PENDING)
+    if rebuild_over_existing:
+        with open(build_marker, "w", encoding="utf-8") as f:
+            f.write(fingerprint or "")
     pending = os.path.join(path, _PENDING)
     if os.path.exists(pending):
         os.remove(pending)  # full rebuild supersedes any torn append
+    pids = os.path.join(path, _PENDING_IDS)
+    if os.path.isdir(pids):
+        shutil.rmtree(pids)
     bands, sets = _sig_relations(
         corpus, text_col, id_col, n_perm, rows_per_band, k, max_chars
     )
@@ -147,11 +183,13 @@ def build_dedup_index(
     spark = corpus.sparkSession
     n_docs = spark.read.parquet(os.path.join(path, "sets")).count()
     meta = spark.createDataFrame(
-        [(n_docs, n_perm, rows_per_band, k, max_chars, fingerprint or "")],
+        [(n_docs, n_perm, rows_per_band, k, max_chars, id_col, fingerprint or "")],
         "n_docs bigint, n_perm int, rows_per_band int, k int, "
-        "max_chars int, fingerprint string",
+        "max_chars int, id_col string, fingerprint string",
     )
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    if os.path.exists(build_marker):
+        os.remove(build_marker)
 
 
 def _read_meta(spark: SparkSession, path: str):
@@ -176,14 +214,43 @@ def append_to_dedup_index(
     (pinned in tests/test_extensions.py). Crash-safety: the
     ``_append-pending`` marker brackets the append and query/governance
     refuse a marked index; the meta rewrite goes through the staged
-    swap."""
+    swap.
+
+    RETRY protocol (round-8 advice — a crashed append may already have
+    landed band/set rows, so blind re-append would double-write them):
+    the marker records the pre-append (n_docs, fingerprint) and
+    ``_pending-ids`` records the delta's ids BEFORE any store write;
+    entry-time ``recover_dedup_index_append`` (called here
+    automatically) purges those ids and restores the recorded meta,
+    returning the artifact to its exact pre-append state — after which
+    this append (including a re-run of a crashed one) is safe."""
+    spark = delta.sparkSession
+    if os.path.exists(os.path.join(path, _BUILD_PENDING)):
+        raise ValueError(
+            f"{path}: a rebuild died mid-flight — rebuild the index "
+            "before appending"
+        )
+    recover_dedup_index_append(spark, path)
     if delta.isEmpty():
         return  # empty micro-batches would only fragment the store
-    spark = delta.sparkSession
     m = _read_meta(spark, path)
+    stored_id_col = m.asDict().get("id_col")
+    if stored_id_col and stored_id_col != id_col:
+        raise ValueError(
+            f"{path}: index was built with id_col={stored_id_col!r}; "
+            f"append called with id_col={id_col!r} — mixed id columns "
+            "would corrupt the band/set relations"
+        )
     pending = os.path.join(path, _PENDING)
     with open(pending, "w", encoding="utf-8") as f:
-        f.write(fingerprint or "")
+        f.write(
+            json.dumps(
+                {"n_docs": int(m["n_docs"]), "fingerprint": m["fingerprint"]}
+            )
+        )
+    delta.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, _PENDING_IDS))
     bands, sets = _sig_relations(
         delta,
         text_col,
@@ -208,14 +275,129 @@ def append_to_dedup_index(
                 int(m["rows_per_band"]),
                 int(m["k"]),
                 int(m["max_chars"]),
+                stored_id_col or id_col,
                 fingerprint or "",
             )
         ],
         "n_docs bigint, n_perm int, rows_per_band int, k int, "
-        "max_chars int, fingerprint string",
+        "max_chars int, id_col string, fingerprint string",
+    )
+    _swap_write(meta, os.path.join(path, "meta"))
+    shutil.rmtree(os.path.join(path, _PENDING_IDS))
+    os.remove(pending)
+
+
+def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
+    """Return a torn-append artifact to its EXACT pre-append state so
+    the same delta can be re-appended safely (round-8 advice: band/set
+    rows may already be stored when the marker is found, so a blind
+    retry double-writes them — after which collisions report duplicate
+    pairs and verification picks an arbitrary hs set).
+
+    Everything needed is recorded BEFORE the first store write, so
+    recovery never needs the delta itself: the ``_pending-ids`` ids are
+    anti-joined out of every band leaf (every doc writes one row per
+    band, so all leaves are touched) and out of the ids' set buckets
+    (computed from the ids — the other buckets cannot hold them); meta
+    is restored from the marker's recorded (n_docs, fingerprint) with
+    the invariant signature params re-read from the live meta. Purged
+    band leaves are re-sorted by id so the governance min-max skipping
+    property survives recovery. Cost: leaf-sized I/O with zero
+    signature recomputation, paid only on the rare recovery path.
+    No-op without a marker; raises on a pre-protocol (unparseable)
+    marker — that state predates the recorded scalars and only a
+    rebuild is safe."""
+    pending = os.path.join(path, _PENDING)
+    _recover_swap(os.path.join(path, "meta"))
+    if not os.path.exists(pending):
+        return {"recovered": False}
+    with open(pending, encoding="utf-8") as f:
+        raw = f.read()
+    try:
+        state = json.loads(raw)
+        old_n_docs = int(state["n_docs"])
+        old_fp = str(state.get("fingerprint") or "")
+    except (ValueError, TypeError, KeyError) as e:
+        raise ValueError(
+            f"{path}: pending-append marker is unreadable ({e!r}) — "
+            "pre-protocol or corrupt state cannot be auto-recovered; "
+            "rebuild the index from the corpus"
+        ) from None
+    m = _read_meta(spark, path)
+    id_col = m.asDict().get("id_col") or "doc_id"
+    bands_purged = sets_purged = 0
+    pids_dir = os.path.join(path, _PENDING_IDS)
+    if os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
+        ids = (
+            spark.read.parquet(pids_dir)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        bands_dir = os.path.join(path, "bands")
+        leaves = (
+            sorted(
+                d
+                for d in os.listdir(bands_dir)
+                if d.startswith("band=")
+                and os.path.isdir(os.path.join(bands_dir, d))
+            )
+            if os.path.isdir(bands_dir)
+            else []
+        )
+        for leaf in leaves:
+            bleaf = os.path.join(bands_dir, leaf)
+            _recover_swap(bleaf)
+            cleaned = (
+                spark.read.parquet(bleaf)
+                .join(F.broadcast(ids), id_col, "left_anti")
+                .select(id_col, "band_key")
+                .sortWithinPartitions(id_col)
+            )
+            _swap_write(cleaned, bleaf)
+            bands_purged += 1
+        buckets = [
+            r["bucket"]
+            for r in ids.withColumn("bucket", _bucket_of(id_col))
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+        for b in sorted(buckets):
+            sleaf = os.path.join(path, "sets", f"bucket={b}")
+            _recover_swap(sleaf)
+            if not os.path.isdir(sleaf):
+                continue
+            cleaned = (
+                spark.read.parquet(sleaf)
+                .join(F.broadcast(ids), id_col, "left_anti")
+                .select(id_col, "hs")
+            )
+            _swap_write(cleaned, sleaf)
+            sets_purged += 1
+    if os.path.isdir(pids_dir):
+        shutil.rmtree(pids_dir)
+    meta = spark.createDataFrame(
+        [
+            (
+                old_n_docs,
+                int(m["n_perm"]),
+                int(m["rows_per_band"]),
+                int(m["k"]),
+                int(m["max_chars"]),
+                id_col,
+                old_fp,
+            )
+        ],
+        "n_docs bigint, n_perm int, rows_per_band int, k int, "
+        "max_chars int, id_col string, fingerprint string",
     )
     _swap_write(meta, os.path.join(path, "meta"))
     os.remove(pending)
+    return {
+        "recovered": True,
+        "band_leaves_purged": bands_purged,
+        "set_leaves_purged": sets_purged,
+    }
 
 
 def compact_dedup_index(
@@ -240,9 +422,12 @@ def compact_dedup_index(
 
 def stored_fingerprint(spark: SparkSession, path: str) -> str | None:
     """The source fingerprint stamped into meta; None when the artifact
-    is absent or torn — every case a fingerprint-checking consumer must
-    treat as 'rebuild'."""
-    if os.path.exists(os.path.join(path, _PENDING)):
+    is absent or torn (pending append OR crashed-rebuild marker) —
+    every case a fingerprint-checking consumer must treat as
+    'rebuild'."""
+    if os.path.exists(os.path.join(path, _PENDING)) or os.path.exists(
+        os.path.join(path, _BUILD_PENDING)
+    ):
         return None
     meta_dir = os.path.join(path, "meta")
     _recover_swap(meta_dir)
@@ -277,15 +462,12 @@ def query_dedup_index(
     to ``minhash_lsh_dedup`` over old ∪ batch restricted to cross
     pairs, so the same oracle arithmetic pins both.
 
-    Refuses a torn index (append died mid-flight): bands may already
-    hold delta rows whose set rows never landed, and a candidate
-    without its verify set would be silently dropped."""
-    if os.path.exists(os.path.join(path, _PENDING)):
-        raise ValueError(
-            f"{path}: an append is pending or died mid-flight — the "
-            "band and set relations may disagree; retry the append or "
-            "rebuild the index"
-        )
+    Refuses a torn index (an append or an in-place rebuild died
+    mid-flight): bands may already hold delta rows whose set rows never
+    landed, and a candidate without its verify set would be silently
+    dropped; the error advises the safe fix (recover_dedup_index_append
+    for an append, rebuild for a rebuild)."""
+    _check_markers(path)
     from ._cache import swap_cache
 
     m = _read_meta(spark, path)
@@ -337,6 +519,7 @@ def dedup_index_governance(
     path: str,
     sample_ids: list[int],
     max_ids: int = 64,
+    id_col: str | None = None,
 ) -> dict:
     """Integrity governance for the durable dedup index — the check
     whose absence lets an append-contract violation rot silently:
@@ -353,17 +536,21 @@ def dedup_index_governance(
     Cost shape: the sets scan is statically pruned to the sampled ids'
     buckets; the bands scan is id-filtered against row-group min-max
     (build/append sort band rows by id); everything downstream is
-    sample-sized. Returns {n_ids_checked, duplicate_ids,
-    band_mismatches, healthy, rebuild}."""
+    sample-sized, and both collects are STRUCTURALLY capped (a badly
+    corrupted index that mass-duplicated a sampled id yields a
+    truncated diagnostic sample, never an unbounded driver collect —
+    duplication is still detected from the capped rows).
+
+    ``id_col`` defaults to the value persisted in meta at build time
+    (round-8 advice: the previous hardcoded 'doc_id' broke governance
+    over custom-id indexes); pass it only to govern a pre-round-9
+    artifact whose meta predates the field. Returns {n_ids_checked,
+    duplicate_ids, band_mismatches, healthy, rebuild}."""
     import numpy as np
 
     from .dedup import MINHASH_MOD, minhash_perm_constants
 
-    if os.path.exists(os.path.join(path, _PENDING)):
-        raise ValueError(
-            f"{path}: an append is pending — retry or rebuild before "
-            "governing; a torn artifact always reads unhealthy"
-        )
+    _check_markers(path)
     ids = sorted(set(sample_ids))[:max_ids]
     if not ids:
         raise ValueError(
@@ -371,11 +558,16 @@ def dedup_index_governance(
             "a health check over zero ids would read as healthy"
         )
     m = _read_meta(spark, path)
-    id_col = "doc_id"
+    id_col = id_col or m.asDict().get("id_col") or "doc_id"
+    # cap: a healthy sample has 1 set row and n_bands band rows per id;
+    # allow 4x before truncating the diagnostic (4 dup generations per
+    # id is already an unambiguous 'rebuild')
+    sets_cap = 4 * len(ids)
     sets = (
         spark.read.parquet(os.path.join(path, "sets"))
         .filter(F.col(id_col).isin(ids))
         .select(id_col, "hs")
+        .limit(sets_cap)
         .collect()
     )
     seen: dict[int, list] = {}
@@ -400,6 +592,7 @@ def dedup_index_governance(
         spark.read.parquet(os.path.join(path, "bands"))
         .filter(F.col(id_col).isin(ids))
         .select(id_col, "band", "band_key")
+        .limit(4 * len(ids) * (m["n_perm"] // rpb))
         .collect()
     )
     band_mismatches = []

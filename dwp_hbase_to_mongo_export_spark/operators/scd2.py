@@ -95,6 +95,7 @@ def enforce_watermark(
     batch: DataFrame,
     key: str,
     ts: str,
+    last_event_ts: DataFrame | None = None,
 ) -> None:
     """LOUD failure when a batch violates merge_batch's append-only
     contract (some batch row's ts precedes its key's last recorded
@@ -104,13 +105,30 @@ def enforce_watermark(
     have dropped a duplicate the late row should have split, and the
     compressed form cannot reconstruct it.
 
+    RESIDUAL GAP when only old_changes is available (round-8 advice):
+    the guard is sound w.r.t. the COMPRESSED changelog, not the raw
+    feed — old_changes keeps only a key's state-CHANGE rows, so a late
+    batch row whose ts falls AFTER the key's last change but BEFORE a
+    compressed-away duplicate event passes the check yet still makes
+    merge_batch diverge from the full rebuild (exactly the
+    unreconstructable interleave the module docstring describes).
+    Deployments that persist a per-key last-RAW-event timestamp — one
+    (key, ts) row per key, constant-size state any ingest job can fold
+    alongside the change rows — should pass it as ``last_event_ts``;
+    the guard then takes each key's max over BOTH relations and
+    enforces the true append-only contract with no residual gap.
+
     Cost shape: both sides reduce to ONE row per key before they meet —
     per-key max over the change rows (change-row-sized, far below the
-    raw changelog) against per-key min over the batch (batch-sized);
-    the join is key-sized and inner on the batch's keys only. One extra
-    Spark job, which is why the check is opt-in on merge_batch
-    (``validate=True``) rather than unconditional."""
-    old_last = old_changes.groupBy(key).agg(F.max(ts).alias("_old_max_ts"))
+    raw changelog; last_event_ts, when given, is already key-sized)
+    against per-key min over the batch (batch-sized); the join is
+    key-sized and inner on the batch's keys only. One extra Spark job,
+    which is why the check is opt-in on merge_batch (``validate=True``)
+    rather than unconditional."""
+    recorded = old_changes.select(key, ts)
+    if last_event_ts is not None:
+        recorded = recorded.unionByName(last_event_ts.select(key, ts))
+    old_last = recorded.groupBy(key).agg(F.max(ts).alias("_old_max_ts"))
     batch_min = batch.groupBy(key).agg(F.min(ts).alias("_batch_min_ts"))
     late = (
         batch_min.join(old_last, key)
@@ -139,6 +157,7 @@ def merge_batch(
     ts: str = "ts",
     tiebreak: str = "event_id",
     validate: bool = False,
+    last_event_ts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SCD2: merge an append-only batch into an existing
     history, given the history's CHANGE ROWS (the compressed changelog —
@@ -148,7 +167,10 @@ def merge_batch(
 
     ``validate=True`` runs the ``enforce_watermark`` guard first (one
     key-sized extra job) and raises on a contract-violating batch
-    instead of quietly emitting divergent history.
+    instead of quietly emitting divergent history; pass
+    ``last_event_ts`` (per-key last RAW event ts, if the deployment
+    persists it) to close the guard's compressed-changelog residual
+    gap — see enforce_watermark's docstring.
 
     Plan shape: the batch's key set splits the old change rows with one
     semi/anti join pair; only the affected slice re-runs the two window
@@ -156,7 +178,7 @@ def merge_batch(
     untouched keys' intervals are emitted directly from their change
     rows without recomputation of membership."""
     if validate:
-        enforce_watermark(old_changes, batch, key, ts)
+        enforce_watermark(old_changes, batch, key, ts, last_event_ts)
     cols = [key, attr, ts, tiebreak]
     affected = batch.select(key).distinct()
     untouched = old_changes.join(affected, key, "left_anti")

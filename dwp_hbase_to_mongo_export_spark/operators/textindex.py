@@ -46,6 +46,14 @@ mode appends new cells behind a fixed artifact, HBaseReader.kt:131-150):
   flight drops an ``_append-pending`` marker that query_text_index
   refuses to read through — a torn append (postings appended, stats
   not yet merged) can therefore never serve silently-wrong scores.
+  Appends are NOT blindly retryable (the posting rows may already be
+  in the store when the marker is found); ``recover_text_index_append``
+  purges the recorded delta and restores the recorded pre-append
+  statistics, after which the SAME delta re-appends safely. An
+  in-place REBUILD over an existing artifact is bracketed by its own
+  ``_build-pending`` marker (overwrites land postings→stats→meta, so a
+  mid-rebuild crash would otherwise leave new postings under old,
+  readable meta with no other trace).
 
 Query-time plan shape: pruned postings scan (|query terms| buckets)
 ⋈ broadcast stats ⋈ broadcast meta → TakeOrdered top-n. Zero Python,
@@ -61,6 +69,7 @@ the ANN indexes.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 
@@ -71,6 +80,28 @@ from .textops import _doc_tokens
 
 N_TERM_BUCKETS = 64
 _PENDING = "_append-pending"
+_PENDING_DOCS = "_pending-docs"
+_BUILD_PENDING = "_build-pending"
+
+
+def _check_markers(path: str) -> None:
+    """Shared reader-side refusal: a marked artifact must never be
+    scored against — its relations may disagree. The messages advise
+    the action that is actually SAFE for each marker (a crashed append
+    may already have landed posting rows, so 'retry the append' without
+    recovery would double-write them — round-8 advice)."""
+    if os.path.exists(os.path.join(path, _BUILD_PENDING)):
+        raise ValueError(
+            f"{path}: a rebuild died mid-flight — postings/stats/meta "
+            "may mix two generations; rebuild the index from the corpus"
+        )
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending or died mid-flight — the "
+            "postings and statistics may disagree (posting rows may "
+            "already be stored); run recover_text_index_append and "
+            "re-append the delta, or rebuild the index"
+        )
 
 
 def term_bucket(term: Column) -> Column:
@@ -144,12 +175,28 @@ def build_text_index(
     df aggregation — the same work the live bm25_search pays per query,
     paid once. ``fingerprint`` (see functions/fingerprint) is stamped
     into meta so readers can reject the artifact when the source
-    changes under the same path. meta is written LAST — it is the
-    commit record: a crashed build leaves no (or a stale-fingerprint)
-    meta, which fingerprint-checking consumers treat as absent."""
+    changes under the same path.
+
+    Commit protocol: on a FIRST build meta is written LAST — the commit
+    record; a crashed first build leaves no meta and consumers treat
+    the artifact as absent. An in-place REBUILD over an existing
+    artifact cannot rely on that (the old meta stays readable while the
+    overwrites land postings→stats→meta), so it is bracketed by a
+    ``_build-pending`` marker that every reader refuses and
+    stored_fingerprint reports as 'rebuild' (round-8 advice)."""
+    rebuild_over_existing = os.path.isdir(os.path.join(path, "meta")) or os.path.isdir(
+        os.path.join(path, "postings")
+    )
+    build_marker = os.path.join(path, _BUILD_PENDING)
+    if rebuild_over_existing:
+        with open(build_marker, "w", encoding="utf-8") as f:
+            f.write(fingerprint or "")
     pending = os.path.join(path, _PENDING)
     if os.path.exists(pending):
         os.remove(pending)  # full rebuild supersedes any torn append
+    pdocs = os.path.join(path, _PENDING_DOCS)
+    if os.path.isdir(pdocs):
+        shutil.rmtree(pdocs)
     postings, stats, meta_counts = _index_relations(corpus, text_col, id_col)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
@@ -161,6 +208,8 @@ def build_text_index(
         "fingerprint", F.lit(fingerprint or "")
     )
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    if os.path.exists(build_marker):
+        os.remove(build_marker)
 
 
 def _recover_swap(target: str) -> None:
@@ -224,15 +273,44 @@ def append_to_text_index(
     the append; query_text_index refuses a marked index, so a torn
     append (postings in, stats not yet merged) fails loudly instead of
     scoring with inconsistent statistics. The stats/meta rewrites
-    themselves go through the staged swap."""
+    themselves go through the staged swap.
+
+    RETRY protocol (round-8 advice — a crashed append may already have
+    landed posting rows, so blind re-append would double tf/df): the
+    marker records the pre-append meta scalars and ``_pending-docs``
+    records the delta's doc ids BEFORE any store write; entry-time
+    ``recover_text_index_append`` (called here automatically) purges
+    those ids from the postings, recomputes the touched stats from the
+    purged store, and restores the recorded meta — returning the
+    artifact to its exact pre-append state, after which this append
+    (including a re-run of a crashed one with the same delta) is safe."""
+    spark = delta.sparkSession
+    if os.path.exists(os.path.join(path, _BUILD_PENDING)):
+        raise ValueError(
+            f"{path}: a rebuild died mid-flight — rebuild the index "
+            "before appending"
+        )
+    recover_text_index_append(spark, path)
     if delta.isEmpty():
         return  # empty micro-batches would only fragment the store
-    spark = delta.sparkSession
     _recover_swap(os.path.join(path, "stats"))
     _recover_swap(os.path.join(path, "meta"))
+    old_meta = spark.read.parquet(os.path.join(path, "meta")).head()
     pending = os.path.join(path, _PENDING)
     with open(pending, "w", encoding="utf-8") as f:
-        f.write(fingerprint or "")
+        f.write(
+            json.dumps(
+                {
+                    "n_docs": int(old_meta["n_docs"]),
+                    "n_tok_docs": int(old_meta["n_tok_docs"]),
+                    "sum_dl": int(old_meta["sum_dl"]),
+                    "fingerprint": old_meta["fingerprint"],
+                }
+            )
+        )
+    delta.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, _PENDING_DOCS))
     postings, stats_delta, meta_counts = _index_relations(delta, text_col, id_col)
     postings.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
@@ -262,7 +340,108 @@ def append_to_text_index(
         "fingerprint", F.lit(fingerprint or "")
     )
     _swap_write(merged_meta, os.path.join(path, "meta"))
+    shutil.rmtree(os.path.join(path, _PENDING_DOCS))
     os.remove(pending)
+
+
+def recover_text_index_append(spark: SparkSession, path: str) -> dict:
+    """Return a torn-append artifact to its EXACT pre-append state so
+    the same delta can be re-appended safely (round-8 advice: posting
+    rows may already be stored when the marker is found, so a blind
+    retry double-writes them and the duplicates even evade governance's
+    count_distinct checks).
+
+    Mechanics — everything needed is recorded BEFORE the first store
+    write, so recovery never needs the delta itself:
+
+    * purge: anti-join the recorded ``_pending-docs`` ids out of every
+      posting bucket leaf (delta ids are NEW per the append contract,
+      so id-purge removes exactly the crashed append's rows);
+    * stats: recompute each purged bucket's per-term df from its purged
+      postings (df == posting rows per term — exact, bucket-local);
+    * meta: restore the scalars recorded in the marker (n_docs counts
+      zero-token docs too, so it is NOT derivable from postings — hence
+      recorded, not recomputed).
+
+    Cost shape: the purge rewrites the posting/stats bucket leaves once
+    (store-sized I/O, zero tokenisation) — far cheaper than the full
+    rebuild that was previously the only safe answer, and paid only on
+    the rare recovery path; the happy-path append stays delta-sized.
+    No-op without a marker. A marker whose state predates this protocol
+    (unparseable) cannot be auto-recovered — raises, advising rebuild."""
+    pending = os.path.join(path, _PENDING)
+    if not os.path.exists(pending):
+        return {"recovered": False}
+    with open(pending, encoding="utf-8") as f:
+        raw = f.read()
+    try:
+        state = json.loads(raw)
+        old = {
+            "n_docs": int(state["n_docs"]),
+            "n_tok_docs": int(state["n_tok_docs"]),
+            "sum_dl": int(state["sum_dl"]),
+            "fingerprint": str(state.get("fingerprint") or ""),
+        }
+    except (ValueError, TypeError, KeyError) as e:
+        raise ValueError(
+            f"{path}: pending-append marker is unreadable ({e!r}) — "
+            "pre-protocol or corrupt state cannot be auto-recovered; "
+            "rebuild the index from the corpus"
+        ) from None
+    buckets_purged = 0
+    pdocs_dir = os.path.join(path, _PENDING_DOCS)
+    if os.path.exists(os.path.join(pdocs_dir, "_SUCCESS")):
+        doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
+        postings_dir = os.path.join(path, "postings")
+        leaves = (
+            sorted(
+                d
+                for d in os.listdir(postings_dir)
+                if d.startswith("bucket=")
+                and os.path.isdir(os.path.join(postings_dir, d))
+            )
+            if os.path.isdir(postings_dir)
+            else []
+        )
+        for leaf in leaves:
+            pleaf = os.path.join(postings_dir, leaf)
+            _recover_swap(pleaf)
+            cleaned = (
+                spark.read.parquet(pleaf)
+                .join(F.broadcast(doc_ids), "doc_id", "left_anti")
+                .select("term", "doc_id", "tf", "dl")
+            )
+            _swap_write(cleaned, pleaf)
+            sleaf = os.path.join(path, "stats", leaf)
+            _recover_swap(sleaf)
+            df_rel = (
+                spark.read.parquet(pleaf)
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+                .select("term", "df")
+            )
+            if os.path.isdir(sleaf):
+                _swap_write(df_rel, sleaf)
+            else:
+                df_rel.write.mode("overwrite").parquet(sleaf)
+            buckets_purged += 1
+    if os.path.isdir(pdocs_dir):
+        shutil.rmtree(pdocs_dir)
+    restored = spark.createDataFrame(
+        [(old["n_docs"], old["n_tok_docs"], old["sum_dl"])],
+        "n_docs bigint, n_tok_docs bigint, sum_dl bigint",
+    )
+    restored = _with_avgdl(restored).withColumn(
+        "fingerprint", F.lit(old["fingerprint"])
+    )
+    meta_dir = os.path.join(path, "meta")
+    _recover_swap(meta_dir)
+    if os.path.isdir(meta_dir):
+        _swap_write(restored, meta_dir)
+    else:
+        restored.write.mode("overwrite").parquet(meta_dir)
+    os.remove(pending)
+    return {"recovered": True, "buckets_purged": buckets_purged}
 
 
 def compact_text_index(
@@ -307,12 +486,11 @@ def text_index_governance(
     {n_terms_checked, df_mismatches, dl_inconsistent_docs, healthy,
     rebuild} — rebuild True means the append contract was violated and
     the artifact must be rebuilt from the corpus (a targeted repair
-    cannot know which postings are the stale ones)."""
-    if os.path.exists(os.path.join(path, _PENDING)):
-        raise ValueError(
-            f"{path}: an append is pending — retry or rebuild before "
-            "governing; a torn artifact always reads unhealthy"
-        )
+    cannot know which postings are the stale ones). Both diagnostic
+    collects are STRUCTURALLY capped at max_terms rows: on a badly
+    corrupted index the lists are samples (rebuild is already the
+    verdict), never an unbounded driver collect."""
+    _check_markers(path)
     terms = sorted(set(sample_terms))[:max_terms]
     if not terms:
         raise ValueError(
@@ -346,6 +524,7 @@ def text_index_governance(
             F.coalesce(F.col("df_stored"), F.lit(-1))
             != F.coalesce(F.col("df_true"), F.lit(-1))
         )
+        .limit(max_terms)
         .collect()
     ]
     dl_bad = [
@@ -353,6 +532,7 @@ def text_index_governance(
         for r in postings.groupBy("doc_id")
         .agg(F.count_distinct("dl").alias("n_dl"))
         .filter(F.col("n_dl") > 1)
+        .limit(max_terms)
         .collect()
     ]
     healthy = not df_mismatches and not dl_bad
@@ -367,19 +547,26 @@ def text_index_governance(
 
 def stored_fingerprint(spark: SparkSession, path: str) -> str | None:
     """The source fingerprint stamped into the index meta; None when
-    the artifact is absent, torn (pending append marker), or predates
+    the artifact is absent, torn (pending append OR crashed-rebuild
+    marker), unreadable (empty/corrupt meta from a crashed overwrite —
+    guarded like the dedupindex twin, round-8 advice), or predates
     fingerprinting — every case a fingerprint-checking consumer must
     treat as 'rebuild'."""
-    if os.path.exists(os.path.join(path, _PENDING)):
+    if os.path.exists(os.path.join(path, _PENDING)) or os.path.exists(
+        os.path.join(path, _BUILD_PENDING)
+    ):
         return None
     meta_dir = os.path.join(path, "meta")
     _recover_swap(meta_dir)
     if not os.path.isdir(meta_dir):
         return None
-    meta = spark.read.parquet(meta_dir)
-    if "fingerprint" not in meta.columns:
+    try:
+        meta = spark.read.parquet(meta_dir)
+        if "fingerprint" not in meta.columns:
+            return None
+        row = meta.select("fingerprint").head()
+    except Exception:
         return None
-    row = meta.select("fingerprint").head()
     return row["fingerprint"] if row else None
 
 
@@ -396,15 +583,11 @@ def query_text_index(
     carry a STATIC partition filter — only those buckets' files are
     listed or read (pinned in tests/test_plans.py). Identical scoring
     arithmetic to the live bm25_search (same idf, same rounding), so
-    both paths share one oracle. Refuses a torn index (an append died
-    mid-flight): postings may already contain delta rows the stats
-    don't know about, and scoring would be silently wrong."""
-    if os.path.exists(os.path.join(path, _PENDING)):
-        raise ValueError(
-            f"{path}: an append is pending or died mid-flight — the "
-            "postings and statistics may disagree; retry the append or "
-            "rebuild the index"
-        )
+    both paths share one oracle. Refuses a torn index (an append or an
+    in-place rebuild died mid-flight): the relations may disagree and
+    scoring would be silently wrong; the error advises the safe fix
+    (recover_text_index_append for an append, rebuild for a rebuild)."""
+    _check_markers(path)
     _recover_swap(os.path.join(path, "stats"))
     _recover_swap(os.path.join(path, "meta"))
     buckets = sorted({_py_term_bucket(t) for t in query_terms})

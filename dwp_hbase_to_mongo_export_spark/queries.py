@@ -399,75 +399,70 @@ _register_extra_modules()
 # window is explicit data that ONLY __spark_entry__ applies when handing
 # the catalog to the external driver.
 #
-# Round-8 window, same staleness-first discipline as rounds 5-7: lead
-# with the 5 queries that have NEVER appeared in any driver window
-# (registered after round 7's window position 50 was fixed —
-# non-negotiable per the round-7 verdict), then 45 of the 46 whose most
-# recent all-true driver row is round 5 (the staleness floor after r7;
-# the one overflow, user_days_click_no_purchase, rolls to round 9 — its
-# sibling user_days_click_and_purchase exercises the same except-join
-# family this round). After this round no query's latest driver
-# evidence should predate round 6 and nothing is unchecked.
-#
-# Code-changed-this-round queries NOT in the window (the KMV family's
-# constant-state build rewrite, bm25_indexed's fingerprint cache): their
-# r6/r7 driver rows predate the change, their VALUES are pinned
-# unchanged by the local oracle suite (tests/test_catalog_oracle.py
-# re-runs all of them each pytest run), and they are first in line for
-# the round-9 rotation.
+# Round-9 window (tools/rotate_window.py --changed ..., adopted
+# verbatim per the round-8 verdict): lead with the 10 queries whose
+# code changed in round 8 AFTER their last driver row (the KMV family's
+# constant-state rewrite, bm25_indexed's fingerprint cache, the sampled
+# skew detection, and the touched zorder/pagerank/scd2_history files) —
+# their r7 rows predate the code they'd now run; then the single r5
+# overflow user_days_click_no_purchase (non-negotiable — the stalest
+# evidence in the catalog); then fill to 50 from the r6 cohort
+# alphabetically (39 of 50; the remaining 11 r6-cohort queries roll to
+# round 10, leaving the staleness floor at r6).
 DRIVER_WINDOW = [
-    # never driver-checked (added after the r7 window was fixed)
-    "continuous_aggregate_rollup",
-    "quantiles_by_type_hist",
-    "scd2_incremental",
-    "streaming_word_freq_cms",
-    "weighted_sample_aes",
-    # last all-true at the driver in round 5 — the staleness floor
-    "asof_click_attribution",
-    "cluster_prototypes",
-    "corpus_drift_psi",
-    "cube_revenue",
-    "decontaminate_corpus",
-    "dedup_clusters",
-    "dedup_clusters_alternating",
-    "dedup_embedding_cosine_lsh",
-    "dedup_simhash",
-    "dedup_simhash_near",
-    "embedding_norms",
-    "kmeans_clusters",
-    "kmeans_purity",
-    "latest_per_key",
-    "manifest_projection",
-    "moving_avg_and_gaps",
-    "multimodal_audio_segments",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "pivot_event_counts",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "q7_nation_volume",
-    "q9_profit_by_nation_year",
-    "range_join_click_to_purchase",
-    "semantic_dedup",
-    "session_windows",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "streaming_kmeans_assign",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "text_quality",
-    "text_repetition",
-    "time_range_scan",
-    "token_counts",
-    "user_days_click_and_purchase",
+    # code changed in round 8 after the last (r7) driver row
+    "bm25_indexed",
+    "distinct_users_kmv",
+    "distinct_users_kmv_by_day",
+    "heavy_hitters_screened",
+    "kmv_jaccard_sets",
+    "kmv_sketch_merge",
+    "pagerank_entities",
+    "scd2_history",
+    "skew_split_join_events",
+    "zorder_layout",
+    # the round-8 overflow — last all-true at the driver in round 5
+    "user_days_click_no_purchase",
+    # staleness fill: last all-true at the driver in round 6
+    "ann_recall_report",
+    "bpe_merges",
+    "bpe_token_counts",
+    "business_audit_lift",
+    "cdc_apply_changelog",
+    "conditional_field_drop",
+    "date_canonicalise",
+    "date_fallback_chain",
+    "db_collection_fallback",
+    "dedup_exact",
+    "embedding_covariance",
+    "envelope_extract",
+    "equality_wrap",
+    "export_pipeline_e2e",
+    "grouping_sets_revenue",
+    "hbase_source_scan",
+    "id_reverse_engineer",
+    "key_range_partition_stats",
+    "q11_important_suppliers",
+    "q1_pricing_summary",
+    "q20_promo_part_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "quality_classifier_scores",
+    "quality_classifier_weights",
+    "range_frame_trailing_sum",
+    "ranking_family",
+    "sanitise_strings",
+    "sequence_packing",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_indexed",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_pq",
+    "similarity_topk_pq_indexed",
 ]
 
 

@@ -471,3 +471,116 @@ def test_text_index_swap_recovers_from_crash_between_renames(spark, sf_dir, tmp_
     want = textindex.query_text_index(spark, full, terms, top_n=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert not _os.path.isdir(stats + ".swap-old")  # cleaned up
+
+
+@pytest.mark.parametrize("crash_at", ["stats", "meta"])
+def test_text_index_torn_append_recovers_and_retries(
+    spark, sf_dir, tmp_path, monkeypatch, crash_at
+):
+    """The round-8 advice scenario end-to-end, at both crash points: an
+    append dies AFTER its posting rows landed — before the stats merge,
+    or worse, after it (stats already carry the delta's df). A blind
+    retry would double tf/df; recover_text_index_append purges the
+    recorded delta ids, recomputes the touched stats from the purged
+    postings, restores the recorded meta scalars, and the SAME delta
+    then re-appends bit-identically to a never-crashed full rebuild."""
+    import os as _os
+
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(old, path, fingerprint="v-old")
+    terms = ["table", "scan", "merge"]
+    pre = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    pre_stats = {
+        (r.term, r.df) for r in spark.read.parquet(path + "/stats").collect()
+    }
+    pre_meta = tuple(spark.read.parquet(path + "/meta").head())
+
+    real_swap = textindex._swap_write
+
+    def boom(df, target, partition_by=None):
+        if target.rstrip("/").endswith(crash_at):
+            raise RuntimeError(f"simulated crash at the {crash_at} swap")
+        real_swap(df, target, partition_by)
+
+    monkeypatch.setattr(textindex, "_swap_write", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        textindex.append_to_text_index(delta, path)
+    monkeypatch.setattr(textindex, "_swap_write", real_swap)
+
+    assert _os.path.exists(_os.path.join(path, textindex._PENDING))
+    with pytest.raises(ValueError, match="recover_text_index_append"):
+        textindex.query_text_index(spark, path, terms)
+    assert textindex.stored_fingerprint(spark, path) is None
+
+    res = textindex.recover_text_index_append(spark, path)
+    assert res["recovered"] and res["buckets_purged"] > 0
+    # pre-append state restored EXACTLY: results, stats, meta, fingerprint
+    got = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in pre]
+    assert {
+        (r.term, r.df) for r in spark.read.parquet(path + "/stats").collect()
+    } == pre_stats
+    assert tuple(spark.read.parquet(path + "/meta").head()) == pre_meta
+    assert textindex.stored_fingerprint(spark, path) == "v-old"
+
+    textindex.append_to_text_index(delta, path)
+    full = str(tmp_path / "full")
+    textindex.build_text_index(docs, full)
+    want = textindex.query_text_index(spark, full, terms, top_n=10).collect()
+    got = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert {
+        (r.term, r.df) for r in spark.read.parquet(path + "/stats").collect()
+    } == {(r.term, r.df) for r in spark.read.parquet(full + "/stats").collect()}
+    m_inc = spark.read.parquet(path + "/meta").head()
+    m_full = spark.read.parquet(full + "/meta").head()
+    for c in ("n_docs", "n_tok_docs", "sum_dl", "avgdl"):
+        assert m_inc[c] == m_full[c], c
+
+
+def test_text_index_crashed_inplace_rebuild_leaves_marker(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-8 advice: an in-place REBUILD that dies between the
+    postings overwrite and the meta write used to leave new postings
+    under old, readable meta with no trace. The _build-pending marker
+    now brackets it: every reader refuses, stored_fingerprint reads as
+    'rebuild', appends refuse, and a completed rebuild clears it."""
+    import os as _os
+
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(
+        docs.filter(F.col("doc_id") < 100), path, fingerprint="v1"
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(textindex, "_with_avgdl", boom)
+    with pytest.raises(RuntimeError, match="mid-rebuild"):
+        textindex.build_text_index(
+            docs.filter(F.col("doc_id") < 50), path, fingerprint="v2"
+        )
+    monkeypatch.undo()
+
+    assert _os.path.exists(_os.path.join(path, textindex._BUILD_PENDING))
+    with pytest.raises(ValueError, match="rebuild died mid-flight"):
+        textindex.query_text_index(spark, path, ["table"])
+    with pytest.raises(ValueError, match="rebuild died mid-flight"):
+        textindex.text_index_governance(spark, path, ["table"])
+    with pytest.raises(ValueError, match="rebuild died mid-flight"):
+        textindex.append_to_text_index(docs.filter(F.col("doc_id") == 400), path)
+    assert textindex.stored_fingerprint(spark, path) is None  # -> rebuild
+
+    textindex.build_text_index(
+        docs.filter(F.col("doc_id") < 50), path, fingerprint="v2"
+    )
+    assert not _os.path.exists(_os.path.join(path, textindex._BUILD_PENDING))
+    assert textindex.stored_fingerprint(spark, path) == "v2"
+    assert textindex.text_index_governance(spark, path, ["table"])["healthy"]

@@ -572,3 +572,68 @@ def test_scd2_watermark_guard_allows_equal_timestamp(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = scd2.merge_batch(scd2.changes(old), batch, validate=True).collect()
     assert len(out) == 2  # both states recorded, no guard trip
+
+
+def test_scd2_watermark_last_event_ts_closes_compressed_gap(spark):
+    """Round-8 advice: the default guard is sound only w.r.t. the
+    COMPRESSED changelog — a late row whose ts falls after a key's last
+    CHANGE but before a compressed-away duplicate event passes it, yet
+    merge_batch still diverges from the full rebuild (the
+    unreconstructable interleave). Deployments that persist the per-key
+    last RAW event ts close the gap by passing it as last_event_ts."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import scd2
+
+    schema = "user_id int, event_type string, ts string, event_id int"
+    raw = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 00:00:00", 1),
+            (1, "A", "2024-01-03 00:00:00", 2),  # duplicate -> compressed away
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    old_changes = scd2.changes(raw)
+    assert old_changes.count() == 1  # the Jan-3 duplicate is gone
+
+    # late row BETWEEN the last change (Jan 1) and the dropped raw
+    # event (Jan 3): the compressed-changelog guard cannot see it
+    batch = spark.createDataFrame(
+        [(1, "B", "2024-01-02 00:00:00", 3)], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    scd2.enforce_watermark(old_changes, batch, "user_id", "ts")  # passes: the gap
+
+    # ... and the merge genuinely diverges from the full rebuild, so
+    # the gap matters (B swallows the Jan-3 A-flip the rebuild keeps)
+    merged = {tuple(r) for r in scd2.merge_batch(old_changes, batch).collect()}
+    rebuilt = {tuple(r) for r in scd2.build(raw.unionByName(batch)).collect()}
+    assert merged != rebuilt
+
+    # with the per-key last RAW event ts, the guard trips loudly
+    last_ev = raw.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    with pytest.raises(ValueError, match="watermark violation"):
+        scd2.enforce_watermark(
+            old_changes, batch, "user_id", "ts", last_event_ts=last_ev
+        )
+    with pytest.raises(ValueError, match="watermark violation"):
+        scd2.merge_batch(
+            old_changes, batch, validate=True, last_event_ts=last_ev
+        ).collect()
+
+    # a genuinely append-only batch passes WITH last_event_ts given
+    ok = spark.createDataFrame(
+        [(1, "B", "2024-01-04 00:00:00", 4)], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merged = {
+        tuple(r)
+        for r in scd2.merge_batch(
+            old_changes, ok, validate=True, last_event_ts=last_ev
+        ).collect()
+    }
+    # equal to the rebuild over the COMPRESSED history + batch (Jan-3
+    # duplicate was compressed before the batch arrived, by contract)
+    want = {
+        tuple(r)
+        for r in scd2.build(old_changes.unionByName(ok.select(*old_changes.columns))).collect()
+    }
+    assert merged == want
