@@ -399,6 +399,26 @@ _register_extra_modules()
 # window is explicit data that ONLY __spark_entry__ applies when handing
 # the catalog to the external driver.
 #
+# The round this window was rotated FOR (drives the catalog lint's
+# staleness-discipline check: the window is judged against the driver
+# evidence that existed at rotation time, i.e. rounds < this one) and
+# the documented code-changed overrides pulled ahead of staleness order
+# (tests/test_catalog_lint.py exempts exactly these from the
+# no-fresher-than-a-staler-outsider rule).
+DRIVER_WINDOW_ROUND = 9
+DRIVER_WINDOW_CHANGED = [
+    "bm25_indexed",
+    "distinct_users_kmv",
+    "distinct_users_kmv_by_day",
+    "heavy_hitters_screened",
+    "kmv_jaccard_sets",
+    "kmv_sketch_merge",
+    "pagerank_entities",
+    "scd2_history",
+    "skew_split_join_events",
+    "zorder_layout",
+]
+
 # Round-9 window (tools/rotate_window.py --changed ..., adopted
 # verbatim per the round-8 verdict): lead with the 10 queries whose
 # code changed in round 8 AFTER their last driver row (the KMV family's

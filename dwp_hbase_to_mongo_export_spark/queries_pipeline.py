@@ -261,3 +261,66 @@ def export_unwrap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unwrap_records(sink).select(
         "okey", "doc", "recovered_id", "last_modified"
     )
+
+
+from .queries import bench_only  # noqa: E402
+
+
+@bench_only("snapshot_sink_export")
+def snapshot_sink_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The size-rolled encrypted snapshot sink exercised AT BENCH SCALE
+    (round-8 verdict task 5: correctness-tested, never timed): the full
+    export pipeline's sink frame streams through the REAL producer path
+    (sinks/snapshot.write_encrypted_snapshots — byte-exact rolling,
+    gzip, AES-CTR with one broadcast data key per run, aligned per-file
+    manifest CSVs: S3StreamingWriter.kt:73-187 semantics), then the
+    returned frame is the CONSUMER path reading every file back
+    (binaryFile scan -> sidecar IV -> decrypt -> decompress -> line
+    split), aggregated to one verification row. bench.py therefore
+    times write+read of the whole rolled export; tools/plan_audit.py
+    audits the consumer-side plan.
+
+    BENCH-ONLY by structure: the surface's value is a filesystem side
+    effect (files, sidecars, manifests) plus a count the gated
+    export_pipeline_e2e already hash-pins record-by-record; DuckDB
+    cannot observe the rolling/encryption. Value-level evidence lives
+    in tests/test_sinks.py (byte-level roundtrip, roll bounds, manifest
+    alignment) and the alignment test over this very surface.
+
+    Scale shape: the write is one map-only mapInPandas pass whose
+    parallelism is the partition count (each partition rolls its own
+    files — no shuffle, no driver data motion beyond file metadata);
+    the read fans out per file. max_batch_bytes=256 KiB forces many
+    rolls at sf0.1 so the roll path itself is what gets timed."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sinks.snapshot import (
+        SnapshotSinkConfig,
+        read_encrypted_snapshots,
+        write_encrypted_snapshots,
+    )
+
+    out = _os.path.join(_tempfile.gettempdir(), "spark_graft_snapshot_bench")
+    _shutil.rmtree(out, ignore_errors=True)
+    cells = build_cells(spark, sf_dir)
+    res = export_topic(cells.drop("okey"), TOPIC)
+    service = LocalKeyService()
+    cfg = SnapshotSinkConfig(
+        output_dir=out,
+        topic=TOPIC,
+        max_batch_bytes=256 * 1024,
+        compression="gz",
+        data_key_b64=DATA_KEY_B64,
+        encrypted_data_key_b64=service.encrypt_data_key(
+            MASTER_KEK_ID, DATA_KEY_B64
+        ),
+        kek_id=MASTER_KEK_ID,
+    )
+    metas = write_encrypted_snapshots(res.extra["sink_frame"], cfg)
+    back = read_encrypted_snapshots(spark, out, data_key_b64=DATA_KEY_B64)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("object_key").alias("n_files"),
+    ).withColumn("n_files_written", F.lit(len(metas)).cast("bigint"))

@@ -116,3 +116,41 @@ def test_never_driver_checked_queries_lead_the_window():
         assert never == sorted(catalog.DRIVER_WINDOW[: len(never)]), (
             f"never-driver-checked queries must lead DRIVER_WINDOW: {never}"
         )
+
+
+def test_window_is_staleness_first_modulo_declared_overrides():
+    """Round-8 verdict task: nothing asserted the rotated window
+    actually follows the staleness-first discipline. Judged against the
+    driver evidence that existed AT ROTATION TIME (rounds <
+    DRIVER_WINDOW_ROUND — later driver runs refresh the window's own
+    rows, which must not retroactively flunk it): no window entry,
+    except the declared code-changed overrides (DRIVER_WINDOW_CHANGED)
+    and never-checked queries, may have FRESHER evidence than a query
+    left outside the window. A window hand-edited to re-check a pet
+    query while a staler one waits fails here."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    from rotate_window import latest_green_round
+
+    assert set(catalog.DRIVER_WINDOW_CHANGED) <= set(catalog.DRIVER_WINDOW), (
+        "declared code-changed overrides must be in the window they justify"
+    )
+    green = latest_green_round(str(root), max_round=catalog.DRIVER_WINDOW_ROUND - 1)
+    window = set(catalog.DRIVER_WINDOW)
+    exempt = set(catalog.DRIVER_WINDOW_CHANGED)
+    in_rounds = [
+        green.get(n, 0) for n in catalog.DRIVER_WINDOW if n not in exempt
+    ]
+    out_rounds = [green.get(n, 0) for n in catalog.QUERIES if n not in window]
+    if in_rounds and out_rounds:
+        freshest_in = max(in_rounds)
+        stalest_out = min(out_rounds)
+        assert freshest_in <= stalest_out, (
+            f"window holds a query with evidence r{freshest_in} while a "
+            f"staler r{stalest_out} query waits outside — rotate with "
+            "tools/rotate_window.py (or declare a code-changed override "
+            "in DRIVER_WINDOW_CHANGED)"
+        )

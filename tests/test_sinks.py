@@ -876,3 +876,18 @@ def test_streaming_export_then_compaction_e2e(spark, sf_dir, tmp_path):
     # rows and VALUES round-trip through the rewrite
     back = {(r.id, r.db_object) for r in spark.read.parquet(sink_dir).collect()}
     assert back == baseline
+
+
+def test_snapshot_sink_bench_surface_roundtrip_aligns(spark, sf_dir):
+    """The bench-only snapshot_sink_export surface (round-8 verdict:
+    the sink was correctness-tested but never timed) must verify its
+    own roundtrip: every record written through the rolled encrypted
+    producer path is read back by the consumer path, and the read-side
+    file count equals what the writer reported."""
+    from dwp_hbase_to_mongo_export_spark.queries import BENCH_ONLY
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    row = BENCH_ONLY["snapshot_sink_export"](spark, sf_dir).head()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert row["n_records"] == n_orders
+    assert row["n_files"] == row["n_files_written"] > 1  # rolling happened

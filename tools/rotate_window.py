@@ -44,14 +44,21 @@ def all_true(row: dict) -> bool:
     )
 
 
-def latest_green_round(root: str = ".") -> dict[str, int]:
-    """query -> latest round number whose CORRECTNESS row is all-true."""
+def latest_green_round(root: str = ".", max_round: int | None = None) -> dict[str, int]:
+    """query -> latest round number whose CORRECTNESS row is all-true.
+    ``max_round`` caps the rounds considered — the catalog lint passes
+    the round the current window was rotated FOR minus one, so the
+    discipline check judges the window against the evidence that
+    existed at rotation time (a later driver run adding fresher rows
+    must not retroactively flunk an honestly-rotated window)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
