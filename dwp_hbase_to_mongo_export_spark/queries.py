@@ -427,9 +427,14 @@ DRIVER_WINDOW_CHANGED = [
 # their r7 rows predate the code they'd now run; then the single r5
 # overflow user_days_click_no_purchase (non-negotiable — the stalest
 # evidence in the catalog); then fill to 50 from the r6 cohort
-# alphabetically (39 of 50; the remaining 11 r6-cohort queries roll to
-# round 10, leaving the staleness floor at r6).
+# alphabetically (38 of 50 — dedup_incremental_indexed, registered this
+# round and therefore never checked, takes the lead slot per the lint;
+# the remaining 12 r6-cohort queries roll to round 10, leaving the
+# staleness floor at r6).
 DRIVER_WINDOW = [
+    # never driver-checked (registered this round): the durable dedup
+    # index's gated surface — non-negotiable first per the lint
+    "dedup_incremental_indexed",
     # code changed in round 8 after the last (r7) driver row
     "bm25_indexed",
     "distinct_users_kmv",
@@ -482,7 +487,6 @@ DRIVER_WINDOW = [
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_trained",
     "similarity_topk_pq",
-    "similarity_topk_pq_indexed",
 ]
 
 

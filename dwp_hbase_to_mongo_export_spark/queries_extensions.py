@@ -82,6 +82,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_indexed",
+    oracle=f"""
+    WITH {_SHINGLES},
+    hashed AS (
+      SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h FROM sh
+    ),
+    perms(perm, a, b) AS (VALUES {_PERM_VALUES}),
+    sigs AS (
+      SELECT doc_id, perm, min((a * h + b) % {dedup.MINHASH_MOD}) AS sig
+      FROM hashed CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bands AS (
+      SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(perm // 2 AS INT)
+    ),
+    cand AS (
+      -- CROSS pairs only: batch doc on the left, indexed corpus doc right
+      SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands b JOIN bands c ON b.band = c.band AND b.band_key = c.band_key
+      WHERE b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c JOIN hashed a ON a.doc_id = c.id_a
+                  JOIN hashed b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id)
+    SELECT id_a AS doc_id, id_b AS dup_of,
+           round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
+    """,
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening of a NEW batch against a DURABLE signature
+    index (operators/dedupindex.py) — the dedup family's
+    similarity_topk_ivf_indexed / bm25_indexed: the corpus's
+    minhash signatures are persisted ONCE (band-partitioned band keys +
+    bucket-partitioned hash sets + meta), and each ingest batch pays
+    only batch-sized Python for its own signatures, an equi-join
+    against the stored band keys, and a DPP-pruned verify read of the
+    candidates' set buckets — at 100 TB the corpus is signed by one job
+    and screened against by every nightly batch. Same signature kernel
+    and band shape as the one-shot dedup_minhash_lsh, so the oracle is
+    that query's arithmetic restricted to cross (batch, corpus) pairs.
+    Index reuse across invocations is gated on the source CONTENT
+    fingerprint stamped into meta (the bm25_indexed discipline): a
+    regenerated fixture rebuilds instead of serving stale signatures."""
+    import tempfile as _tempfile
+
+    from .functions.fingerprint import source_fingerprint
+    from .operators import dedupindex
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(
+        _tempfile.gettempdir(),
+        # version token: bump when the artifact layout changes
+        "spark_graft_dedupindex_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if dedupindex.stored_fingerprint(spark, path) != fp:
+        dedupindex.build_dedup_index(corpus, path, fingerprint=fp)
+    out = dedupindex.query_dedup_index(spark, path, batch, threshold=0.25)
+    return out.select(
+        "doc_id", "dup_of", F.round("jaccard", 3).alias("jaccard")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES},
