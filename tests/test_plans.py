@@ -637,3 +637,67 @@ def test_scd2_watermark_last_event_ts_closes_compressed_gap(spark):
         for r in scd2.build(old_changes.unionByName(ok.select(*old_changes.columns))).collect()
     }
     assert merged == want
+
+
+def test_dedup_index_query_python_is_batch_only_and_sets_scan_prunes(
+    spark, sf_dir, tmp_path
+):
+    """The durable dedup index's cost claims (dedupindex.py module
+    docstring), in two parts:
+
+    (a) query-time Python runs ONLY on the batch: every ArrowEvalPython
+    in the query plan is the batch's fused shingle/minhash UDF (_mh),
+    computed once into a single cached relation; the corpus side reads
+    parquet signatures with zero Python. (The exact-jaccard verify is
+    the jaccard_of_sets dual-strategy kernel — broadcast dict at this
+    scale, candidate-pair join at 100 TB — both Python over
+    CANDIDATE-sized data only.)
+
+    (b) the corpus-sized sets store is read through a
+    dynamic-partition-pruning filter driven by the broadcast candidate
+    ids — the operator's access pattern is a (bucket, id) broadcast
+    equi-join against the bucket-partitioned store, reconstructed here
+    with join-derived candidates (a FILTER-derived candidate frame
+    would instead get its predicate transitively inferred across the
+    join, hiding the DPP machinery this pin is about)."""
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import dedupindex
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ix")
+    dedupindex.build_dedup_index(
+        docs.filter(F.col("doc_id") % 10 != 9), path, n_perm=8, rows_per_band=2
+    )
+    out = dedupindex.query_dedup_index(
+        spark, path, docs.filter(F.col("doc_id") % 10 == 9)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    arrow_lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert arrow_lines and all("_mh(" in ln for ln in arrow_lines), plan
+    assert "InMemoryRelation" in plan  # the single cached batch pass
+
+    # (b) the sets-store access pattern: join-derived candidate ids,
+    # broadcast onto the bucket-partitioned store on (bucket, id)
+    batch_ids = docs.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    cand_ids = (
+        batch_ids.join(docs.select("doc_id").limit(40), "doc_id")
+        .select("doc_id")
+        .distinct()
+        .withColumn("bucket", dedupindex._bucket_of("doc_id"))
+    )
+    corpus_sets = spark.read.parquet(path + "/sets").join(
+        F.broadcast(cand_ids), ["bucket", "doc_id"]
+    )
+    splan = corpus_sets._jdf.queryExecution().executedPlan().toString()
+    # identify the sets-store scan by its schema (paths get truncated
+    # in plan toString): the only parquet scan carrying the hs arrays
+    sets_scans = [
+        ln
+        for ln in splan.splitlines()
+        if "FileScan parquet" in ln and "hs:array<bigint>" in ln
+    ]
+    assert sets_scans and all(
+        "dynamicpruningexpression" in ln for ln in sets_scans
+    ), splan

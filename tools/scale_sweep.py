@@ -50,6 +50,10 @@ SWEEP_QUERIES = [
     "distinct_users_kmv",      # constant-state KMV fold (r8): linear
                                # map-side Arrow scan, <=64-row/partition
                                # exchange — growth measures the scan
+    "snapshot_sink_export",    # rolled encrypted export write + read-back
+                               # (r9): map-only mapInPandas both ways,
+                               # zero shuffles — linear is correct; file
+                               # count grows with rows (roll size fixed)
 ]
 
 # The clustering/search/near-dup families need DISTINCT-content
@@ -71,6 +75,9 @@ DISTINCT_SWEEP_QUERIES = [
     "covariance_full",         # single-pass d^2/2 moment aggregation
     "pq_encode_full",          # the durable PQ index's build-side encode scan
     "bpe_encode_full",         # tokenizer APPLY: explode + codegen replace chain
+    "dedup_incremental_indexed",  # durable-index batch screen (r9): batch
+                               # signatures + band equi-join + DPP verify;
+                               # index build paid once per variant dir
 ]
 
 
@@ -157,7 +164,14 @@ def _bpe_encode_full(spark, sf_dir):
 
 # sweep entries not present in the catalog (or deliberately unbounded
 # variants of bounded catalog queries)
+def _snapshot_sink_export(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.queries import BENCH_ONLY
+
+    return BENCH_ONLY["snapshot_sink_export"](spark, sf_dir)
+
+
 SWEEP_OVERRIDES = {
+    "snapshot_sink_export": _snapshot_sink_export,
     "similarity_topk_ivf_full": _ivf_full_corpus,
     "logreg_fit_full": _logreg_fit_full,
     "covariance_full": _covariance_full,
