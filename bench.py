@@ -70,6 +70,8 @@ HEADLINE = [
     "bm25_indexed",
     "scd2_incremental",
     "value_quantiles_hist",
+    "dedup_incremental_indexed",
+    "snapshot_sink_export",
 ]
 
 

@@ -584,3 +584,60 @@ def test_text_index_crashed_inplace_rebuild_leaves_marker(
     assert not _os.path.exists(_os.path.join(path, textindex._BUILD_PENDING))
     assert textindex.stored_fingerprint(spark, path) == "v2"
     assert textindex.text_index_governance(spark, path, ["table"])["healthy"]
+
+
+def test_text_index_partial_postings_append_recovery(spark, sf_dir, tmp_path):
+    """The remaining crash point: the append dies DURING the postings
+    append itself, after some delta rows committed (Spark's committer
+    makes partially-VISIBLE rows unlikely, but recovery must not depend
+    on that). Simulated by manually appending only half the delta's
+    postings under a live marker + pending-docs record; recovery's
+    id-purge removes whatever subset landed, and the retried append
+    ends bit-identical to a never-crashed full rebuild."""
+    import json as _json
+    import os as _os
+
+    textindex = _ti()
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    path = str(tmp_path / "ix")
+    textindex.build_text_index(old, path, fingerprint="v-old")
+    pre_meta = tuple(spark.read.parquet(path + "/meta").head())
+
+    # hand-roll the crashed append's first three steps: marker (with
+    # the recorded pre-append scalars), pending-docs, HALF the postings
+    m = spark.read.parquet(path + "/meta").head()
+    with open(_os.path.join(path, textindex._PENDING), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "n_docs": int(m["n_docs"]),
+                    "n_tok_docs": int(m["n_tok_docs"]),
+                    "sum_dl": int(m["sum_dl"]),
+                    "fingerprint": m["fingerprint"],
+                }
+            )
+        )
+    delta.select(F.col("doc_id")).distinct().write.mode("overwrite").parquet(
+        _os.path.join(path, textindex._PENDING_DOCS)
+    )
+    postings, _, _ = textindex._index_relations(delta, "text", "doc_id")
+    postings.filter(F.col("doc_id") % 2 == 0).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(_os.path.join(path, "postings"))
+
+    res = textindex.recover_text_index_append(spark, path)
+    assert res["recovered"]
+    assert tuple(spark.read.parquet(path + "/meta").head()) == pre_meta
+
+    textindex.append_to_text_index(delta, path)
+    full = str(tmp_path / "full")
+    textindex.build_text_index(docs, full)
+    terms = ["table", "scan", "merge"]
+    got = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    want = textindex.query_text_index(spark, full, terms, top_n=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert {
+        (r.term, r.df) for r in spark.read.parquet(path + "/stats").collect()
+    } == {(r.term, r.df) for r in spark.read.parquet(full + "/stats").collect()}
