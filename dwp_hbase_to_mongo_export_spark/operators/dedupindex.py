@@ -52,7 +52,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import minhash_sets_and_sigs
-from .textindex import _BUILD_PENDING, _PENDING, _recover_swap, _swap_write
+from .textindex import (
+    _BUILD_PENDING,
+    _PENDING,
+    _recover_swap,
+    _recovered_leaves,
+    _swap_write,
+)
 
 N_SET_BUCKETS = 64
 _PENDING_IDS = "_pending-ids"
@@ -334,19 +340,8 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
             .distinct()
         )
         bands_dir = os.path.join(path, "bands")
-        leaves = (
-            sorted(
-                d
-                for d in os.listdir(bands_dir)
-                if d.startswith("band=")
-                and os.path.isdir(os.path.join(bands_dir, d))
-            )
-            if os.path.isdir(bands_dir)
-            else []
-        )
-        for leaf in leaves:
+        for leaf in _recovered_leaves(bands_dir, "band="):
             bleaf = os.path.join(bands_dir, leaf)
-            _recover_swap(bleaf)
             cleaned = (
                 spark.read.parquet(bleaf)
                 .join(F.broadcast(ids), id_col, "left_anti")

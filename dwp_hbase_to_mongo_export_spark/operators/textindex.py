@@ -232,6 +232,27 @@ def _recover_swap(target: str) -> None:
         shutil.rmtree(staging)
 
 
+def _recovered_leaves(parent: str, prefix: str) -> list[str]:
+    """Leaf partition dirs of ``parent`` (``prefix``-style Hive names),
+    AFTER recovering any swap remnants a crashed leaf rewrite left
+    behind. The pre-pass matters: a leaf stranded mid-swap exists only
+    as ``<leaf>.swap-old`` — naive listing would either miss the leaf
+    entirely or treat the backup dir as a leaf of its own (and then
+    crash when the real leaf's _recover_swap removes it first)."""
+    if not os.path.isdir(parent):
+        return []
+    for d in sorted(os.listdir(parent)):
+        if d.endswith(".swap-old") or d.endswith(".swap-staging"):
+            _recover_swap(os.path.join(parent, d.rsplit(".swap-", 1)[0]))
+    return sorted(
+        d
+        for d in os.listdir(parent)
+        if d.startswith(prefix)
+        and ".swap-" not in d
+        and os.path.isdir(os.path.join(parent, d))
+    )
+
+
 def _swap_write(df: DataFrame, target: str, partition_by: str | None = None) -> None:
     """Materialise ``df`` into a staging dir, then swap it in — safe
     even when ``df`` READS from ``target`` (the merge shapes below),
@@ -393,19 +414,8 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
     if os.path.exists(os.path.join(pdocs_dir, "_SUCCESS")):
         doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
         postings_dir = os.path.join(path, "postings")
-        leaves = (
-            sorted(
-                d
-                for d in os.listdir(postings_dir)
-                if d.startswith("bucket=")
-                and os.path.isdir(os.path.join(postings_dir, d))
-            )
-            if os.path.isdir(postings_dir)
-            else []
-        )
-        for leaf in leaves:
+        for leaf in _recovered_leaves(postings_dir, "bucket="):
             pleaf = os.path.join(postings_dir, leaf)
-            _recover_swap(pleaf)
             cleaned = (
                 spark.read.parquet(pleaf)
                 .join(F.broadcast(doc_ids), "doc_id", "left_anti")
@@ -413,7 +423,7 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
             )
             _swap_write(cleaned, pleaf)
             sleaf = os.path.join(path, "stats", leaf)
-            _recover_swap(sleaf)
+            _recover_swap(sleaf)  # leaf-level remnant from a crashed recovery
             df_rel = (
                 spark.read.parquet(pleaf)
                 .groupBy("term")

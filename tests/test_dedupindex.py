@@ -221,3 +221,44 @@ def test_crashed_inplace_rebuild_leaves_build_marker(
     assert not os.path.exists(os.path.join(path, dedupindex._BUILD_PENDING))
     assert dedupindex.stored_fingerprint(spark, path) == "v2"
     assert dedupindex.dedup_index_governance(spark, path, [0, 7])["healthy"]
+
+
+def test_recovery_survives_its_own_crash_mid_swap(spark, docs, tmp_path, monkeypatch):
+    """A recovery run can itself die between a leaf swap's two renames,
+    stranding that band leaf in `.swap-old` with no live target. The
+    re-run must restore the stranded leaf BEFORE listing leaves (a
+    naive listdir would miss it, or purge the backup dir as if it were
+    a leaf) and then finish the purge — ending at the exact pre-append
+    state, re-append equal to a clean build."""
+    import os as _os
+
+    corpus = docs.filter(F.col("doc_id") < 400)
+    old = corpus.filter(F.col("doc_id") < 300)
+    delta = corpus.filter(F.col("doc_id") >= 300)
+    path = str(tmp_path / "ix")
+    dedupindex.build_dedup_index(old, path, **PARAMS)
+    pre_bands, pre_sets = _bands_set(spark, path), _sets_set(spark, path)
+
+    def boom(df, target, partition_by=None):
+        raise RuntimeError("simulated crash before the meta swap")
+
+    monkeypatch.setattr(dedupindex, "_swap_write", boom)
+    with pytest.raises(RuntimeError):
+        dedupindex.append_to_dedup_index(delta, path)
+    monkeypatch.undo()
+
+    # simulate the FIRST recovery dying between band=0's two renames:
+    # the (already appended-to) leaf sits in .swap-old, target missing
+    leaf = _os.path.join(path, "bands", "band=0")
+    _os.rename(leaf, leaf + ".swap-old")
+
+    res = dedupindex.recover_dedup_index_append(spark, path)
+    assert res["recovered"] and res["band_leaves_purged"] == PARAMS["n_perm"] // 2
+    assert _bands_set(spark, path) == pre_bands
+    assert _sets_set(spark, path) == pre_sets
+
+    dedupindex.append_to_dedup_index(delta, path)
+    full = str(tmp_path / "full")
+    dedupindex.build_dedup_index(corpus, full, **PARAMS)
+    assert _bands_set(spark, path) == _bands_set(spark, full)
+    assert _sets_set(spark, path) == _sets_set(spark, full)
