@@ -13,8 +13,10 @@
 
 from __future__ import annotations
 
+import json
 import logging
 import os
+import shutil
 import threading
 
 import numpy as np
@@ -210,6 +212,29 @@ def build_ivf_index(
     return index, cents
 
 
+# Durable-store crash protocol (round-9, shared with textindex/
+# dedupindex): an append records its batch ids under an
+# ``_append-pending`` marker BEFORE any store write, loaders refuse a
+# marked artifact, and recover_*_index_append purges the recorded ids —
+# a crashed append may already have landed rows, so a blind retry would
+# double-write them (duplicate posting/code rows distort top-k and are
+# invisible to recall governance, which compares against the index's
+# own corpus).
+from .textindex import _PENDING  # noqa: E402
+from .textindex import _recover_swap, _recovered_leaves, _swap_write  # noqa: E402
+
+_PENDING_IDS = "_pending-ids"
+
+
+def _check_append_marker(path: str, recover_name: str) -> None:
+    if os.path.exists(os.path.join(path, _PENDING)):
+        raise ValueError(
+            f"{path}: an append is pending or died mid-flight — batch "
+            "rows may already be stored; run "
+            f"{recover_name} and re-append the batch, or rebuild"
+        )
+
+
 def save_ivf_index(
     index: DataFrame, cents, path: str, fingerprint: str | None = None
 ) -> None:
@@ -257,19 +282,79 @@ def append_to_ivf_index(
     coarse quantiser. Re-train + rebuild only when centroid drift
     (ann_recall_report's governance loop) says the quantiser went
     stale."""
+    spark = new_batch.sparkSession
+    recover_ivf_index_append(spark, path)
     if new_batch.isEmpty():
         return  # a foreachBatch cadence can deliver empty micro-batches;
         # writing them would add empty file-sets — pure fragmentation
-    spark = new_batch.sparkSession
     _, cents = load_ivf_index(spark, path)
     batch_index = _nearest_centroids(new_batch, cents, 1, vec_col, "cluster").select(
         "cluster",
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
     )
-    batch_index.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(path, "postings")
-    )
+    # RETRY protocol (the textindex/dedupindex discipline): marker +
+    # the batch's (cluster, id) rows recorded BEFORE the store write,
+    # so a crashed append is purgeable instead of double-writable on
+    # retry. persist: the assignment feeds both the record and the
+    # append — one Arrow pass, and both writes see identical clusters.
+    batch_index = batch_index.persist()
+    try:
+        pending = os.path.join(path, _PENDING)
+        with open(pending, "w", encoding="utf-8") as f:
+            f.write(json.dumps({"kind": "ivf"}))
+        batch_index.select(
+            F.col("neighbor_id").alias("id"), "cluster"
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(path, _PENDING_IDS)
+        )
+        batch_index.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(path, "postings")
+        )
+        shutil.rmtree(os.path.join(path, _PENDING_IDS))
+        os.remove(pending)
+    finally:
+        batch_index.unpersist()
+
+
+def recover_ivf_index_append(spark, path: str) -> dict:
+    """Return a torn-append IVF artifact to its exact pre-append state
+    so the same batch can be re-appended safely: anti-join the recorded
+    ``_pending-ids`` out of the recorded clusters' posting leaves (the
+    assignment is deterministic under the frozen quantiser, so the
+    recorded clusters are exactly where the crashed append's rows can
+    be). Leaf listing goes through the swap-remnant pre-pass, so a
+    recovery that itself died mid-swap re-runs cleanly. No stats or
+    meta to restore — posting rows are the IVF store's only mutable
+    relation. No-op without a marker."""
+    pending = os.path.join(path, _PENDING)
+    if not os.path.exists(pending):
+        return {"recovered": False}
+    postings_dir = os.path.join(path, "postings")
+    _recovered_leaves(postings_dir, "cluster=")
+    purged = 0
+    pids_dir = os.path.join(path, _PENDING_IDS)
+    if os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
+        pids = spark.read.parquet(pids_dir)
+        clusters = [
+            r["cluster"] for r in pids.select("cluster").distinct().collect()
+        ]
+        ids = pids.select(F.col("id").alias("neighbor_id")).distinct()
+        for cl in sorted(int(c) for c in clusters):
+            leaf = os.path.join(postings_dir, f"cluster={cl}")
+            if not os.path.isdir(leaf):
+                continue
+            cleaned = (
+                spark.read.parquet(leaf)
+                .join(F.broadcast(ids), "neighbor_id", "left_anti")
+                .select("neighbor_id", "cv")
+            )
+            _swap_write(cleaned, leaf)
+            purged += 1
+    if os.path.isdir(pids_dir):
+        shutil.rmtree(pids_dir)
+    os.remove(pending)
+    return {"recovered": True, "cluster_leaves_purged": purged}
 
 
 def compact_ivf_postings(
@@ -307,6 +392,7 @@ def load_ivf_index(spark, path: str, expect_fingerprint: str | None = None):
     a silently wrong answer, so path-keyed reuse must verify content."""
     from .clustering import rows_to_centroids
 
+    _check_append_marker(path, "recover_ivf_index_append")
     if expect_fingerprint is not None:
         meta_dir = os.path.join(path, "meta")
         stored = None
@@ -381,11 +467,27 @@ def ivf_index_governance(
             "a recall over zero queries would read as healthy"
         )
     recall = len(approx & exact) / len(exact)
+    # append-contract check (round-9): a re-appended existing id stores
+    # duplicate posting rows, which DISTORT top-k yet are invisible to
+    # the recall comparison (ground truth runs over the index's own
+    # corpus, duplicates and all). Bounded: sampled ids only, capped
+    # collect — the dedup/text index governance discipline.
+    ids = [int(i) for i in query_ids]
+    duplicate_ids = sorted(
+        r["neighbor_id"]
+        for r in index.filter(F.col("neighbor_id").isin(ids))
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(len(ids))
+        .collect()
+    )
     return {
         "recall": recall,
         "n_queries": len({qid for qid, _ in exact}),
         "recall_floor": recall_floor,
-        "rebuild": recall < recall_floor,
+        "duplicate_ids": duplicate_ids,
+        "rebuild": recall < recall_floor or bool(duplicate_ids),
     }
 
 
@@ -695,7 +797,9 @@ def save_pq_index(codes: DataFrame, books, path: str) -> None:
 def load_pq_index(spark, path: str):
     """Load a save_pq_index artifact: returns (codes, books) exactly as
     build_pq_index does, ready for query_pq — a fresh session queries
-    the index without re-training or re-encoding anything."""
+    the index without re-training or re-encoding anything. Refuses a
+    torn artifact (append died mid-flight; see recover_pq_index_append)."""
+    _check_append_marker(path, "recover_pq_index_append")
     codes = spark.read.parquet(os.path.join(path, "codes"))
     rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
     by: dict[int, list] = {}
@@ -728,13 +832,67 @@ def append_to_pq_index(
     recall governance says the codebooks went stale (the loaded index's
     results are pinned identical to in-session ones, so the in-session
     ann_recall_report PQ row transfers verbatim to this artifact)."""
+    spark = new_batch.sparkSession
+    recover_pq_index_append(spark, path)
     if new_batch.isEmpty():
         return  # see append_to_ivf_index: empty micro-batches would only fragment
-    spark = new_batch.sparkSession
     _, books = load_pq_index(spark, path)
+    # RETRY protocol (see append_to_ivf_index): ids recorded before the
+    # store write; the marker records the id column name so recovery
+    # can anti-join without the caller's arguments.
+    pending = os.path.join(path, _PENDING)
+    with open(pending, "w", encoding="utf-8") as f:
+        f.write(json.dumps({"kind": "pq", "id_col": id_col}))
+    new_batch.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, _PENDING_IDS))
     pq_encode(new_batch, books, id_col=id_col, vec_col=vec_col).write.mode(
         "append"
     ).parquet(os.path.join(path, "codes"))
+    shutil.rmtree(os.path.join(path, _PENDING_IDS))
+    os.remove(pending)
+
+
+def recover_pq_index_append(spark, path: str) -> dict:
+    """Return a torn-append PQ artifact to its exact pre-append state:
+    anti-join the recorded ``_pending-ids`` out of the flat codes store
+    (one store-sized swap rewrite — I/O only, no re-encoding; the rare
+    recovery path, vs the re-encode-everything rebuild that was
+    previously the only safe answer). No-op without a marker; raises on
+    a pre-protocol (unparseable) marker."""
+    pending = os.path.join(path, _PENDING)
+    codes_dir = os.path.join(path, "codes")
+    _recover_swap(codes_dir)
+    if not os.path.exists(pending):
+        return {"recovered": False}
+    with open(pending, encoding="utf-8") as f:
+        raw = f.read()
+    try:
+        id_col = str(json.loads(raw)["id_col"])
+    except (ValueError, TypeError, KeyError) as e:
+        raise ValueError(
+            f"{path}: pending-append marker is unreadable ({e!r}) — "
+            "pre-protocol or corrupt state cannot be auto-recovered; "
+            "rebuild the index from the corpus"
+        ) from None
+    purged = False
+    pids_dir = os.path.join(path, _PENDING_IDS)
+    if os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
+        ids = (
+            spark.read.parquet(pids_dir)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        codes = spark.read.parquet(codes_dir)
+        cleaned = codes.join(F.broadcast(ids), id_col, "left_anti").select(
+            *codes.columns
+        )
+        _swap_write(cleaned, codes_dir)
+        purged = True
+    if os.path.isdir(pids_dir):
+        shutil.rmtree(pids_dir)
+    os.remove(pending)
+    return {"recovered": True, "codes_purged": purged}
 
 
 def compact_pq_codes(

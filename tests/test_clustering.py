@@ -781,3 +781,130 @@ def test_index_appends_ignore_empty_batches(spark, emb, tmp_path):
     assert sorted(glob.glob(os.path.join(ppath, "codes", "*.parquet"))) == before
     loaded2, _ = similarity.load_pq_index(spark, ppath)
     assert loaded2.count() == vecs.count()
+
+
+def _ivf_postings_set(spark, path):
+    return {
+        (r["cluster"], r["neighbor_id"], tuple(r["cv"]))
+        for r in spark.read.parquet(path + "/postings").collect()
+    }
+
+
+def test_ivf_torn_append_recovers_and_retries(spark, emb, tmp_path):
+    """Round-9 retry protocol on the IVF store: an append that died
+    after its posting rows landed (marker + pending-ids still present)
+    must be purgeable — a blind retry would double-write the batch and
+    duplicate neighbors distort top-k while staying invisible to recall
+    governance. The torn state is hand-rolled exactly as the crashed
+    append leaves it; recovery restores the pre-append postings and the
+    retried real append equals the clean path."""
+    import json as _json
+    import os as _os
+
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity._resolve_centroids(
+        emb.filter(F.col("vec_id") < 200), None, 50, None, "vec_id", "embedding"
+    )
+    idx = similarity._nearest_centroids(
+        old, cents, 1, "embedding", "cluster"
+    ).select(
+        "cluster", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(idx, cents, path)
+    pre = _ivf_postings_set(spark, path)
+
+    # hand-roll the crashed append's steps: marker, pending-ids, append
+    batch_index = similarity._nearest_centroids(
+        new, cents, 1, "embedding", "cluster"
+    ).select(
+        "cluster", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    with open(_os.path.join(path, similarity._PENDING), "w") as f:
+        f.write(_json.dumps({"kind": "ivf"}))
+    batch_index.select(
+        F.col("neighbor_id").alias("id"), "cluster"
+    ).distinct().write.mode("overwrite").parquet(
+        _os.path.join(path, similarity._PENDING_IDS)
+    )
+    batch_index.write.mode("append").partitionBy("cluster").parquet(
+        path + "/postings"
+    )
+
+    with pytest.raises(ValueError, match="recover_ivf_index_append"):
+        similarity.load_ivf_index(spark, path)
+    res = similarity.recover_ivf_index_append(spark, path)
+    assert res["recovered"] and res["cluster_leaves_purged"] > 0
+    assert _ivf_postings_set(spark, path) == pre
+
+    # the real append (which auto-recovers on entry too) now lands once
+    similarity.append_to_ivf_index(path, new)
+    assert spark.read.parquet(path + "/postings").count() == emb.count()
+    gov = similarity.ivf_index_governance(spark, path, list(range(10)), k=5)
+    assert gov["duplicate_ids"] == []
+
+
+def test_ivf_governance_flags_duplicate_appended_ids(spark, emb, tmp_path):
+    """The append contract violation the recall check cannot see:
+    re-appending already-indexed ids stores duplicate posting rows;
+    governance now reports them and verdicts rebuild."""
+    cents = similarity._resolve_centroids(
+        emb.filter(F.col("vec_id") < 200), None, 50, None, "vec_id", "embedding"
+    )
+    idx = similarity._nearest_centroids(
+        emb, cents, 1, "embedding", "cluster"
+    ).select(
+        "cluster", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(idx, cents, path)
+    similarity.append_to_ivf_index(path, emb.filter(F.col("vec_id") < 5))
+    gov = similarity.ivf_index_governance(spark, path, list(range(10)), k=5)
+    assert gov["duplicate_ids"] == [0, 1, 2, 3, 4]
+    assert gov["rebuild"]
+
+
+def test_pq_torn_append_recovers_and_retries(spark, emb, tmp_path):
+    """The PQ twin: recovery purges the recorded ids from the flat
+    codes store (one I/O-only swap rewrite) and the retried append
+    equals the clean path bit-for-bit."""
+    import json as _json
+    import os as _os
+
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    codes, books = similarity.build_pq_index(old, m=4, k_codes=8, iters=2)
+    path = str(tmp_path / "pq")
+    similarity.save_pq_index(codes, books, path)
+    pre = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path + "/codes").collect()
+    }
+
+    with open(_os.path.join(path, similarity._PENDING), "w") as f:
+        f.write(_json.dumps({"kind": "pq", "id_col": "vec_id"}))
+    new.select(F.col("vec_id").alias("id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, similarity._PENDING_IDS))
+    similarity.pq_encode(new, books).write.mode("append").parquet(path + "/codes")
+
+    with pytest.raises(ValueError, match="recover_pq_index_append"):
+        similarity.load_pq_index(spark, path)
+    res = similarity.recover_pq_index_append(spark, path)
+    assert res["recovered"] and res["codes_purged"]
+    assert {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path + "/codes").collect()
+    } == pre
+
+    similarity.append_to_pq_index(path, new)
+    loaded, books2 = similarity.load_pq_index(spark, path)
+    assert loaded.count() == emb.count()
+    full_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert {
+        (r["vec_id"], tuple(r["codes"])) for r in loaded.collect()
+    } == full_codes
