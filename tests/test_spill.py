@@ -26,7 +26,12 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRILL = os.path.join(REPO, "tools", "spill_drill.py")
-QUERIES = ["dedup_minhash_lsh", "winnowing_overlap"]
+# dedup_incremental_indexed joined in round 9: its durable-index build
+# (signature Arrow pass + partitioned writes) and batch screen
+# (candidate join + set verify) must also complete by spilling, and the
+# fingerprint-gated artifact must hash-match across constrained and
+# unconstrained sessions.
+QUERIES = ["dedup_minhash_lsh", "winnowing_overlap", "dedup_incremental_indexed"]
 
 
 def _session_hashes(spark, sf_dir: str) -> dict[str, tuple[int, str]]:
