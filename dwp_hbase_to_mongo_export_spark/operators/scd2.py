@@ -191,3 +191,34 @@ def merge_batch(
         changes(touched, key, attr, ts, tiebreak), key, attr, ts, tiebreak
     )
     return intervals(untouched, key, attr, ts, tiebreak).unionByName(rebuilt)
+
+
+def fold_last_event_ts(
+    prev: DataFrame | None,
+    batch: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Maintain the per-key last-RAW-event timestamp relation that
+    closes ``enforce_watermark``'s compressed-changelog gap: one
+    (key, ts) row per key ever seen, folded by MAX on each batch —
+    constant-size state (key-cardinality, two columns) any ingest job
+    can persist alongside the change rows. ``prev=None`` starts the
+    state from the first batch (or from the full changelog when
+    backfilling). Fold THEN merge: the relation passed to merge_batch
+    as ``last_event_ts`` must be the PREVIOUS state (before this
+    batch's fold) — folding first would compare the batch against
+    itself and the guard would never trip.
+
+    Scale shape: one key-partial aggregation of the batch plus a
+    key-sized union+max against the stored state — the same shuffle key
+    as the merge itself, no changelog re-scan ever."""
+    folded = batch.groupBy(key).agg(F.max(ts).alias(ts))
+    if prev is None:
+        return folded
+    return (
+        prev.select(key, ts)
+        .unionByName(folded)
+        .groupBy(key)
+        .agg(F.max(ts).alias(ts))
+    )

@@ -701,3 +701,44 @@ def test_dedup_index_query_python_is_batch_only_and_sets_scan_prunes(
     assert sets_scans and all(
         "dynamicpruningexpression" in ln for ln in sets_scans
     ), splan
+
+
+def test_scd2_fold_last_event_ts_maintains_the_guard_state(spark):
+    """fold_last_event_ts across two ingest batches produces exactly the
+    state that lets enforce_watermark catch the compressed-gap late row
+    (the round-8 advice scenario), while a contract-respecting batch
+    stream merges green with the guard fully on."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dwp_hbase_to_mongo_export_spark.operators import scd2
+
+    schema = "user_id int, event_type string, ts string, event_id int"
+
+    def ev(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    b1 = ev([(1, "A", "2024-01-01 00:00:00", 1)])
+    b2 = ev([(1, "A", "2024-01-03 00:00:00", 2)])  # duplicate -> compressed away
+
+    state = scd2.fold_last_event_ts(None, b1)
+    changes = scd2.changes(b1)
+    # fold-then-merge order: guard b2 against the PREVIOUS state
+    scd2.enforce_watermark(changes, b2, "user_id", "ts", last_event_ts=state)
+    changes = scd2.changes(changes.unionByName(b2.select(*changes.columns)))
+    state = scd2.fold_last_event_ts(state, b2)
+    assert state.head()["ts"].isoformat().startswith("2024-01-03")
+    assert changes.count() == 1  # the duplicate compressed away
+
+    # the late row lands between the last change and the folded raw max:
+    # invisible to the compressed guard, caught with the folded state
+    late = ev([(1, "B", "2024-01-02 00:00:00", 3)])
+    scd2.enforce_watermark(changes, late, "user_id", "ts")  # the documented gap
+    with pytest.raises(ValueError, match="watermark violation"):
+        scd2.merge_batch(changes, late, validate=True, last_event_ts=state)
+
+    # a genuinely append-only next batch passes with the guard fully on
+    b3 = ev([(1, "B", "2024-01-04 00:00:00", 4)])
+    merged = scd2.merge_batch(changes, b3, validate=True, last_event_ts=state)
+    assert merged.filter(F.col("is_current") == 1).count() == 1
