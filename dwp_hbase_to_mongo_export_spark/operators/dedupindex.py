@@ -251,7 +251,11 @@ def append_to_dedup_index(
     with open(pending, "w", encoding="utf-8") as f:
         f.write(
             json.dumps(
-                {"n_docs": int(m["n_docs"]), "fingerprint": m["fingerprint"]}
+                {
+                    "protocol": 2,
+                    "n_docs": int(m["n_docs"]),
+                    "fingerprint": m["fingerprint"],
+                }
             )
         )
     delta.select(F.col(id_col).alias("id")).distinct().write.mode(
@@ -289,8 +293,13 @@ def append_to_dedup_index(
         "max_chars int, id_col string, fingerprint string",
     )
     _swap_write(meta, os.path.join(path, "meta"))
-    shutil.rmtree(os.path.join(path, _PENDING_IDS))
+    # Commit point (round-9 advice): marker removal IS the commit
+    # record, so it precedes the ids-record delete — a crash between
+    # the two leaves a marker-less stale ids dir (inert: recovery
+    # no-ops without a marker, the next append overwrites it), never a
+    # live marker whose purge record is gone.
     os.remove(pending)
+    shutil.rmtree(os.path.join(path, _PENDING_IDS))
 
 
 def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
@@ -312,7 +321,10 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
     signature recomputation, paid only on the rare recovery path.
     No-op without a marker; raises on a pre-protocol (unparseable)
     marker — that state predates the recorded scalars and only a
-    rebuild is safe."""
+    rebuild is safe. Round-9 advice hardening: a protocol-2 marker
+    without a committed ``_pending-ids`` record proves no store write
+    happened (cleanup + ``store_untouched``); the same state under a
+    pre-v2 marker is ambiguous and raises, advising rebuild."""
     pending = os.path.join(path, _PENDING)
     _recover_swap(os.path.join(path, "meta"))
     if not os.path.exists(pending):
@@ -323,6 +335,7 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
         state = json.loads(raw)
         old_n_docs = int(state["n_docs"])
         old_fp = str(state.get("fingerprint") or "")
+        protocol = int(state.get("protocol") or 1)
     except (ValueError, TypeError, KeyError) as e:
         raise ValueError(
             f"{path}: pending-append marker is unreadable ({e!r}) — "
@@ -333,44 +346,67 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
     id_col = m.asDict().get("id_col") or "doc_id"
     bands_purged = sets_purged = 0
     pids_dir = os.path.join(path, _PENDING_IDS)
-    if os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
-        ids = (
-            spark.read.parquet(pids_dir)
-            .select(F.col("id").alias(id_col))
-            .distinct()
+    if not os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
+        # Round-9 advice: under protocol 2 the ids record precedes every
+        # store write and the marker's removal is the commit record, so
+        # marker-present-without-a-committed-ids-record PROVES no band/
+        # set/meta write happened — clean up, leave the store alone. A
+        # pre-v2 marker in this state is ambiguous ('nothing written' vs
+        # 'fully committed' under the old delete-ids-first ordering);
+        # restoring meta could silently revert n_docs/fingerprint under
+        # committed rows, so refuse loudly.
+        if protocol < 2:
+            raise ValueError(
+                f"{path}: pending-append marker present but the "
+                "_pending-ids record is missing or incomplete — for a "
+                "pre-protocol-2 marker this is ambiguous between "
+                "'nothing written' and 'fully committed' and cannot be "
+                "auto-recovered; rebuild the index from the corpus"
+            )
+        if os.path.isdir(pids_dir):
+            shutil.rmtree(pids_dir)
+        os.remove(pending)
+        return {
+            "recovered": True,
+            "band_leaves_purged": 0,
+            "set_leaves_purged": 0,
+            "store_untouched": True,
+        }
+    ids = (
+        spark.read.parquet(pids_dir)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    bands_dir = os.path.join(path, "bands")
+    for leaf in _recovered_leaves(bands_dir, "band="):
+        bleaf = os.path.join(bands_dir, leaf)
+        cleaned = (
+            spark.read.parquet(bleaf)
+            .join(F.broadcast(ids), id_col, "left_anti")
+            .select(id_col, "band_key")
+            .sortWithinPartitions(id_col)
         )
-        bands_dir = os.path.join(path, "bands")
-        for leaf in _recovered_leaves(bands_dir, "band="):
-            bleaf = os.path.join(bands_dir, leaf)
-            cleaned = (
-                spark.read.parquet(bleaf)
-                .join(F.broadcast(ids), id_col, "left_anti")
-                .select(id_col, "band_key")
-                .sortWithinPartitions(id_col)
-            )
-            _swap_write(cleaned, bleaf)
-            bands_purged += 1
-        buckets = [
-            r["bucket"]
-            for r in ids.withColumn("bucket", _bucket_of(id_col))
-            .select("bucket")
-            .distinct()
-            .collect()
-        ]
-        for b in sorted(buckets):
-            sleaf = os.path.join(path, "sets", f"bucket={b}")
-            _recover_swap(sleaf)
-            if not os.path.isdir(sleaf):
-                continue
-            cleaned = (
-                spark.read.parquet(sleaf)
-                .join(F.broadcast(ids), id_col, "left_anti")
-                .select(id_col, "hs")
-            )
-            _swap_write(cleaned, sleaf)
-            sets_purged += 1
-    if os.path.isdir(pids_dir):
-        shutil.rmtree(pids_dir)
+        _swap_write(cleaned, bleaf)
+        bands_purged += 1
+    buckets = [
+        r["bucket"]
+        for r in ids.withColumn("bucket", _bucket_of(id_col))
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
+    for b in sorted(buckets):
+        sleaf = os.path.join(path, "sets", f"bucket={b}")
+        _recover_swap(sleaf)
+        if not os.path.isdir(sleaf):
+            continue
+        cleaned = (
+            spark.read.parquet(sleaf)
+            .join(F.broadcast(ids), id_col, "left_anti")
+            .select(id_col, "hs")
+        )
+        _swap_write(cleaned, sleaf)
+        sets_purged += 1
     meta = spark.createDataFrame(
         [
             (
@@ -387,7 +423,10 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
         "max_chars int, id_col string, fingerprint string",
     )
     _swap_write(meta, os.path.join(path, "meta"))
+    # Same commit discipline as the append: marker removal commits the
+    # recovery; the ids record outliving the marker is inert.
     os.remove(pending)
+    shutil.rmtree(pids_dir)
     return {
         "recovered": True,
         "band_leaves_purged": bands_purged,

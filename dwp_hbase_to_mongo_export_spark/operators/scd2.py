@@ -205,10 +205,11 @@ def fold_last_event_ts(
     constant-size state (key-cardinality, two columns) any ingest job
     can persist alongside the change rows. ``prev=None`` starts the
     state from the first batch (or from the full changelog when
-    backfilling). Fold THEN merge: the relation passed to merge_batch
-    as ``last_event_ts`` must be the PREVIOUS state (before this
-    batch's fold) — folding first would compare the batch against
-    itself and the guard would never trip.
+    backfilling). Merge THEN fold: guard/merge the batch against the
+    PREVIOUS state, and fold the batch into the state only after — the
+    relation passed to merge_batch as ``last_event_ts`` must predate
+    this batch's fold, because folding first would compare the batch
+    against itself and the guard would never trip.
 
     Scale shape: one key-partial aggregation of the batch plus a
     key-sized union+max against the stored state — the same shuffle key

@@ -302,7 +302,7 @@ def append_to_ivf_index(
     try:
         pending = os.path.join(path, _PENDING)
         with open(pending, "w", encoding="utf-8") as f:
-            f.write(json.dumps({"kind": "ivf"}))
+            f.write(json.dumps({"kind": "ivf", "protocol": 2}))
         batch_index.select(
             F.col("neighbor_id").alias("id"), "cluster"
         ).distinct().write.mode("overwrite").parquet(
@@ -311,8 +311,12 @@ def append_to_ivf_index(
         batch_index.write.mode("append").partitionBy("cluster").parquet(
             os.path.join(path, "postings")
         )
-        shutil.rmtree(os.path.join(path, _PENDING_IDS))
+        # Commit point (round-9 advice): marker removal IS the commit
+        # record and precedes the ids-record delete — a crash between
+        # the two leaves an inert marker-less ids dir, never a live
+        # marker whose purge record is gone.
         os.remove(pending)
+        shutil.rmtree(os.path.join(path, _PENDING_IDS))
     finally:
         batch_index.unpersist()
 
@@ -330,30 +334,59 @@ def recover_ivf_index_append(spark, path: str) -> dict:
     pending = os.path.join(path, _PENDING)
     if not os.path.exists(pending):
         return {"recovered": False}
+    with open(pending, encoding="utf-8") as f:
+        raw = f.read()
+    try:
+        protocol = int(json.loads(raw).get("protocol") or 1)
+    except (ValueError, TypeError, AttributeError):
+        protocol = 1
     postings_dir = os.path.join(path, "postings")
     _recovered_leaves(postings_dir, "cluster=")
     purged = 0
     pids_dir = os.path.join(path, _PENDING_IDS)
-    if os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
-        pids = spark.read.parquet(pids_dir)
-        clusters = [
-            r["cluster"] for r in pids.select("cluster").distinct().collect()
-        ]
-        ids = pids.select(F.col("id").alias("neighbor_id")).distinct()
-        for cl in sorted(int(c) for c in clusters):
-            leaf = os.path.join(postings_dir, f"cluster={cl}")
-            if not os.path.isdir(leaf):
-                continue
-            cleaned = (
-                spark.read.parquet(leaf)
-                .join(F.broadcast(ids), "neighbor_id", "left_anti")
-                .select("neighbor_id", "cv")
+    if not os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
+        # Round-9 advice: a protocol-2 marker without a committed ids
+        # record proves the posting store is untouched (the record
+        # precedes the store write; marker removal is the commit
+        # record) — clean up and report so. Pre-v2 markers are
+        # ambiguous ('nothing written' vs 'fully committed' under the
+        # old delete-ids-first ordering): a caller told "recovered" by
+        # that state would re-append and double-write, so refuse.
+        if protocol < 2:
+            raise ValueError(
+                f"{path}: pending-append marker present but the "
+                "_pending-ids record is missing or incomplete — for a "
+                "pre-protocol-2 marker this is ambiguous between "
+                "'nothing written' and 'fully committed' and cannot be "
+                "auto-recovered; rebuild the index from the corpus"
             )
-            _swap_write(cleaned, leaf)
-            purged += 1
-    if os.path.isdir(pids_dir):
-        shutil.rmtree(pids_dir)
+        if os.path.isdir(pids_dir):
+            shutil.rmtree(pids_dir)
+        os.remove(pending)
+        return {
+            "recovered": True,
+            "cluster_leaves_purged": 0,
+            "store_untouched": True,
+        }
+    pids = spark.read.parquet(pids_dir)
+    clusters = [
+        r["cluster"] for r in pids.select("cluster").distinct().collect()
+    ]
+    ids = pids.select(F.col("id").alias("neighbor_id")).distinct()
+    for cl in sorted(int(c) for c in clusters):
+        leaf = os.path.join(postings_dir, f"cluster={cl}")
+        if not os.path.isdir(leaf):
+            continue
+        cleaned = (
+            spark.read.parquet(leaf)
+            .join(F.broadcast(ids), "neighbor_id", "left_anti")
+            .select("neighbor_id", "cv")
+        )
+        _swap_write(cleaned, leaf)
+        purged += 1
+    # Marker removal commits the recovery; a surviving ids dir is inert.
     os.remove(pending)
+    shutil.rmtree(pids_dir)
     return {"recovered": True, "cluster_leaves_purged": purged}
 
 
@@ -842,15 +875,17 @@ def append_to_pq_index(
     # can anti-join without the caller's arguments.
     pending = os.path.join(path, _PENDING)
     with open(pending, "w", encoding="utf-8") as f:
-        f.write(json.dumps({"kind": "pq", "id_col": id_col}))
+        f.write(json.dumps({"kind": "pq", "id_col": id_col, "protocol": 2}))
     new_batch.select(F.col(id_col).alias("id")).distinct().write.mode(
         "overwrite"
     ).parquet(os.path.join(path, _PENDING_IDS))
     pq_encode(new_batch, books, id_col=id_col, vec_col=vec_col).write.mode(
         "append"
     ).parquet(os.path.join(path, "codes"))
-    shutil.rmtree(os.path.join(path, _PENDING_IDS))
+    # Commit point (round-9 advice): marker removal IS the commit record
+    # and precedes the ids-record delete (see append_to_ivf_index).
     os.remove(pending)
+    shutil.rmtree(os.path.join(path, _PENDING_IDS))
 
 
 def recover_pq_index_append(spark, path: str) -> dict:
@@ -868,31 +903,46 @@ def recover_pq_index_append(spark, path: str) -> dict:
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:
-        id_col = str(json.loads(raw)["id_col"])
+        state = json.loads(raw)
+        id_col = str(state["id_col"])
+        protocol = int(state.get("protocol") or 1)
     except (ValueError, TypeError, KeyError) as e:
         raise ValueError(
             f"{path}: pending-append marker is unreadable ({e!r}) — "
             "pre-protocol or corrupt state cannot be auto-recovered; "
             "rebuild the index from the corpus"
         ) from None
-    purged = False
     pids_dir = os.path.join(path, _PENDING_IDS)
-    if os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
-        ids = (
-            spark.read.parquet(pids_dir)
-            .select(F.col("id").alias(id_col))
-            .distinct()
-        )
-        codes = spark.read.parquet(codes_dir)
-        cleaned = codes.join(F.broadcast(ids), id_col, "left_anti").select(
-            *codes.columns
-        )
-        _swap_write(cleaned, codes_dir)
-        purged = True
-    if os.path.isdir(pids_dir):
-        shutil.rmtree(pids_dir)
+    if not os.path.exists(os.path.join(pids_dir, "_SUCCESS")):
+        # Round-9 advice: protocol-2 marker without a committed ids
+        # record → codes store provably untouched, clean up; pre-v2 →
+        # ambiguous, refuse (see recover_ivf_index_append).
+        if protocol < 2:
+            raise ValueError(
+                f"{path}: pending-append marker present but the "
+                "_pending-ids record is missing or incomplete — for a "
+                "pre-protocol-2 marker this is ambiguous between "
+                "'nothing written' and 'fully committed' and cannot be "
+                "auto-recovered; rebuild the index from the corpus"
+            )
+        if os.path.isdir(pids_dir):
+            shutil.rmtree(pids_dir)
+        os.remove(pending)
+        return {"recovered": True, "codes_purged": False, "store_untouched": True}
+    ids = (
+        spark.read.parquet(pids_dir)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    codes = spark.read.parquet(codes_dir)
+    cleaned = codes.join(F.broadcast(ids), id_col, "left_anti").select(
+        *codes.columns
+    )
+    _swap_write(cleaned, codes_dir)
+    # Marker removal commits the recovery; a surviving ids dir is inert.
     os.remove(pending)
-    return {"recovered": True, "codes_purged": purged}
+    shutil.rmtree(pids_dir)
+    return {"recovered": True, "codes_purged": True}
 
 
 def compact_pq_codes(

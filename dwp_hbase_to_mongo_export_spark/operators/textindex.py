@@ -322,6 +322,7 @@ def append_to_text_index(
         f.write(
             json.dumps(
                 {
+                    "protocol": 2,
                     "n_docs": int(old_meta["n_docs"]),
                     "n_tok_docs": int(old_meta["n_tok_docs"]),
                     "sum_dl": int(old_meta["sum_dl"]),
@@ -361,8 +362,15 @@ def append_to_text_index(
         "fingerprint", F.lit(fingerprint or "")
     )
     _swap_write(merged_meta, os.path.join(path, "meta"))
-    shutil.rmtree(os.path.join(path, _PENDING_DOCS))
+    # Commit point (round-9 advice): removing the MARKER is the commit
+    # record, so it must precede the ids-record delete. A crash between
+    # the two leaves a marker-less stale ids dir — inert junk (recovery
+    # no-ops without a marker; the next append overwrites it) — instead
+    # of a live marker whose purge record is gone, which recovery would
+    # have mis-read as "restore meta, skip the purge" and silently
+    # reverted n_docs/avgdl under committed postings.
     os.remove(pending)
+    shutil.rmtree(os.path.join(path, _PENDING_DOCS))
 
 
 def recover_text_index_append(spark: SparkSession, path: str) -> dict:
@@ -388,8 +396,12 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
     (store-sized I/O, zero tokenisation) — far cheaper than the full
     rebuild that was previously the only safe answer, and paid only on
     the rare recovery path; the happy-path append stays delta-sized.
-    No-op without a marker. A marker whose state predates this protocol
-    (unparseable) cannot be auto-recovered — raises, advising rebuild."""
+    No-op without a marker. Round-9 advice hardening: a protocol-2
+    marker whose ``_pending-docs`` record never committed proves no
+    store write happened (the record precedes every store write and the
+    marker's removal is the commit record) — recovery just cleans up
+    and reports ``store_untouched``; the same state under a pre-v2 or
+    unparseable marker is ambiguous and raises, advising rebuild."""
     pending = os.path.join(path, _PENDING)
     if not os.path.exists(pending):
         return {"recovered": False}
@@ -403,6 +415,7 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
             "sum_dl": int(state["sum_dl"]),
             "fingerprint": str(state.get("fingerprint") or ""),
         }
+        protocol = int(state.get("protocol") or 1)
     except (ValueError, TypeError, KeyError) as e:
         raise ValueError(
             f"{path}: pending-append marker is unreadable ({e!r}) — "
@@ -411,32 +424,51 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
         ) from None
     buckets_purged = 0
     pdocs_dir = os.path.join(path, _PENDING_DOCS)
-    if os.path.exists(os.path.join(pdocs_dir, "_SUCCESS")):
-        doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
-        postings_dir = os.path.join(path, "postings")
-        for leaf in _recovered_leaves(postings_dir, "bucket="):
-            pleaf = os.path.join(postings_dir, leaf)
-            cleaned = (
-                spark.read.parquet(pleaf)
-                .join(F.broadcast(doc_ids), "doc_id", "left_anti")
-                .select("term", "doc_id", "tf", "dl")
+    if not os.path.exists(os.path.join(pdocs_dir, "_SUCCESS")):
+        # Marker present but the purge record never committed. Under
+        # protocol 2 (marker removal is the commit record; the ids
+        # record precedes every store write) this PROVES no postings/
+        # stats/meta write happened — clean up the partial record and
+        # the marker, and leave the provably-untouched store alone.
+        # A pre-v2 marker is ambiguous between "nothing written" and
+        # "fully committed" (its commit order deleted the ids record
+        # FIRST), so restoring meta could silently revert n_docs/avgdl
+        # under committed postings: refuse loudly (round-9 advice).
+        if protocol < 2:
+            raise ValueError(
+                f"{path}: pending-append marker present but the "
+                "_pending-docs record is missing or incomplete — for a "
+                "pre-protocol-2 marker this is ambiguous between "
+                "'nothing written' and 'fully committed' and cannot be "
+                "auto-recovered; rebuild the index from the corpus"
             )
-            _swap_write(cleaned, pleaf)
-            sleaf = os.path.join(path, "stats", leaf)
-            _recover_swap(sleaf)  # leaf-level remnant from a crashed recovery
-            df_rel = (
-                spark.read.parquet(pleaf)
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-                .select("term", "df")
-            )
-            if os.path.isdir(sleaf):
-                _swap_write(df_rel, sleaf)
-            else:
-                df_rel.write.mode("overwrite").parquet(sleaf)
-            buckets_purged += 1
-    if os.path.isdir(pdocs_dir):
-        shutil.rmtree(pdocs_dir)
+        if os.path.isdir(pdocs_dir):
+            shutil.rmtree(pdocs_dir)
+        os.remove(pending)
+        return {"recovered": True, "buckets_purged": 0, "store_untouched": True}
+    doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
+    postings_dir = os.path.join(path, "postings")
+    for leaf in _recovered_leaves(postings_dir, "bucket="):
+        pleaf = os.path.join(postings_dir, leaf)
+        cleaned = (
+            spark.read.parquet(pleaf)
+            .join(F.broadcast(doc_ids), "doc_id", "left_anti")
+            .select("term", "doc_id", "tf", "dl")
+        )
+        _swap_write(cleaned, pleaf)
+        sleaf = os.path.join(path, "stats", leaf)
+        _recover_swap(sleaf)  # leaf-level remnant from a crashed recovery
+        df_rel = (
+            spark.read.parquet(pleaf)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .select("term", "df")
+        )
+        if os.path.isdir(sleaf):
+            _swap_write(df_rel, sleaf)
+        else:
+            df_rel.write.mode("overwrite").parquet(sleaf)
+        buckets_purged += 1
     restored = spark.createDataFrame(
         [(old["n_docs"], old["n_tok_docs"], old["sum_dl"])],
         "n_docs bigint, n_tok_docs bigint, sum_dl bigint",
@@ -450,7 +482,10 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
         _swap_write(restored, meta_dir)
     else:
         restored.write.mode("overwrite").parquet(meta_dir)
+    # Same commit discipline as the append: marker removal commits the
+    # recovery; the ids record outliving the marker is inert.
     os.remove(pending)
+    shutil.rmtree(pdocs_dir)
     return {"recovered": True, "buckets_purged": buckets_purged}
 
 

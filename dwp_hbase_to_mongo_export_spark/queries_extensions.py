@@ -131,9 +131,12 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     that query's arithmetic restricted to cross (batch, corpus) pairs.
     Index reuse across invocations is gated on the source CONTENT
     fingerprint stamped into meta (the bm25_indexed discipline): a
-    regenerated fixture rebuilds instead of serving stale signatures."""
-    import tempfile as _tempfile
-
+    regenerated fixture rebuilds instead of serving stale signatures.
+    The cache dir is user-keyed and the check+build runs under an
+    exclusive flock (functions/indexcache.py) so concurrent sessions
+    over the same fixture serialize instead of racing a rebuild against
+    a query (round-9 advice)."""
+    from .functions import indexcache
     from .functions.fingerprint import source_fingerprint
     from .operators import dedupindex
 
@@ -141,14 +144,11 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    path = os.path.join(
-        _tempfile.gettempdir(),
-        # version token: bump when the artifact layout changes
-        "spark_graft_dedupindex_v1",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    if dedupindex.stored_fingerprint(spark, path) != fp:
-        dedupindex.build_dedup_index(corpus, path, fingerprint=fp)
+    # version token: bump when the artifact layout changes
+    path = indexcache.user_cache_dir("spark_graft_dedupindex_v1", sf_dir)
+    with indexcache.build_lock(path):
+        if dedupindex.stored_fingerprint(spark, path) != fp:
+            dedupindex.build_dedup_index(corpus, path, fingerprint=fp)
     out = dedupindex.query_dedup_index(spark, path, batch, threshold=0.25)
     return out.select(
         "doc_id", "dup_of", F.round("jaccard", 3).alias("jaccard")
@@ -1334,25 +1334,23 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture at the same path, or a different corpus whose directory
     shares this one's basename, fingerprints differently and triggers a
     rebuild instead of silently serving stale postings (pinned in
-    tests/test_extensions.py)."""
-    import tempfile as _tempfile
-
+    tests/test_extensions.py). Cache dir user-keyed + check/build
+    flock-serialized against concurrent sessions (round-9 advice; see
+    functions/indexcache.py)."""
+    from .functions import indexcache
     from .functions.fingerprint import source_fingerprint
     from .operators import textindex
 
     src = os.path.join(sf_dir, "documents.parquet")
     fp = source_fingerprint(src)
-    path = os.path.join(
-        _tempfile.gettempdir(),
-        # version token: an index persisted by an OLDER code layout
-        # (different tokenizer/partitioning/meta schema) must never be
-        # silently reused — bump when the artifact shape changes
-        "spark_graft_textindex_v2",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    if textindex.stored_fingerprint(spark, path) != fp:
-        docs = load_table(spark, sf_dir, "documents")
-        textindex.build_text_index(docs, path, fingerprint=fp)
+    # version token: an index persisted by an OLDER code layout
+    # (different tokenizer/partitioning/meta schema) must never be
+    # silently reused — bump when the artifact shape changes
+    path = indexcache.user_cache_dir("spark_graft_textindex_v2", sf_dir)
+    with indexcache.build_lock(path):
+        if textindex.stored_fingerprint(spark, path) != fp:
+            docs = load_table(spark, sf_dir, "documents")
+            textindex.build_text_index(docs, path, fingerprint=fp)
     return textindex.query_text_index(
         spark, path, ["table", "scan", "merge"], top_n=10
     )

@@ -154,3 +154,28 @@ def test_window_is_staleness_first_modulo_declared_overrides():
             "tools/rotate_window.py (or declare a code-changed override "
             "in DRIVER_WINDOW_CHANGED)"
         )
+
+
+def test_empty_at_annotations_are_pinned_and_valid():
+    """EMPTY_AT (queries whose result is legitimately empty at the
+    named small scales — their driver row there is agreement-on-
+    emptiness, not value evidence) must stay a deliberate, reviewed
+    set: annotating a query silences tools/check_correctness.py's
+    vacuous-pass failure, so a drive-by addition would re-open the
+    round-9 q5/q6 hole. Names must be gated queries; scales must be
+    real fixture basenames; and the set is pinned exactly."""
+    assert set(catalog.EMPTY_AT) <= set(catalog.QUERIES)
+    for name, scales in catalog.EMPTY_AT.items():
+        assert scales <= {"sf0.001", "sf0.01"}, (
+            f"{name}: EMPTY_AT may only name the small fixtures — a "
+            "query empty at sf0.1 too is vacuous at EVERY checked "
+            "scale and must be fixed, not annotated"
+        )
+    assert set(catalog.EMPTY_AT) == {
+        "customers_without_orders",
+        "q22_idle_customers",
+    }, (
+        "EMPTY_AT changed — confirm the new query is genuinely "
+        "non-empty at sf0.1 (run tools/check_correctness.py "
+        "/root/testdata/sf0.1 <name>) and update this pin deliberately"
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -22,7 +23,22 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from dwp_hbase_to_mongo_export_spark.queries import EMPTY_AT  # noqa: E402
 from dwp_hbase_to_mongo_export_spark.sources.parquet import TABLES  # noqa: E402
+
+
+def _vacuous(rows: list[tuple]) -> bool:
+    """A result that carries no checkable values: zero rows, or rows
+    whose every cell is NULL/NaN. Both engines trivially agree on such
+    a result, so a green gate over it is NOT value evidence — the
+    round-9 q5/q6 defect (date windows outside the fixture range made
+    both 'pass' on emptiness at every scale, leaving a 6-way join's
+    arithmetic never actually compared)."""
+    return all(
+        v is None or (isinstance(v, float) and math.isnan(v))
+        for r in rows
+        for v in r
+    )
 
 
 def _driver_like_spark():
@@ -110,7 +126,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
-    n_pass = n_fail = n_weak = 0
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    n_pass = n_fail = n_weak = n_vac = 0
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -147,13 +164,34 @@ def main() -> int:
                 smap = {r: None for r in sorted(srows)[:3]}
                 print(f"  spark sample: {list(smap)[:2]}")
                 print(f"  duck  sample: {sorted(drows)[:2]}")
+        if not problems and _vacuous(srows):
+            # agreement on an empty/all-NULL result is not value
+            # evidence; only annotated, deliberately-small-scale-empty
+            # queries may pass vacuously (and they carry value evidence
+            # at the larger scales)
+            if sf_name in EMPTY_AT.get(name, ()):
+                print(
+                    f"PASS {name}: rows={len(srows)} (vacuous at {sf_name} "
+                    f"— annotated, value evidence at larger sf) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                n_pass += 1
+                n_vac += 1
+                continue
+            problems.append(
+                f"vacuous result (empty/all-NULL) at {sf_name} without an "
+                "EMPTY_AT annotation — the gate never compared a value"
+            )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    print(
+        f"\n{n_pass} pass ({n_vac} vacuous-annotated), "
+        f"{n_weak} weak (rows-only), {n_fail} fail"
+    )
     return 1 if n_fail else 0
 
 
