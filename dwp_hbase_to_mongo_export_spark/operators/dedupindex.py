@@ -378,7 +378,9 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
         .distinct()
     )
     bands_dir = os.path.join(path, "bands")
-    for leaf in _recovered_leaves(bands_dir, "band="):
+    band_leaves = _recovered_leaves(bands_dir, "band=")
+
+    def _purge_band(leaf: str) -> None:
         bleaf = os.path.join(bands_dir, leaf)
         cleaned = (
             spark.read.parquet(bleaf)
@@ -387,26 +389,43 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
             .sortWithinPartitions(id_col)
         )
         _swap_write(cleaned, bleaf)
-        bands_purged += 1
-    buckets = [
+
+    buckets = sorted(
         r["bucket"]
         for r in ids.withColumn("bucket", _bucket_of(id_col))
         .select("bucket")
         .distinct()
         .collect()
-    ]
-    for b in sorted(buckets):
+    )
+
+    def _purge_set_bucket(b) -> bool:
         sleaf = os.path.join(path, "sets", f"bucket={b}")
         _recover_swap(sleaf)
         if not os.path.isdir(sleaf):
-            continue
+            return False
         cleaned = (
             spark.read.parquet(sleaf)
             .join(F.broadcast(ids), id_col, "left_anti")
             .select(id_col, "hs")
         )
         _swap_write(cleaned, sleaf)
-        sets_purged += 1
+        return True
+
+    # Independent per-leaf rewrites submitted concurrently (the
+    # textindex recovery discipline): a sequential loop pays one
+    # job-scheduling round-trip per band/bucket, which dominates the
+    # tiny per-leaf work; parallel submission makes recovery wall-time
+    # track the largest leaf. Same idempotence as sequential — the
+    # marker survives until everything is purged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if band_leaves:
+        with ThreadPoolExecutor(min(8, len(band_leaves))) as ex:
+            list(ex.map(_purge_band, band_leaves))
+    bands_purged = len(band_leaves)
+    if buckets:
+        with ThreadPoolExecutor(min(8, len(buckets))) as ex:
+            sets_purged = sum(ex.map(_purge_set_bucket, buckets))
     meta = spark.createDataFrame(
         [
             (
@@ -554,6 +573,7 @@ def dedup_index_governance(
     sample_ids: list[int],
     max_ids: int = 64,
     id_col: str | None = None,
+    max_files_per_leaf: int = 8,
 ) -> dict:
     """Integrity governance for the durable dedup index — the check
     whose absence lets an append-contract violation rot silently:
@@ -638,10 +658,25 @@ def dedup_index_governance(
                 {"doc_id": key[0], "band": key[1], "stored": got, "expected": want}
             )
     healthy = not duplicate_ids and not band_mismatches
+    # Maintenance verdict alongside the integrity one (round-9 verdict
+    # #5): appends fragment BOTH partitioned relations one file set per
+    # touched leaf; compact when either side trips the per-leaf budget.
+    from ..sinks.compaction import fragmentation_report
+
+    frag = {
+        "bands": fragmentation_report(
+            os.path.join(path, "bands"), max_files_per_leaf=max_files_per_leaf
+        ),
+        "sets": fragmentation_report(
+            os.path.join(path, "sets"), max_files_per_leaf=max_files_per_leaf
+        ),
+    }
     return {
         "n_ids_checked": len(ids),
         "duplicate_ids": duplicate_ids,
         "band_mismatches": band_mismatches,
         "healthy": healthy,
         "rebuild": not healthy,
+        "fragmentation": frag,
+        "compact": frag["bands"]["compact"] or frag["sets"]["compact"],
     }

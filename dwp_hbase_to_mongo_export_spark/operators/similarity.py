@@ -369,21 +369,32 @@ def recover_ivf_index_append(spark, path: str) -> dict:
             "store_untouched": True,
         }
     pids = spark.read.parquet(pids_dir)
-    clusters = [
-        r["cluster"] for r in pids.select("cluster").distinct().collect()
-    ]
+    clusters = sorted(
+        int(r["cluster"])
+        for r in pids.select("cluster").distinct().collect()
+    )
     ids = pids.select(F.col("id").alias("neighbor_id")).distinct()
-    for cl in sorted(int(c) for c in clusters):
+
+    def _purge_cluster(cl: int) -> bool:
         leaf = os.path.join(postings_dir, f"cluster={cl}")
         if not os.path.isdir(leaf):
-            continue
+            return False
         cleaned = (
             spark.read.parquet(leaf)
             .join(F.broadcast(ids), "neighbor_id", "left_anti")
             .select("neighbor_id", "cv")
         )
         _swap_write(cleaned, leaf)
-        purged += 1
+        return True
+
+    # Concurrent independent leaf rewrites (the textindex recovery
+    # discipline): wall-time tracks the largest touched cluster, not
+    # the cluster count; idempotent on partial failure via the marker.
+    if clusters:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(clusters))) as ex:
+            purged = sum(ex.map(_purge_cluster, clusters))
     # Marker removal commits the recovery; a surviving ids dir is inert.
     os.remove(pending)
     shutil.rmtree(pids_dir)
@@ -459,6 +470,7 @@ def ivf_index_governance(
     k: int = 5,
     nprobe: int = 2,
     recall_floor: float = 0.6,
+    max_files_per_leaf: int = 8,
 ) -> dict:
     """Recall governance for the DURABLE index path — the check whose
     absence lets a stale quantiser rot silently: ``append_to_ivf_index``
@@ -515,12 +527,23 @@ def ivf_index_governance(
         .limit(len(ids))
         .collect()
     )
+    # Maintenance verdict alongside recall (round-9 verdict #5): each
+    # append writes one file set per touched cluster directory, so WHEN
+    # to run compact_ivf_postings is a governance output, not operator
+    # lore — metadata-only, per cluster leaf.
+    from ..sinks.compaction import fragmentation_report
+
+    frag = fragmentation_report(
+        os.path.join(path, "postings"), max_files_per_leaf=max_files_per_leaf
+    )
     return {
         "recall": recall,
         "n_queries": len({qid for qid, _ in exact}),
         "recall_floor": recall_floor,
         "duplicate_ids": duplicate_ids,
         "rebuild": recall < recall_floor or bool(duplicate_ids),
+        "fragmentation": frag,
+        "compact": frag["compact"],
     }
 
 
@@ -959,6 +982,64 @@ def compact_pq_codes(
     return compact_parquet_dir(
         spark, os.path.join(path, "codes"), target_bytes=target_bytes
     )
+
+
+def pq_index_governance(
+    spark,
+    path: str,
+    sample_ids: list[int],
+    max_ids: int = 64,
+    max_files_per_leaf: int = 8,
+) -> dict:
+    """Integrity + maintenance governance for the durable PQ store —
+    the fourth store's analogue of ivf_index_governance: (a) the
+    append-contract check (re-appending an already-encoded id stores
+    duplicate code rows, which double-count in ADC top-k yet raise no
+    error anywhere) over a bounded caller-chosen id sample, and (b) the
+    compaction decision for the flat codes directory (each
+    append_to_pq_index call writes its own file set; round-9 verdict
+    #5: the compactor existed but nothing decided WHEN). Codebook-shape
+    integrity (contiguous subspaces) is asserted by load_pq_index
+    itself, which this calls first — so a structurally broken artifact
+    fails loudly here too.
+
+    Cost shape: the duplicate check scans codes filtered to the sample
+    ids with a capped collect; fragmentation is metadata-only (os.walk,
+    no Spark job). Returns {n_ids_checked, duplicate_ids, healthy,
+    rebuild, fragmentation, compact}."""
+    ids = sorted({int(i) for i in sample_ids})[:max_ids]
+    if not ids:
+        raise ValueError(
+            "pq_index_governance needs a non-empty id sample — "
+            "a health check over zero ids would read as healthy"
+        )
+    codes, _books = load_pq_index(spark, path)
+    # the id column is whatever the builder used; 'codes' is the only
+    # fixed column name in the stored relation
+    id_name = next(c for c in codes.columns if c != "codes")
+    duplicate_ids = sorted(
+        r["vec_id"]
+        for r in codes.filter(F.col(id_name).isin(ids))
+        .groupBy(F.col(id_name).alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(len(ids))
+        .collect()
+    )
+    from ..sinks.compaction import fragmentation_report
+
+    frag = fragmentation_report(
+        os.path.join(path, "codes"), max_files_per_leaf=max_files_per_leaf
+    )
+    healthy = not duplicate_ids
+    return {
+        "n_ids_checked": len(ids),
+        "duplicate_ids": duplicate_ids,
+        "healthy": healthy,
+        "rebuild": not healthy,
+        "fragmentation": frag,
+        "compact": frag["compact"],
+    }
 
 
 def query_pq(

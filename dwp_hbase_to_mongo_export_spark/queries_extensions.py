@@ -136,19 +136,11 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive flock (functions/indexcache.py) so concurrent sessions
     over the same fixture serialize instead of racing a rebuild against
     a query (round-9 advice)."""
-    from .functions import indexcache
-    from .functions.fingerprint import source_fingerprint
     from .operators import dedupindex
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 10 != 9)
     batch = docs.filter(F.col("doc_id") % 10 == 9)
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    # version token: bump when the artifact layout changes
-    path = indexcache.user_cache_dir("spark_graft_dedupindex_v1", sf_dir)
-    with indexcache.build_lock(path):
-        if dedupindex.stored_fingerprint(spark, path) != fp:
-            dedupindex.build_dedup_index(corpus, path, fingerprint=fp)
+    path = _cached_dedup_index(spark, sf_dir)
     out = dedupindex.query_dedup_index(spark, path, batch, threshold=0.25)
     return out.select(
         "doc_id", "dup_of", F.round("jaccard", 3).alias("jaccard")
@@ -1337,20 +1329,9 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py). Cache dir user-keyed + check/build
     flock-serialized against concurrent sessions (round-9 advice; see
     functions/indexcache.py)."""
-    from .functions import indexcache
-    from .functions.fingerprint import source_fingerprint
     from .operators import textindex
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    fp = source_fingerprint(src)
-    # version token: an index persisted by an OLDER code layout
-    # (different tokenizer/partitioning/meta schema) must never be
-    # silently reused — bump when the artifact shape changes
-    path = indexcache.user_cache_dir("spark_graft_textindex_v2", sf_dir)
-    with indexcache.build_lock(path):
-        if textindex.stored_fingerprint(spark, path) != fp:
-            docs = load_table(spark, sf_dir, "documents")
-            textindex.build_text_index(docs, path, fingerprint=fp)
+    path = _cached_text_index(spark, sf_dir)
     return textindex.query_text_index(
         spark, path, ["table", "scan", "merge"], top_n=10
     )
@@ -1964,4 +1945,281 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_sem",
             F.round("rrf", 6).alias("rrf_score"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Durable-store caches shared by the indexed queries and the recovery drill
+# (round-9 advice: user-keyed dirs, build serialized under an exclusive
+# flock — see functions/indexcache.py).
+# --------------------------------------------------------------------------
+
+
+def _cached_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """The bm25_indexed query's durable index for ``sf_dir``: built once
+    per source CONTENT fingerprint, reused across invocations/sessions."""
+    from .functions import indexcache
+    from .functions.fingerprint import source_fingerprint
+    from .operators import textindex
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    # version token: an index persisted by an OLDER code layout must
+    # never be silently reused — bump when the artifact shape changes
+    path = indexcache.user_cache_dir("spark_graft_textindex_v2", sf_dir)
+    with indexcache.build_lock(path):
+        if textindex.stored_fingerprint(spark, path) != fp:
+            docs = load_table(spark, sf_dir, "documents")
+            textindex.build_text_index(docs, path, fingerprint=fp)
+    return path
+
+
+def _cached_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """dedup_incremental_indexed's durable signature index over the
+    corpus slice (doc_id % 10 != 9 — the other slice is the query
+    batch), fingerprint-gated like the text index."""
+    from .functions import indexcache
+    from .functions.fingerprint import source_fingerprint
+    from .operators import dedupindex
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = indexcache.user_cache_dir("spark_graft_dedupindex_v1", sf_dir)
+    with indexcache.build_lock(path):
+        if dedupindex.stored_fingerprint(spark, path) != fp:
+            corpus = load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 9
+            )
+            dedupindex.build_dedup_index(corpus, path, fingerprint=fp)
+    return path
+
+
+def _cached_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """A durable IVF posting store over the full embeddings table,
+    fingerprint-stamped via the store's own meta relation. Centroid
+    count is capped by build_ivf_index's max_centroids, so the store's
+    layout stays bounded under the scale sweep's replicated fixtures."""
+    import shutil as _shutil
+
+    from .functions import indexcache
+    from .functions.fingerprint import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    path = indexcache.user_cache_dir("spark_graft_ivfstore_v1", sf_dir)
+    with indexcache.build_lock(path):
+        try:
+            similarity.load_ivf_index(spark, path, expect_fingerprint=fp)
+        except Exception:
+            _shutil.rmtree(path, ignore_errors=True)
+            emb = load_table(spark, sf_dir, "embeddings")
+            index, cents = similarity.build_ivf_index(emb)
+            similarity.save_ivf_index(index, cents, path, fingerprint=fp)
+    return path
+
+
+def _cached_pq_store(spark: SparkSession, sf_dir: str) -> str:
+    """A durable PQ codes store over the full embeddings table. The PQ
+    artifact has no meta relation, so the fingerprint commit record is
+    a sidecar file written AFTER a successful build (a crashed build
+    leaves no record and rebuilds). Codebooks are fit on an id-bounded
+    sample (constant work at every scale); the encode pass is the
+    corpus-sized build cost paid once per fingerprint."""
+    import shutil as _shutil
+
+    from .functions import indexcache
+    from .functions.fingerprint import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    path = indexcache.user_cache_dir("spark_graft_pqstore_v1", sf_dir)
+    with indexcache.build_lock(path):
+        fp_file = os.path.join(path, "_fingerprint")
+        stored = None
+        if os.path.exists(fp_file) and not os.path.exists(
+            os.path.join(path, "_append-pending")
+        ):
+            with open(fp_file, encoding="utf-8") as f:
+                stored = f.read()
+        if stored != fp:
+            _shutil.rmtree(path, ignore_errors=True)
+            emb = load_table(spark, sf_dir, "embeddings")
+            books = similarity.pq_train(
+                emb.filter(F.col("vec_id") < 5000), m=4, k_codes=8, iters=1
+            )
+            codes = similarity.pq_encode(emb, books)
+            similarity.save_pq_index(codes, books, path)
+            with open(fp_file, "w", encoding="utf-8") as f:
+                f.write(fp)
+    return path
+
+
+from .queries import bench_only  # noqa: E402
+
+
+@bench_only("index_recovery_drill")
+def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-case torn-append RECOVERY timed across all four durable
+    stores (round-9 verdict #4: the recover_*_index_append machinery was
+    correctness-tested but untimed, so a regression to corpus-sized
+    recovery work had no tripwire). Per store: stage a fully-landed torn
+    append — protocol-2 marker + committed ids record + ALL of the
+    batch's store rows written, i.e. the maximal purge a recovery can
+    face — then run the recovery (purge + stats/meta restore) and report
+    its wall time.
+
+    Cost contract this surface pins: staging is BATCH-sized CPU (the
+    batch is an absolute-constant ~10% slice of replica-0 ids, so it
+    does not grow under the scale sweep), and recovery is one
+    anti-join pass over the store's leaves — store-I/O-bounded with ZERO
+    re-tokenisation/re-signing/re-encoding — plus a constant-size meta
+    restore. The scale-sweep row therefore measures pure store-I/O
+    growth; a jump toward the build-time row means someone made recovery
+    recompute corpus work. BENCH-ONLY by structure: the value is a
+    timing of a filesystem mutation protocol; the recoveries' value-
+    level evidence is pinned in tests/test_append_commit_protocol.py,
+    tests/test_dedupindex.py, tests/test_extensions.py and
+    tests/test_clustering.py (purged stores bit-identical to pre-append
+    state). Stores are the fingerprint-gated shared caches (built once;
+    bench best-of-N times recovery, not builds); each drill runs under
+    the store's build flock so concurrent indexed queries serialize
+    against the mid-drill marker instead of mistaking it for a torn
+    store."""
+    import json as _json
+    import time as _time
+
+    from .functions import indexcache
+    from .operators import dedupindex, textindex
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # absolute-constant batch: replica-0 ids only (< 3000 predates the
+    # sweep's 1e9 id offset), ~10% modulo slice — ~300 rows at sf0.01+
+    # at EVERY sweep volume. Shift +500_000_000 keeps drill ids disjoint
+    # from every real id at every replication factor (replica r spans
+    # [r*1e9, r*1e9 + |corpus|]).
+    _OFF = 500_000_000
+    doc_delta = docs.filter(
+        (F.col("doc_id") % 10 == 9) & (F.col("doc_id") < 3000)
+    ).select((F.col("doc_id") + _OFF).alias("doc_id"), "text")
+    vec_delta = emb.filter(
+        (F.col("vec_id") % 10 == 9) & (F.col("vec_id") < 3000)
+    ).select((F.col("vec_id") + _OFF).alias("vec_id"), "embedding")
+
+    rows = []
+
+    # -- text index: all-bucket purge + per-bucket df recompute + meta
+    path = _cached_text_index(spark, sf_dir)
+    with indexcache.build_lock(path):
+        m = spark.read.parquet(os.path.join(path, "meta")).head()
+        with open(os.path.join(path, textindex._PENDING), "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "protocol": 2,
+                        "n_docs": int(m["n_docs"]),
+                        "n_tok_docs": int(m["n_tok_docs"]),
+                        "sum_dl": int(m["sum_dl"]),
+                        "fingerprint": m["fingerprint"],
+                    }
+                )
+            )
+        doc_delta.select("doc_id").distinct().write.mode("overwrite").parquet(
+            os.path.join(path, textindex._PENDING_DOCS)
+        )
+        postings, _, _ = textindex._index_relations(doc_delta, "text", "doc_id")
+        postings.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        t0 = _time.time()
+        res = textindex.recover_text_index_append(spark, path)
+        rows.append(
+            ("text", int(res["buckets_purged"]), round(_time.time() - t0, 3))
+        )
+
+    # -- dedup index: all-band purge + set-bucket purge + meta restore
+    path = _cached_dedup_index(spark, sf_dir)
+    with indexcache.build_lock(path):
+        m = spark.read.parquet(os.path.join(path, "meta")).head()
+        with open(os.path.join(path, dedupindex._PENDING), "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "protocol": 2,
+                        "n_docs": int(m["n_docs"]),
+                        "fingerprint": m["fingerprint"],
+                    }
+                )
+            )
+        doc_delta.select(F.col("doc_id").alias("id")).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, dedupindex._PENDING_IDS))
+        bands, sets = dedupindex._sig_relations(
+            doc_delta,
+            "text",
+            "doc_id",
+            m["n_perm"],
+            m["rows_per_band"],
+            m["k"],
+            m["max_chars"],
+        )
+        bands.write.mode("append").partitionBy("band").parquet(
+            os.path.join(path, "bands")
+        )
+        sets.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(path, "sets")
+        )
+        t0 = _time.time()
+        res = dedupindex.recover_dedup_index_append(spark, path)
+        rows.append(
+            (
+                "dedup",
+                int(res["band_leaves_purged"]) + int(res["set_leaves_purged"]),
+                round(_time.time() - t0, 3),
+            )
+        )
+
+    # -- IVF postings: purge prunes to the batch's recorded clusters
+    path = _cached_ivf_store(spark, sf_dir)
+    with indexcache.build_lock(path):
+        _, cents = similarity.load_ivf_index(spark, path)
+        batch_index = similarity._nearest_centroids(
+            vec_delta, cents, 1, "embedding", "cluster"
+        ).select(
+            "cluster",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+        with open(os.path.join(path, similarity._PENDING), "w") as f:
+            f.write(_json.dumps({"kind": "ivf", "protocol": 2}))
+        batch_index.select(
+            F.col("neighbor_id").alias("id"), "cluster"
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(path, similarity._PENDING_IDS)
+        )
+        batch_index.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(path, "postings")
+        )
+        t0 = _time.time()
+        res = similarity.recover_ivf_index_append(spark, path)
+        rows.append(
+            ("ivf", int(res["cluster_leaves_purged"]), round(_time.time() - t0, 3))
+        )
+
+    # -- PQ codes: one anti-join rewrite of the flat codes store
+    path = _cached_pq_store(spark, sf_dir)
+    with indexcache.build_lock(path):
+        _, books = similarity.load_pq_index(spark, path)
+        with open(os.path.join(path, similarity._PENDING), "w") as f:
+            f.write(_json.dumps({"kind": "pq", "id_col": "vec_id", "protocol": 2}))
+        vec_delta.select(F.col("vec_id").alias("id")).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, similarity._PENDING_IDS))
+        similarity.pq_encode(vec_delta, books).write.mode("append").parquet(
+            os.path.join(path, "codes")
+        )
+        t0 = _time.time()
+        res = similarity.recover_pq_index_append(spark, path)
+        rows.append(
+            ("pq", int(bool(res["codes_purged"])), round(_time.time() - t0, 3))
+        )
+
+    return spark.createDataFrame(
+        rows, "store string, leaves_purged bigint, recover_sec double"
     )

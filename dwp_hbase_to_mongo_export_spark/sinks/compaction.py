@@ -158,19 +158,106 @@ def compact_partitioned_dir(
         raise FileNotFoundError(
             f"{input_dir}: no leaf partition directories with parquet files"
         )
-    per: dict[str, dict] = {}
-    n_compacted = 0
-    for leaf in leaves:
+    # Leaves are independent (distinct directories, own staging/backup
+    # brackets), so submit their rewrites concurrently — a sequential
+    # driver loop pays one job-scheduling round-trip per leaf, which at
+    # a thousands-of-leaves store turns an I/O-bounded maintenance pass
+    # into hours of scheduler latency. Bounded pool: each rewrite is
+    # its own Spark job, and ~8 in flight keeps the cluster busy
+    # without driver-side job pileup. Crash-safety is unchanged — each
+    # leaf's recover-then-swap protocol is leaf-local, and a failed/
+    # partial run retries exactly like the sequential form (compacted
+    # leaves no-op on file count).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(leaf: str) -> tuple[str, dict]:
         res = compact_parquet_dir(
             spark,
             leaf,
             target_bytes=target_bytes,
             min_files_to_compact=min_files_to_compact,
         )
-        per[os.path.relpath(leaf, input_dir)] = res
-        n_compacted += bool(res["compacted"])
+        return os.path.relpath(leaf, input_dir), res
+
+    with ThreadPoolExecutor(min(8, len(leaves))) as ex:
+        results = list(ex.map(_one, leaves))
+    per = dict(results)
+    n_compacted = sum(bool(r["compacted"]) for _, r in results)
     return {
         "n_partitions": len(leaves),
         "n_compacted": n_compacted,
         "per_partition": per,
+    }
+
+
+def fragmentation_report(
+    input_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    max_files_per_leaf: int = 8,
+    max_listed: int = 16,
+) -> dict:
+    """Metadata-only fragmentation verdict: SHOULD this store be
+    compacted now? The compactors exist but nothing decided WHEN to run
+    them (round-9 verdict #5) — an ingest cadence of one file set per
+    append quietly walks a leaf from 2 files to 2,000, and scan cost
+    becomes file-open overhead long before anyone runs the compactor by
+    hand. This is the store-size-independent decision rule the rebuild
+    verdicts already follow: pure os.walk + getsize, no Spark job, no
+    data read.
+
+    A leaf is FRAGMENTED when its file count exceeds both
+    ``max_files_per_leaf`` (the cadence tolerance — a few appends
+    between maintenance windows are fine) and the file count a
+    compaction to ``target_bytes`` would actually produce (so a leaf
+    that is legitimately large — 40 full-sized files — is never flagged:
+    compaction could not shrink it). ``compact`` is True iff any leaf is
+    fragmented. Flat directories are treated as a single leaf.
+
+    Returns {n_leaves, n_files, total_bytes, max_files_in_leaf,
+    n_frag_leaves, frag_leaves (relpaths, capped at ``max_listed`` —
+    the diagnostic stays driver-sized on a store with thousands of hot
+    leaves), max_files_per_leaf, compact}.
+    """
+    leaves: dict[str, list[str]] = {}
+    for root, dirs, names in os.walk(input_dir):
+        dirs[:] = [
+            d
+            for d in dirs
+            if not d.startswith(("_", "."))
+            and not d.endswith((".compact-staging", ".compact-old",
+                                ".swap-staging", ".swap-old"))
+        ]
+        data = [
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if data:
+            leaves[os.path.relpath(root, input_dir)] = data
+    if not leaves:
+        raise FileNotFoundError(
+            f"{input_dir}: no parquet data files to assess"
+        )
+    frag: list[str] = []
+    n_files = 0
+    total_bytes = 0
+    max_in_leaf = 0
+    for rel in sorted(leaves):
+        files = leaves[rel]
+        leaf_bytes = sum(os.path.getsize(f) for f in files)
+        n_files += len(files)
+        total_bytes += leaf_bytes
+        max_in_leaf = max(max_in_leaf, len(files))
+        would_produce = max(1, math.ceil(leaf_bytes / target_bytes))
+        if len(files) > max(max_files_per_leaf, would_produce):
+            frag.append(rel)
+    return {
+        "n_leaves": len(leaves),
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+        "max_files_in_leaf": max_in_leaf,
+        "n_frag_leaves": len(frag),
+        "frag_leaves": frag[:max_listed],
+        "max_files_per_leaf": max_files_per_leaf,
+        "compact": bool(frag),
     }

@@ -78,6 +78,12 @@ DISTINCT_SWEEP_QUERIES = [
     "dedup_incremental_indexed",  # durable-index batch screen (r9): batch
                                # signatures + band equi-join + DPP verify;
                                # index build paid once per variant dir
+    "index_recovery_drill",    # torn-append recovery x4 stores (r10):
+                               # staging is an absolute-constant batch
+                               # (replica-0 ids only), recovery is one
+                               # concurrent anti-join pass over store
+                               # leaves — growth should track store I/O,
+                               # never the corpus-CPU build row
 ]
 
 
@@ -170,8 +176,15 @@ def _snapshot_sink_export(spark, sf_dir):
     return BENCH_ONLY["snapshot_sink_export"](spark, sf_dir)
 
 
+def _index_recovery_drill(spark, sf_dir):
+    from dwp_hbase_to_mongo_export_spark.queries import BENCH_ONLY
+
+    return BENCH_ONLY["index_recovery_drill"](spark, sf_dir)
+
+
 SWEEP_OVERRIDES = {
     "snapshot_sink_export": _snapshot_sink_export,
+    "index_recovery_drill": _index_recovery_drill,
     "similarity_topk_ivf_full": _ivf_full_corpus,
     "logreg_fit_full": _logreg_fit_full,
     "covariance_full": _covariance_full,
@@ -327,15 +340,25 @@ def time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
 
 def main() -> int:
     quick = "--quick" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        # targeted re-measure of a few rows (substring match). PRINT
+        # ONLY: SCALING.md is regenerated wholesale from a run's rows,
+        # so a filtered run writing it would silently drop every other
+        # query's row — splice targeted numbers in by hand.
+        only = sys.argv[sys.argv.index("--only") + 1]
     factors = [10] if quick else [10, 100]
+    sweep_qs = [q for q in SWEEP_QUERIES if only is None or only in q]
+    dsweep_qs = [q for q in DISTINCT_SWEEP_QUERIES if only is None or only in q]
     root = tempfile.mkdtemp(prefix="scale_sweep_")
     variants = [("sf0.01", SMALL, 0.1), ("sf0.1", BASE, 1.0)]
-    for n in factors:
-        variants.append((f"sf0.1 x{n}", build_replica(n, root), float(n)))
+    if sweep_qs:
+        for n in factors:
+            variants.append((f"sf0.1 x{n}", build_replica(n, root), float(n)))
 
     spark = get_spark(app_name="scale-sweep")
     rows = []
-    for q in SWEEP_QUERIES:
+    for q in sweep_qs:
         times = []
         for label, d, _ in variants:
             times.append(time_query(spark, q, d))
@@ -343,12 +366,13 @@ def main() -> int:
         rows.append((q, times))
 
     dvariants = [("sf0.01", SMALL, 0.1), ("sf0.1", BASE, 1.0)]
-    for n in factors:
-        dvariants.append(
-            (f"sf0.1 x{n}", build_distinct_replica(spark, n, root), float(n))
-        )
+    if dsweep_qs:
+        for n in factors:
+            dvariants.append(
+                (f"sf0.1 x{n}", build_distinct_replica(spark, n, root), float(n))
+            )
     drows = []
-    for q in DISTINCT_SWEEP_QUERIES:
+    for q in dsweep_qs:
         times = []
         for label, d, _ in dvariants:
             times.append(time_query(spark, q, d))
@@ -406,8 +430,9 @@ def main() -> int:
             manual = "\n" + old[idx:].rstrip() + "\n"
     except OSError:
         pass
-    with open("SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n" + manual)
+    if only is None:
+        with open("SCALING.md", "w") as f:
+            f.write("\n".join(lines) + "\n" + manual)
     print("\n".join(lines))
     shutil.rmtree(root, ignore_errors=True)
     return 0
