@@ -2102,123 +2102,152 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 10 == 9) & (F.col("vec_id") < 3000)
     ).select((F.col("vec_id") + _OFF).alias("vec_id"), "embedding")
 
-    rows = []
-
-    # -- text index: all-bucket purge + per-bucket df recompute + meta
-    path = _cached_text_index(spark, sf_dir)
-    with indexcache.build_lock(path):
-        m = spark.read.parquet(os.path.join(path, "meta")).head()
-        with open(os.path.join(path, textindex._PENDING), "w") as f:
-            f.write(
-                _json.dumps(
-                    {
-                        "protocol": 2,
-                        "n_docs": int(m["n_docs"]),
-                        "n_tok_docs": int(m["n_tok_docs"]),
-                        "sum_dl": int(m["sum_dl"]),
-                        "fingerprint": m["fingerprint"],
-                    }
+    def _drill_text() -> tuple:
+        # all-bucket purge + per-bucket df recompute + meta restore
+        path = _cached_text_index(spark, sf_dir)
+        with indexcache.build_lock(path):
+            m = spark.read.parquet(os.path.join(path, "meta")).head()
+            with open(os.path.join(path, textindex._PENDING), "w") as f:
+                f.write(
+                    _json.dumps(
+                        {
+                            "protocol": 2,
+                            "n_docs": int(m["n_docs"]),
+                            "n_tok_docs": int(m["n_tok_docs"]),
+                            "sum_dl": int(m["sum_dl"]),
+                            "fingerprint": m["fingerprint"],
+                        }
+                    )
                 )
+            doc_delta.select("doc_id").distinct().write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, textindex._PENDING_DOCS))
+            postings, _, _ = textindex._index_relations(
+                doc_delta, "text", "doc_id"
             )
-        doc_delta.select("doc_id").distinct().write.mode("overwrite").parquet(
-            os.path.join(path, textindex._PENDING_DOCS)
-        )
-        postings, _, _ = textindex._index_relations(doc_delta, "text", "doc_id")
-        postings.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
-        )
-        t0 = _time.time()
-        res = textindex.recover_text_index_append(spark, path)
-        rows.append(
-            ("text", int(res["buckets_purged"]), round(_time.time() - t0, 3))
-        )
+            postings.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(path, "postings")
+            )
+            t0 = _time.time()
+            res = textindex.recover_text_index_append(spark, path)
+            return (
+                "text",
+                int(res["buckets_purged"]),
+                round(_time.time() - t0, 3),
+            )
 
-    # -- dedup index: all-band purge + set-bucket purge + meta restore
-    path = _cached_dedup_index(spark, sf_dir)
-    with indexcache.build_lock(path):
-        m = spark.read.parquet(os.path.join(path, "meta")).head()
-        with open(os.path.join(path, dedupindex._PENDING), "w") as f:
-            f.write(
-                _json.dumps(
-                    {
-                        "protocol": 2,
-                        "n_docs": int(m["n_docs"]),
-                        "fingerprint": m["fingerprint"],
-                    }
+    def _drill_dedup() -> tuple:
+        # all-band purge + set-bucket purge + meta restore
+        path = _cached_dedup_index(spark, sf_dir)
+        with indexcache.build_lock(path):
+            m = spark.read.parquet(os.path.join(path, "meta")).head()
+            with open(os.path.join(path, dedupindex._PENDING), "w") as f:
+                f.write(
+                    _json.dumps(
+                        {
+                            "protocol": 2,
+                            "n_docs": int(m["n_docs"]),
+                            "fingerprint": m["fingerprint"],
+                        }
+                    )
                 )
+            doc_delta.select(F.col("doc_id").alias("id")).distinct().write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, dedupindex._PENDING_IDS))
+            bands, sets = dedupindex._sig_relations(
+                doc_delta,
+                "text",
+                "doc_id",
+                m["n_perm"],
+                m["rows_per_band"],
+                m["k"],
+                m["max_chars"],
             )
-        doc_delta.select(F.col("doc_id").alias("id")).distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, dedupindex._PENDING_IDS))
-        bands, sets = dedupindex._sig_relations(
-            doc_delta,
-            "text",
-            "doc_id",
-            m["n_perm"],
-            m["rows_per_band"],
-            m["k"],
-            m["max_chars"],
-        )
-        bands.write.mode("append").partitionBy("band").parquet(
-            os.path.join(path, "bands")
-        )
-        sets.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(path, "sets")
-        )
-        t0 = _time.time()
-        res = dedupindex.recover_dedup_index_append(spark, path)
-        rows.append(
-            (
+            bands.write.mode("append").partitionBy("band").parquet(
+                os.path.join(path, "bands")
+            )
+            sets.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(path, "sets")
+            )
+            t0 = _time.time()
+            res = dedupindex.recover_dedup_index_append(spark, path)
+            return (
                 "dedup",
                 int(res["band_leaves_purged"]) + int(res["set_leaves_purged"]),
                 round(_time.time() - t0, 3),
             )
-        )
 
-    # -- IVF postings: purge prunes to the batch's recorded clusters
-    path = _cached_ivf_store(spark, sf_dir)
-    with indexcache.build_lock(path):
-        _, cents = similarity.load_ivf_index(spark, path)
-        batch_index = similarity._nearest_centroids(
-            vec_delta, cents, 1, "embedding", "cluster"
-        ).select(
-            "cluster",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-        )
-        with open(os.path.join(path, similarity._PENDING), "w") as f:
-            f.write(_json.dumps({"kind": "ivf", "protocol": 2}))
-        batch_index.select(
-            F.col("neighbor_id").alias("id"), "cluster"
-        ).distinct().write.mode("overwrite").parquet(
-            os.path.join(path, similarity._PENDING_IDS)
-        )
-        batch_index.write.mode("append").partitionBy("cluster").parquet(
-            os.path.join(path, "postings")
-        )
-        t0 = _time.time()
-        res = similarity.recover_ivf_index_append(spark, path)
-        rows.append(
-            ("ivf", int(res["cluster_leaves_purged"]), round(_time.time() - t0, 3))
-        )
+    def _drill_ivf() -> tuple:
+        # purge prunes to the batch's recorded clusters
+        path = _cached_ivf_store(spark, sf_dir)
+        with indexcache.build_lock(path):
+            _, cents = similarity.load_ivf_index(spark, path)
+            batch_index = similarity._nearest_centroids(
+                vec_delta, cents, 1, "embedding", "cluster"
+            ).select(
+                "cluster",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+            )
+            with open(os.path.join(path, similarity._PENDING), "w") as f:
+                f.write(_json.dumps({"kind": "ivf", "protocol": 2}))
+            batch_index.select(
+                F.col("neighbor_id").alias("id"), "cluster"
+            ).distinct().write.mode("overwrite").parquet(
+                os.path.join(path, similarity._PENDING_IDS)
+            )
+            batch_index.write.mode("append").partitionBy("cluster").parquet(
+                os.path.join(path, "postings")
+            )
+            t0 = _time.time()
+            res = similarity.recover_ivf_index_append(spark, path)
+            return (
+                "ivf",
+                int(res["cluster_leaves_purged"]),
+                round(_time.time() - t0, 3),
+            )
 
-    # -- PQ codes: one anti-join rewrite of the flat codes store
-    path = _cached_pq_store(spark, sf_dir)
-    with indexcache.build_lock(path):
-        _, books = similarity.load_pq_index(spark, path)
-        with open(os.path.join(path, similarity._PENDING), "w") as f:
-            f.write(_json.dumps({"kind": "pq", "id_col": "vec_id", "protocol": 2}))
-        vec_delta.select(F.col("vec_id").alias("id")).distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, similarity._PENDING_IDS))
-        similarity.pq_encode(vec_delta, books).write.mode("append").parquet(
-            os.path.join(path, "codes")
-        )
-        t0 = _time.time()
-        res = similarity.recover_pq_index_append(spark, path)
-        rows.append(
-            ("pq", int(bool(res["codes_purged"])), round(_time.time() - t0, 3))
-        )
+    def _drill_pq() -> tuple:
+        # one anti-join rewrite of the flat codes store
+        path = _cached_pq_store(spark, sf_dir)
+        with indexcache.build_lock(path):
+            _, books = similarity.load_pq_index(spark, path)
+            with open(os.path.join(path, similarity._PENDING), "w") as f:
+                f.write(
+                    _json.dumps(
+                        {"kind": "pq", "id_col": "vec_id", "protocol": 2}
+                    )
+                )
+            vec_delta.select(F.col("vec_id").alias("id")).distinct().write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, similarity._PENDING_IDS))
+            similarity.pq_encode(vec_delta, books).write.mode("append").parquet(
+                os.path.join(path, "codes")
+            )
+            t0 = _time.time()
+            res = similarity.recover_pq_index_append(spark, path)
+            return (
+                "pq",
+                int(bool(res["codes_purged"])),
+                round(_time.time() - t0, 3),
+            )
+
+    # The four stores are fully independent (own directories, own
+    # locks), exactly like a production maintenance window over many
+    # artifacts — run them concurrently so the drill's wall-time tracks
+    # the slowest store, not the sum of four.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        rows = [
+            f.result()
+            for f in [
+                ex.submit(_drill_text),
+                ex.submit(_drill_dedup),
+                ex.submit(_drill_ivf),
+                ex.submit(_drill_pq),
+            ]
+        ]
 
     return spark.createDataFrame(
         rows, "store string, leaves_purged bigint, recover_sec double"
