@@ -54,10 +54,15 @@ from pyspark.sql import functions as F
 from .dedup import minhash_sets_and_sigs
 from .textindex import (
     _BUILD_PENDING,
+    _LAST_APPEND,
     _PENDING,
+    _UNKNOWN,
     _recover_swap,
     _recovered_leaves,
+    _restore_last_append,
     _swap_write,
+    _write_last_append,
+    read_last_append,
 )
 
 N_SET_BUCKETS = 64
@@ -177,6 +182,11 @@ def build_dedup_index(
     pids = os.path.join(path, _PENDING_IDS)
     if os.path.isdir(pids):
         shutil.rmtree(pids)
+    last = os.path.join(path, _LAST_APPEND)
+    if os.path.exists(last):
+        # batch ids committed against the OLD artifact must not no-op
+        # appends to the rebuilt one
+        os.remove(last)
     bands, sets = _sig_relations(
         corpus, text_col, id_col, n_perm, rows_per_band, k, max_chars
     )
@@ -210,7 +220,8 @@ def append_to_dedup_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: str | None = None,
-) -> None:
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally index NEW documents: delta-sized signature work,
     band/set rows appended into the same partition layout, n_docs
     refreshed by addition (never a corpus re-scan). Signature
@@ -237,8 +248,17 @@ def append_to_dedup_index(
             "before appending"
         )
     recover_dedup_index_append(spark, path)
+    # Idempotence gate (round-10, see textindex.read_last_append): a
+    # retry of an already-committed batch id no-ops instead of
+    # double-writing band/set rows.
+    if batch_id is not None and read_last_append(path) == batch_id:
+        return {"committed": False, "skipped_duplicate_batch": True}
     if delta.isEmpty():
-        return  # empty micro-batches would only fragment the store
+        # empty micro-batches would only fragment the store; still
+        # consume the batch id (atomic sidecar write)
+        if batch_id is not None:
+            _write_last_append(path, batch_id)
+        return {"committed": True, "skipped_duplicate_batch": False}
     m = _read_meta(spark, path)
     stored_id_col = m.asDict().get("id_col")
     if stored_id_col and stored_id_col != id_col:
@@ -255,6 +275,7 @@ def append_to_dedup_index(
                     "protocol": 2,
                     "n_docs": int(m["n_docs"]),
                     "fingerprint": m["fingerprint"],
+                    "last_append": read_last_append(path),
                 }
             )
         )
@@ -293,6 +314,8 @@ def append_to_dedup_index(
         "max_chars int, id_col string, fingerprint string",
     )
     _swap_write(meta, os.path.join(path, "meta"))
+    if batch_id is not None:
+        _write_last_append(path, batch_id)
     # Commit point (round-9 advice): marker removal IS the commit
     # record, so it precedes the ids-record delete — a crash between
     # the two leaves a marker-less stale ids dir (inert: recovery
@@ -300,6 +323,7 @@ def append_to_dedup_index(
     # live marker whose purge record is gone.
     os.remove(pending)
     shutil.rmtree(os.path.join(path, _PENDING_IDS))
+    return {"committed": True, "skipped_duplicate_batch": False}
 
 
 def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
@@ -336,6 +360,7 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
         old_n_docs = int(state["n_docs"])
         old_fp = str(state.get("fingerprint") or "")
         protocol = int(state.get("protocol") or 1)
+        old_last = state.get("last_append", _UNKNOWN)
     except (ValueError, TypeError, KeyError) as e:
         raise ValueError(
             f"{path}: pending-append marker is unreadable ({e!r}) — "
@@ -365,6 +390,7 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
             )
         if os.path.isdir(pids_dir):
             shutil.rmtree(pids_dir)
+        _restore_last_append(path, old_last)
         os.remove(pending)
         return {
             "recovered": True,
@@ -442,6 +468,10 @@ def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
         "max_chars int, id_col string, fingerprint string",
     )
     _swap_write(meta, os.path.join(path, "meta"))
+    # The idempotence sidecar is pre-append state too (a crash may land
+    # after the new batch id was stamped; leaving it would wrongly
+    # no-op the legitimate re-append of the purged batch).
+    _restore_last_append(path, old_last)
     # Same commit discipline as the append: marker removal commits the
     # recovery; the ids record outliving the marker is inert.
     os.remove(pending)

@@ -220,8 +220,13 @@ def build_ivf_index(
 # double-write them (duplicate posting/code rows distort top-k and are
 # invisible to recall governance, which compares against the index's
 # own corpus).
-from .textindex import _PENDING  # noqa: E402
+from .textindex import _PENDING, _UNKNOWN  # noqa: E402
 from .textindex import _recover_swap, _recovered_leaves, _swap_write  # noqa: E402
+from .textindex import (  # noqa: E402
+    _restore_last_append,
+    _write_last_append,
+    read_last_append,
+)
 
 _PENDING_IDS = "_pending-ids"
 
@@ -269,7 +274,8 @@ def append_to_ivf_index(
     new_batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add a batch of vectors to a saved IVF index: the
     batch is assigned against the index's OWN stored centroids (the
     quantiser must not move, or existing posting lists silently become
@@ -284,9 +290,18 @@ def append_to_ivf_index(
     stale."""
     spark = new_batch.sparkSession
     recover_ivf_index_append(spark, path)
+    # Idempotence gate (round-10, see textindex.read_last_append): a
+    # retry of an already-committed batch id no-ops instead of
+    # double-writing posting rows.
+    if batch_id is not None and read_last_append(path) == batch_id:
+        return {"committed": False, "skipped_duplicate_batch": True}
     if new_batch.isEmpty():
-        return  # a foreachBatch cadence can deliver empty micro-batches;
-        # writing them would add empty file-sets — pure fragmentation
+        # a foreachBatch cadence can deliver empty micro-batches;
+        # writing them would add empty file-sets — pure fragmentation.
+        # Still consume the batch id (atomic sidecar write).
+        if batch_id is not None:
+            _write_last_append(path, batch_id)
+        return {"committed": True, "skipped_duplicate_batch": False}
     _, cents = load_ivf_index(spark, path)
     batch_index = _nearest_centroids(new_batch, cents, 1, vec_col, "cluster").select(
         "cluster",
@@ -302,7 +317,15 @@ def append_to_ivf_index(
     try:
         pending = os.path.join(path, _PENDING)
         with open(pending, "w", encoding="utf-8") as f:
-            f.write(json.dumps({"kind": "ivf", "protocol": 2}))
+            f.write(
+                json.dumps(
+                    {
+                        "kind": "ivf",
+                        "protocol": 2,
+                        "last_append": read_last_append(path),
+                    }
+                )
+            )
         batch_index.select(
             F.col("neighbor_id").alias("id"), "cluster"
         ).distinct().write.mode("overwrite").parquet(
@@ -311,6 +334,8 @@ def append_to_ivf_index(
         batch_index.write.mode("append").partitionBy("cluster").parquet(
             os.path.join(path, "postings")
         )
+        if batch_id is not None:
+            _write_last_append(path, batch_id)
         # Commit point (round-9 advice): marker removal IS the commit
         # record and precedes the ids-record delete — a crash between
         # the two leaves an inert marker-less ids dir, never a live
@@ -319,6 +344,7 @@ def append_to_ivf_index(
         shutil.rmtree(os.path.join(path, _PENDING_IDS))
     finally:
         batch_index.unpersist()
+    return {"committed": True, "skipped_duplicate_batch": False}
 
 
 def recover_ivf_index_append(spark, path: str) -> dict:
@@ -337,9 +363,12 @@ def recover_ivf_index_append(spark, path: str) -> dict:
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:
-        protocol = int(json.loads(raw).get("protocol") or 1)
+        state = json.loads(raw)
+        protocol = int(state.get("protocol") or 1)
+        old_last = state.get("last_append", _UNKNOWN)
     except (ValueError, TypeError, AttributeError):
         protocol = 1
+        old_last = _UNKNOWN
     postings_dir = os.path.join(path, "postings")
     _recovered_leaves(postings_dir, "cluster=")
     purged = 0
@@ -362,6 +391,7 @@ def recover_ivf_index_append(spark, path: str) -> dict:
             )
         if os.path.isdir(pids_dir):
             shutil.rmtree(pids_dir)
+        _restore_last_append(path, old_last)
         os.remove(pending)
         return {
             "recovered": True,
@@ -395,6 +425,8 @@ def recover_ivf_index_append(spark, path: str) -> dict:
 
         with ThreadPoolExecutor(min(8, len(clusters))) as ex:
             purged = sum(ex.map(_purge_cluster, clusters))
+    # Sidecar is pre-append state too (see textindex recovery).
+    _restore_last_append(path, old_last)
     # Marker removal commits the recovery; a surviving ids dir is inert.
     os.remove(pending)
     shutil.rmtree(pids_dir)
@@ -875,7 +907,8 @@ def append_to_pq_index(
     new_batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add a batch of vectors to a saved PQ index: the
     batch is encoded with the index's OWN stored codebooks (the
     quantiser must not move, or existing codes silently stop being
@@ -890,25 +923,44 @@ def append_to_pq_index(
     ann_recall_report PQ row transfers verbatim to this artifact)."""
     spark = new_batch.sparkSession
     recover_pq_index_append(spark, path)
+    # Idempotence gate (round-10, see textindex.read_last_append)
+    if batch_id is not None and read_last_append(path) == batch_id:
+        return {"committed": False, "skipped_duplicate_batch": True}
     if new_batch.isEmpty():
-        return  # see append_to_ivf_index: empty micro-batches would only fragment
+        # see append_to_ivf_index: empty micro-batches would only
+        # fragment; still consume the batch id
+        if batch_id is not None:
+            _write_last_append(path, batch_id)
+        return {"committed": True, "skipped_duplicate_batch": False}
     _, books = load_pq_index(spark, path)
     # RETRY protocol (see append_to_ivf_index): ids recorded before the
     # store write; the marker records the id column name so recovery
     # can anti-join without the caller's arguments.
     pending = os.path.join(path, _PENDING)
     with open(pending, "w", encoding="utf-8") as f:
-        f.write(json.dumps({"kind": "pq", "id_col": id_col, "protocol": 2}))
+        f.write(
+            json.dumps(
+                {
+                    "kind": "pq",
+                    "id_col": id_col,
+                    "protocol": 2,
+                    "last_append": read_last_append(path),
+                }
+            )
+        )
     new_batch.select(F.col(id_col).alias("id")).distinct().write.mode(
         "overwrite"
     ).parquet(os.path.join(path, _PENDING_IDS))
     pq_encode(new_batch, books, id_col=id_col, vec_col=vec_col).write.mode(
         "append"
     ).parquet(os.path.join(path, "codes"))
+    if batch_id is not None:
+        _write_last_append(path, batch_id)
     # Commit point (round-9 advice): marker removal IS the commit record
     # and precedes the ids-record delete (see append_to_ivf_index).
     os.remove(pending)
     shutil.rmtree(os.path.join(path, _PENDING_IDS))
+    return {"committed": True, "skipped_duplicate_batch": False}
 
 
 def recover_pq_index_append(spark, path: str) -> dict:
@@ -929,6 +981,7 @@ def recover_pq_index_append(spark, path: str) -> dict:
         state = json.loads(raw)
         id_col = str(state["id_col"])
         protocol = int(state.get("protocol") or 1)
+        old_last = state.get("last_append", _UNKNOWN)
     except (ValueError, TypeError, KeyError) as e:
         raise ValueError(
             f"{path}: pending-append marker is unreadable ({e!r}) — "
@@ -950,6 +1003,7 @@ def recover_pq_index_append(spark, path: str) -> dict:
             )
         if os.path.isdir(pids_dir):
             shutil.rmtree(pids_dir)
+        _restore_last_append(path, old_last)
         os.remove(pending)
         return {"recovered": True, "codes_purged": False, "store_untouched": True}
     ids = (
@@ -962,6 +1016,8 @@ def recover_pq_index_append(spark, path: str) -> dict:
         *codes.columns
     )
     _swap_write(cleaned, codes_dir)
+    # Sidecar is pre-append state too (see textindex recovery).
+    _restore_last_append(path, old_last)
     # Marker removal commits the recovery; a surviving ids dir is inert.
     os.remove(pending)
     shutil.rmtree(pids_dir)

@@ -49,7 +49,13 @@ mode appends new cells behind a fixed artifact, HBaseReader.kt:131-150):
   Appends are NOT blindly retryable (the posting rows may already be
   in the store when the marker is found); ``recover_text_index_append``
   purges the recorded delta and restores the recorded pre-append
-  statistics, after which the SAME delta re-appends safely. An
+  statistics, after which the SAME delta re-appends safely. Passing a
+  ``batch_id`` (the caller's correlation/run id — the reference keys
+  every run by one) additionally closes the crash-after-commit window:
+  the id is stamped into an atomic ``_last-append`` sidecar inside the
+  marker bracket, and a retry of an already-committed batch no-ops —
+  exactly-once appends under at-least-once retry (round 10; see
+  read_last_append). An
   in-place REBUILD over an existing artifact is bracketed by its own
   ``_build-pending`` marker (overwrites land postings→stats→meta, so a
   mid-rebuild crash would otherwise leave new postings under old,
@@ -82,6 +88,66 @@ N_TERM_BUCKETS = 64
 _PENDING = "_append-pending"
 _PENDING_DOCS = "_pending-docs"
 _BUILD_PENDING = "_build-pending"
+_LAST_APPEND = "_last-append"
+# recovery sentinel: a marker written before the batch-id protocol has
+# no "last_append" key — the sidecar must then be left alone (it may
+# hold a legitimately committed earlier batch id)
+_UNKNOWN = "__no-last-append-recorded__"
+
+
+def read_last_append(path: str) -> str | None:
+    """The batch id of the last COMMITTED append at ``path`` (None when
+    no batch-id-stamped append ever committed). This is the store's
+    idempotence record: a crash can always land between the commit
+    point (marker removal) and the CALLER learning of it, so ingest
+    retries are inevitable — and a retry of an already-committed batch
+    would double-write rows that recovery (correctly) refuses to touch.
+    The reference keys every run by a correlation id
+    (HBaseReader.kt/UberTestSpec.kt's correlationId); passing that id
+    as ``batch_id`` to the append makes the retry an explicit no-op:
+    exactly-once appends under at-least-once delivery.
+
+    SINGLE-SLOT by design: the sidecar records the LAST committed
+    batch only — a marker-bracketed store can have at most one append
+    in flight, and Structured Streaming replays at most the last
+    uncommitted epoch against a durable checkpoint
+    (streaming.dedup_index_stream_ingest), so the retry that can
+    actually occur is always against the last slot. A full re-delivery
+    of older batches (fresh checkpoint, source rewind) is a rebuild
+    scenario, deliberately NOT absorbed."""
+    f = os.path.join(path, _LAST_APPEND)
+    if not os.path.exists(f):
+        return None
+    with open(f, encoding="utf-8") as fh:
+        try:
+            return json.loads(fh.read()).get("batch_id")
+        except ValueError:
+            return None
+
+
+def _write_last_append(path: str, batch_id: str) -> None:
+    """Atomic (write-temp + rename) sidecar update — written AFTER the
+    store/stats/meta writes and BEFORE the marker removal, so the
+    marker bracket protects it like every other mutation."""
+    f = os.path.join(path, _LAST_APPEND)
+    tmp = f + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"batch_id": batch_id}))
+    os.replace(tmp, f)
+
+
+def _restore_last_append(path: str, old) -> None:
+    """Recovery-side sidecar restore from the marker's recorded value:
+    None -> remove (no batch had ever committed), a string -> rewrite,
+    the _UNKNOWN sentinel (pre-protocol marker) -> leave untouched."""
+    if old == _UNKNOWN:
+        return
+    f = os.path.join(path, _LAST_APPEND)
+    if old is None:
+        if os.path.exists(f):
+            os.remove(f)
+    else:
+        _write_last_append(path, old)
 
 
 def _check_markers(path: str) -> None:
@@ -197,6 +263,11 @@ def build_text_index(
     pdocs = os.path.join(path, _PENDING_DOCS)
     if os.path.isdir(pdocs):
         shutil.rmtree(pdocs)
+    last = os.path.join(path, _LAST_APPEND)
+    if os.path.exists(last):
+        # batch ids committed against the OLD artifact must not no-op
+        # appends to the rebuilt one
+        os.remove(last)
     postings, stats, meta_counts = _index_relations(corpus, text_col, id_col)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
@@ -277,7 +348,8 @@ def append_to_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: str | None = None,
-) -> None:
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add NEW documents to a saved text index:
     delta-sized tokenisation/aggregation work, postings appended into
     the same term buckets (static bucket pruning keeps working), df
@@ -312,8 +384,20 @@ def append_to_text_index(
             "before appending"
         )
     recover_text_index_append(spark, path)
+    # Idempotence gate (round-10): a crash between the commit point and
+    # the caller observing it makes ingest retries inevitable; keying
+    # the append on the caller's batch/correlation id turns the retry
+    # of an ALREADY-COMMITTED batch into an explicit no-op instead of a
+    # double-write (see read_last_append).
+    if batch_id is not None and read_last_append(path) == batch_id:
+        return {"committed": False, "skipped_duplicate_batch": True}
     if delta.isEmpty():
-        return  # empty micro-batches would only fragment the store
+        # empty micro-batches would only fragment the store — but they
+        # still consume their batch id (atomic sidecar write; nothing
+        # else to protect)
+        if batch_id is not None:
+            _write_last_append(path, batch_id)
+        return {"committed": True, "skipped_duplicate_batch": False}
     _recover_swap(os.path.join(path, "stats"))
     _recover_swap(os.path.join(path, "meta"))
     old_meta = spark.read.parquet(os.path.join(path, "meta")).head()
@@ -327,6 +411,7 @@ def append_to_text_index(
                     "n_tok_docs": int(old_meta["n_tok_docs"]),
                     "sum_dl": int(old_meta["sum_dl"]),
                     "fingerprint": old_meta["fingerprint"],
+                    "last_append": read_last_append(path),
                 }
             )
         )
@@ -362,6 +447,8 @@ def append_to_text_index(
         "fingerprint", F.lit(fingerprint or "")
     )
     _swap_write(merged_meta, os.path.join(path, "meta"))
+    if batch_id is not None:
+        _write_last_append(path, batch_id)
     # Commit point (round-9 advice): removing the MARKER is the commit
     # record, so it must precede the ids-record delete. A crash between
     # the two leaves a marker-less stale ids dir — inert junk (recovery
@@ -371,6 +458,7 @@ def append_to_text_index(
     # reverted n_docs/avgdl under committed postings.
     os.remove(pending)
     shutil.rmtree(os.path.join(path, _PENDING_DOCS))
+    return {"committed": True, "skipped_duplicate_batch": False}
 
 
 def recover_text_index_append(spark: SparkSession, path: str) -> dict:
@@ -416,6 +504,7 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
             "fingerprint": str(state.get("fingerprint") or ""),
         }
         protocol = int(state.get("protocol") or 1)
+        old_last = state.get("last_append", _UNKNOWN)
     except (ValueError, TypeError, KeyError) as e:
         raise ValueError(
             f"{path}: pending-append marker is unreadable ({e!r}) — "
@@ -444,6 +533,7 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
             )
         if os.path.isdir(pdocs_dir):
             shutil.rmtree(pdocs_dir)
+        _restore_last_append(path, old_last)
         os.remove(pending)
         return {"recovered": True, "buckets_purged": 0, "store_untouched": True}
     doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
@@ -498,6 +588,11 @@ def recover_text_index_append(spark: SparkSession, path: str) -> dict:
         _swap_write(restored, meta_dir)
     else:
         restored.write.mode("overwrite").parquet(meta_dir)
+    # The idempotence sidecar is part of the pre-append state too: the
+    # crash may have landed after the new batch id was stamped, and a
+    # restored-but-stamped store would wrongly no-op the legitimate
+    # re-append of the purged batch.
+    _restore_last_append(path, old_last)
     # Same commit discipline as the append: marker removal commits the
     # recovery; the ids record outliving the marker is inert.
     os.remove(pending)

@@ -456,3 +456,74 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def dedup_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+) -> dict:
+    """Micro-batch ingest of NEW documents into a durable dedup
+    signature index: readStream over the delta directory →
+    ``foreachBatch`` appending each micro-batch with the EPOCH id as
+    the store's ``batch_id``. This composes Structured Streaming's
+    recovery model with the store's idempotence record into
+    exactly-once index ingest: against a durable checkpoint Spark
+    replays AT MOST the last uncommitted epoch after a failure, the
+    replayed ``foreachBatch`` call re-delivers the same rows under the
+    same epoch id, and the store's single-slot ``_last-append`` sidecar
+    (which records exactly the last committed batch — the only one a
+    marker-bracketed store can have in flight, and the only one Spark
+    will replay) turns the re-append into a no-op instead of a
+    double-write. Reference parity: the incremental export keyed by
+    correlation id over HBase time ranges (HBaseReader.kt:131-150,
+    the snapshotSender correlation id) — here the correlation id is the
+    epoch.
+
+    Pass a persistent ``checkpoint_dir`` to make restarts resume from
+    the offset log (a FRESH checkpoint replays every file — that is a
+    rebuild scenario, not a retry, and is deliberately not absorbed).
+    Returns {"epochs": n_foreachBatch_calls, "skipped": n_replays_noopd}.
+    """
+    import shutil as _shutil
+
+    from ..operators import dedupindex
+    from ..sources.parquet import ensure_read_confs
+
+    ensure_read_confs(spark)
+    schema = spark.read.parquet(delta_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(delta_dir)
+    )
+    stats = {"epochs": 0, "skipped": 0}
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        res = dedupindex.append_to_dedup_index(
+            batch_df, index_path, batch_id=f"epoch-{epoch_id}"
+        )
+        stats["epochs"] += 1
+        stats["skipped"] += int(res["skipped_duplicate_batch"])
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"index ingest did not drain within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+        if own_ckpt:
+            _shutil.rmtree(ckpt, ignore_errors=True)
+    return stats
