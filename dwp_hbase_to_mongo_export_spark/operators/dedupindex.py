@@ -57,6 +57,7 @@ from .textindex import (
     _LAST_APPEND,
     _PENDING,
     _UNKNOWN,
+    _append_lock,
     _recover_swap,
     _recovered_leaves,
     _restore_last_append,
@@ -169,6 +170,27 @@ def build_dedup_index(
     rely on that (old meta stays readable while bands→sets→meta
     overwrites land), so it is bracketed by a ``_build-pending`` marker
     every reader refuses (round-8 advice, shared with textindex)."""
+    os.makedirs(path, exist_ok=True)
+    # rebuilds are mutations like appends: hold the store's exclusive
+    # lock so a rebuild never interleaves with a live append's writes
+    with _append_lock(path):
+        return _build_dedup_index_locked(
+            corpus, path, text_col, id_col, n_perm, rows_per_band, k,
+            max_chars, fingerprint,
+        )
+
+
+def _build_dedup_index_locked(
+    corpus: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_perm: int,
+    rows_per_band: int,
+    k: int,
+    max_chars: int,
+    fingerprint: str | None,
+) -> None:
     rebuild_over_existing = os.path.isdir(
         os.path.join(path, "meta")
     ) or os.path.isdir(os.path.join(path, "bands"))
@@ -222,6 +244,24 @@ def append_to_dedup_index(
     fingerprint: str | None = None,
     batch_id: str | None = None,
 ) -> dict:
+    """Serialization shell — mutators hold the store's exclusive
+    ``_append.lock`` (textindex._append_lock) so concurrent appends
+    queue instead of purging each other's in-flight rows; the protocol
+    itself is documented on ``_append_to_dedup_index_impl``."""
+    with _append_lock(path):
+        return _append_to_dedup_index_impl(
+            delta, path, text_col, id_col, fingerprint, batch_id
+        )
+
+
+def _append_to_dedup_index_impl(
+    delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str | None = None,
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally index NEW documents: delta-sized signature work,
     band/set rows appended into the same partition layout, n_docs
     refreshed by addition (never a corpus re-scan). Signature
@@ -247,7 +287,7 @@ def append_to_dedup_index(
             f"{path}: a rebuild died mid-flight — rebuild the index "
             "before appending"
         )
-    recover_dedup_index_append(spark, path)
+    _recover_dedup_index_append_impl(spark, path)
     # Idempotence gate (round-10, see textindex.read_last_append): a
     # retry of an already-committed batch id no-ops instead of
     # double-writing band/set rows.
@@ -327,6 +367,15 @@ def append_to_dedup_index(
 
 
 def recover_dedup_index_append(spark: SparkSession, path: str) -> dict:
+    """Locked entry point for standalone recovery — holds the store's
+    ``_append.lock`` so a recovery never races a live append (whose
+    marker it would mis-read as torn). Protocol documented on
+    ``_recover_dedup_index_append_impl``."""
+    with _append_lock(path):
+        return _recover_dedup_index_append_impl(spark, path)
+
+
+def _recover_dedup_index_append_impl(spark: SparkSession, path: str) -> dict:
     """Return a torn-append artifact to its EXACT pre-append state so
     the same delta can be re-appended safely (round-8 advice: band/set
     rows may already be stored when the marker is found, so a blind

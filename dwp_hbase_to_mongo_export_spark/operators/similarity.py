@@ -223,6 +223,7 @@ def build_ivf_index(
 from .textindex import _PENDING, _UNKNOWN  # noqa: E402
 from .textindex import _recover_swap, _recovered_leaves, _swap_write  # noqa: E402
 from .textindex import (  # noqa: E402
+    _append_lock,
     _restore_last_append,
     _write_last_append,
     read_last_append,
@@ -276,6 +277,23 @@ def append_to_ivf_index(
     vec_col: str = "embedding",
     batch_id: str | None = None,
 ) -> dict:
+    """Serialization shell — mutators hold the store's exclusive
+    ``_append.lock`` (textindex._append_lock) so concurrent appends
+    queue instead of purging each other's in-flight rows; the protocol
+    itself is documented on ``_append_to_ivf_index_impl``."""
+    with _append_lock(path):
+        return _append_to_ivf_index_impl(
+            path, new_batch, id_col, vec_col, batch_id
+        )
+
+
+def _append_to_ivf_index_impl(
+    path: str,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add a batch of vectors to a saved IVF index: the
     batch is assigned against the index's OWN stored centroids (the
     quantiser must not move, or existing posting lists silently become
@@ -289,7 +307,7 @@ def append_to_ivf_index(
     (ann_recall_report's governance loop) says the quantiser went
     stale."""
     spark = new_batch.sparkSession
-    recover_ivf_index_append(spark, path)
+    _recover_ivf_index_append_impl(spark, path)
     # Idempotence gate (round-10, see textindex.read_last_append): a
     # retry of an already-committed batch id no-ops instead of
     # double-writing posting rows.
@@ -348,6 +366,15 @@ def append_to_ivf_index(
 
 
 def recover_ivf_index_append(spark, path: str) -> dict:
+    """Locked entry point for standalone recovery — holds the store's
+    ``_append.lock`` so a recovery never races a live append (whose
+    marker it would mis-read as torn). Protocol documented on
+    ``_recover_ivf_index_append_impl``."""
+    with _append_lock(path):
+        return _recover_ivf_index_append_impl(spark, path)
+
+
+def _recover_ivf_index_append_impl(spark, path: str) -> dict:
     """Return a torn-append IVF artifact to its exact pre-append state
     so the same batch can be re-appended safely: anti-join the recorded
     ``_pending-ids`` out of the recorded clusters' posting leaves (the
@@ -909,6 +936,23 @@ def append_to_pq_index(
     vec_col: str = "embedding",
     batch_id: str | None = None,
 ) -> dict:
+    """Serialization shell — mutators hold the store's exclusive
+    ``_append.lock`` (textindex._append_lock) so concurrent appends
+    queue instead of purging each other's in-flight rows; the protocol
+    itself is documented on ``_append_to_pq_index_impl``."""
+    with _append_lock(path):
+        return _append_to_pq_index_impl(
+            path, new_batch, id_col, vec_col, batch_id
+        )
+
+
+def _append_to_pq_index_impl(
+    path: str,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add a batch of vectors to a saved PQ index: the
     batch is encoded with the index's OWN stored codebooks (the
     quantiser must not move, or existing codes silently stop being
@@ -922,7 +966,7 @@ def append_to_pq_index(
     results are pinned identical to in-session ones, so the in-session
     ann_recall_report PQ row transfers verbatim to this artifact)."""
     spark = new_batch.sparkSession
-    recover_pq_index_append(spark, path)
+    _recover_pq_index_append_impl(spark, path)
     # Idempotence gate (round-10, see textindex.read_last_append)
     if batch_id is not None and read_last_append(path) == batch_id:
         return {"committed": False, "skipped_duplicate_batch": True}
@@ -964,6 +1008,15 @@ def append_to_pq_index(
 
 
 def recover_pq_index_append(spark, path: str) -> dict:
+    """Locked entry point for standalone recovery — holds the store's
+    ``_append.lock`` so a recovery never races a live append (whose
+    marker it would mis-read as torn). Protocol documented on
+    ``_recover_pq_index_append_impl``."""
+    with _append_lock(path):
+        return _recover_pq_index_append_impl(spark, path)
+
+
+def _recover_pq_index_append_impl(spark, path: str) -> dict:
     """Return a torn-append PQ artifact to its exact pre-append state:
     anti-join the recorded ``_pending-ids`` out of the flat codes store
     (one store-sized swap rewrite — I/O only, no re-encoding; the rare

@@ -95,6 +95,37 @@ _LAST_APPEND = "_last-append"
 _UNKNOWN = "__no-last-append-recorded__"
 
 
+def _append_lock(path: str):
+    """Exclusive per-store advisory lock serializing MUTATIONS (append,
+    recovery, in-place rebuild). Without it, two concurrent appends are
+    mutually destructive in a way no marker can fix: each one's
+    entry-time recovery reads the OTHER's live marker as a torn append
+    and purges its in-flight rows, and the second marker write
+    overwrites the first's recorded pre-append state. POSIX flock on a
+    file INSIDE the store (so the lock travels with the artifact),
+    released by the OS if the holder dies — a crashed append leaves its
+    marker, never a wedged lock. Readers stay lock-free: a live
+    append's marker already makes them refuse loudly, which is the
+    store's documented consistency model."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def _ctx():
+        os.makedirs(path, exist_ok=True)
+        fd = os.open(
+            os.path.join(path, "_append.lock"), os.O_CREAT | os.O_RDWR, 0o600
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    return _ctx()
+
+
 def read_last_append(path: str) -> str | None:
     """The batch id of the last COMMITTED append at ``path`` (None when
     no batch-id-stamped append ever committed). This is the store's
@@ -250,6 +281,22 @@ def build_text_index(
     overwrites land postings→stats→meta), so it is bracketed by a
     ``_build-pending`` marker that every reader refuses and
     stored_fingerprint reports as 'rebuild' (round-8 advice)."""
+    os.makedirs(path, exist_ok=True)
+    # rebuilds are mutations like appends: hold the store's exclusive
+    # lock so a rebuild never interleaves with a live append's writes
+    with _append_lock(path):
+        return _build_text_index_locked(
+            corpus, path, text_col, id_col, fingerprint
+        )
+
+
+def _build_text_index_locked(
+    corpus: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    fingerprint: str | None,
+) -> None:
     rebuild_over_existing = os.path.isdir(os.path.join(path, "meta")) or os.path.isdir(
         os.path.join(path, "postings")
     )
@@ -350,6 +397,24 @@ def append_to_text_index(
     fingerprint: str | None = None,
     batch_id: str | None = None,
 ) -> dict:
+    """Serialization shell — appends (and recovery/rebuild) hold the
+    store's exclusive ``_append.lock`` so concurrent mutators queue
+    instead of purging each other's in-flight rows (see _append_lock);
+    the protocol itself is documented on ``_append_to_text_index_impl``."""
+    with _append_lock(path):
+        return _append_to_text_index_impl(
+            delta, path, text_col, id_col, fingerprint, batch_id
+        )
+
+
+def _append_to_text_index_impl(
+    delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str | None = None,
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add NEW documents to a saved text index:
     delta-sized tokenisation/aggregation work, postings appended into
     the same term buckets (static bucket pruning keeps working), df
@@ -383,7 +448,7 @@ def append_to_text_index(
             f"{path}: a rebuild died mid-flight — rebuild the index "
             "before appending"
         )
-    recover_text_index_append(spark, path)
+    _recover_text_index_append_impl(spark, path)
     # Idempotence gate (round-10): a crash between the commit point and
     # the caller observing it makes ingest retries inevitable; keying
     # the append on the caller's batch/correlation id turns the retry
@@ -462,6 +527,15 @@ def append_to_text_index(
 
 
 def recover_text_index_append(spark: SparkSession, path: str) -> dict:
+    """Locked entry point for standalone recovery — holds the store's
+    ``_append.lock`` so a recovery never races a live append (whose
+    marker it would mis-read as torn). Protocol documented on
+    ``_recover_text_index_append_impl``."""
+    with _append_lock(path):
+        return _recover_text_index_append_impl(spark, path)
+
+
+def _recover_text_index_append_impl(spark: SparkSession, path: str) -> dict:
     """Return a torn-append artifact to its EXACT pre-append state so
     the same delta can be re-appended safely (round-8 advice: posting
     rows may already be stored when the marker is found, so a blind

@@ -333,3 +333,41 @@ def test_streaming_epoch_keyed_ingest_exactly_once(spark, docs, tmp_path):
     stats = dedup_index_stream_ingest(spark, delta_dir, path, checkpoint_dir=ckpt)
     assert stats["epochs"] == 0 or stats["skipped"] == stats["epochs"]
     assert _bands(spark, path) == _bands(spark, full)
+
+
+# ---------------------------------------------------- mutual exclusion
+
+
+def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
+    """Two appends racing on one store used to be mutually destructive:
+    each one's entry-time recovery read the OTHER's live marker as a
+    torn append and purged its in-flight rows. The per-store
+    _append.lock serializes them — both commit, and the result equals
+    a clean build over old ∪ d1 ∪ d2."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    old = docs.filter(F.col("doc_id") < 300)
+    d1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    d2 = docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 400))
+    path = str(tmp_path / "ix")
+    dedupindex.build_dedup_index(old, path, **PARAMS)
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(
+                dedupindex.append_to_dedup_index, d, path, batch_id=b
+            )
+            for d, b in ((d1, "b1"), (d2, "b2"))
+        ]
+        results = [f.result() for f in futs]
+    assert all(r["committed"] for r in results)
+
+    full = str(tmp_path / "full")
+    dedupindex.build_dedup_index(
+        docs.filter(F.col("doc_id") < 400), full, **PARAMS
+    )
+    assert _bands(spark, path) == _bands(spark, full)
+    assert (
+        spark.read.parquet(path + "/meta").head()["n_docs"]
+        == spark.read.parquet(full + "/meta").head()["n_docs"]
+    )
