@@ -495,11 +495,11 @@ def _recover_dedup_index_append_impl(spark: SparkSession, path: str) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     if band_leaves:
-        with ThreadPoolExecutor(min(8, len(band_leaves))) as ex:
+        with ThreadPoolExecutor(min(16, len(band_leaves))) as ex:
             list(ex.map(_purge_band, band_leaves))
     bands_purged = len(band_leaves)
     if buckets:
-        with ThreadPoolExecutor(min(8, len(buckets))) as ex:
+        with ThreadPoolExecutor(min(16, len(buckets))) as ex:
             sets_purged = sum(ex.map(_purge_set_bucket, buckets))
     meta = spark.createDataFrame(
         [

@@ -450,7 +450,7 @@ def _recover_ivf_index_append_impl(spark, path: str) -> dict:
     if clusters:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, len(clusters))) as ex:
+        with ThreadPoolExecutor(min(16, len(clusters))) as ex:
             purged = sum(ex.map(_purge_cluster, clusters))
     # Sidecar is pre-append state too (see textindex recovery).
     _restore_last_append(path, old_last)

@@ -646,7 +646,7 @@ def _recover_text_index_append_impl(spark: SparkSession, path: str) -> dict:
     if leaves:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, len(leaves))) as ex:
+        with ThreadPoolExecutor(min(16, len(leaves))) as ex:
             list(ex.map(_purge_leaf, leaves))
     buckets_purged = len(leaves)
     restored = spark.createDataFrame(
