@@ -142,7 +142,8 @@ def read_last_append(path: str) -> str | None:
     batch only — a marker-bracketed store can have at most one append
     in flight, and Structured Streaming replays at most the last
     uncommitted epoch against a durable checkpoint
-    (streaming.dedup_index_stream_ingest), so the retry that can
+    (streaming.index_stream_ingest and its per-store bindings), so the
+    retry that can
     actually occur is always against the last slot. A full re-delivery
     of older batches (fresh checkpoint, source rewind) is a rebuild
     scenario, deliberately NOT absorbed."""

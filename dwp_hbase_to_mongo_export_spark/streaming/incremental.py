@@ -458,30 +458,34 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_index_stream_ingest(
+def index_stream_ingest(
     spark: SparkSession,
     delta_dir: str,
-    index_path: str,
+    append,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
     timeout_sec: int = 120,
 ) -> dict:
-    """Micro-batch ingest of NEW documents into a durable dedup
-    signature index: readStream over the delta directory →
-    ``foreachBatch`` appending each micro-batch with the EPOCH id as
-    the store's ``batch_id``. This composes Structured Streaming's
-    recovery model with the store's idempotence record into
-    exactly-once index ingest: against a durable checkpoint Spark
-    replays AT MOST the last uncommitted epoch after a failure, the
-    replayed ``foreachBatch`` call re-delivers the same rows under the
-    same epoch id, and the store's single-slot ``_last-append`` sidecar
-    (which records exactly the last committed batch — the only one a
-    marker-bracketed store can have in flight, and the only one Spark
-    will replay) turns the re-append into a no-op instead of a
-    double-write. Reference parity: the incremental export keyed by
-    correlation id over HBase time ranges (HBaseReader.kt:131-150,
-    the snapshotSender correlation id) — here the correlation id is the
-    epoch.
+    """Micro-batch ingest of NEW rows into any of the four durable
+    stores: readStream over the delta directory → ``foreachBatch``
+    calling ``append(batch_df, batch_id)`` with the EPOCH id as the
+    store's ``batch_id``. This composes Structured Streaming's recovery
+    model with the stores' idempotence record into exactly-once index
+    ingest: against a durable checkpoint Spark replays AT MOST the last
+    uncommitted epoch after a failure, the replayed ``foreachBatch``
+    call re-delivers the same rows under the same epoch id, and the
+    store's single-slot ``_last-append`` sidecar (which records exactly
+    the last committed batch — the only one a marker-bracketed store
+    can have in flight, and the only one Spark will replay) turns the
+    re-append into a no-op instead of a double-write. Reference parity:
+    the incremental export keyed by correlation id over HBase time
+    ranges (HBaseReader.kt:131-150, the snapshotSender correlation id)
+    — here the correlation id is the epoch.
+
+    ``append(batch_df, batch_id) -> {"skipped_duplicate_batch": bool}``
+    — any store's append partially applied, e.g.
+    ``lambda df, b: similarity.append_to_ivf_index(path, df, batch_id=b)``
+    (named wrappers below cover the text/dedup stores).
 
     Pass a persistent ``checkpoint_dir`` to make restarts resume from
     the offset log (a FRESH checkpoint replays every file — that is a
@@ -490,7 +494,6 @@ def dedup_index_stream_ingest(
     """
     import shutil as _shutil
 
-    from ..operators import dedupindex
     from ..sources.parquet import ensure_read_confs
 
     ensure_read_confs(spark)
@@ -503,9 +506,7 @@ def dedup_index_stream_ingest(
     stats = {"epochs": 0, "skipped": 0}
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        res = dedupindex.append_to_dedup_index(
-            batch_df, index_path, batch_id=f"epoch-{epoch_id}"
-        )
+        res = append(batch_df, f"epoch-{epoch_id}")
         stats["epochs"] += 1
         stats["skipped"] += int(res["skipped_duplicate_batch"])
 
@@ -527,3 +528,49 @@ def dedup_index_stream_ingest(
         if own_ckpt:
             _shutil.rmtree(ckpt, ignore_errors=True)
     return stats
+
+
+def dedup_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+) -> dict:
+    """index_stream_ingest bound to the dedup signature index."""
+    from ..operators import dedupindex
+
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        lambda df, b: dedupindex.append_to_dedup_index(
+            df, index_path, batch_id=b
+        ),
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+    )
+
+
+def text_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+) -> dict:
+    """index_stream_ingest bound to the BM25 text index."""
+    from ..operators import textindex
+
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        lambda df, b: textindex.append_to_text_index(
+            df, index_path, batch_id=b
+        ),
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+    )

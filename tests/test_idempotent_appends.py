@@ -371,3 +371,30 @@ def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
         spark.read.parquet(path + "/meta").head()["n_docs"]
         == spark.read.parquet(full + "/meta").head()["n_docs"]
     )
+
+
+def test_streaming_text_ingest_matches_batch_build(spark, docs, tmp_path):
+    """The generic ingest bound to the text store: a 3-file epoch drain
+    appends exactly once per epoch and the final index answers queries
+    identically to a one-shot build over corpus ∪ delta."""
+    from dwp_hbase_to_mongo_export_spark.streaming.incremental import (
+        text_index_stream_ingest,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    path = str(tmp_path / "tix")
+    textindex.build_text_index(corpus, path)
+    delta_dir = str(tmp_path / "delta")
+    delta.select("doc_id", "text").repartition(3).write.parquet(delta_dir)
+
+    stats = text_index_stream_ingest(spark, delta_dir, path)
+    assert stats["epochs"] >= 3 and stats["skipped"] == 0
+    assert textindex.read_last_append(path).startswith("epoch-")
+
+    full = str(tmp_path / "full")
+    textindex.build_text_index(docs.filter(F.col("doc_id") < 400), full)
+    terms = ["table", "scan", "merge"]
+    got = textindex.query_text_index(spark, path, terms, top_n=10).collect()
+    want = textindex.query_text_index(spark, full, terms, top_n=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
