@@ -55,6 +55,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                              AND TIMESTAMP '1996-12-31 00:00:00'
     ) GROUP BY supp_nation, cust_nation, l_year
     """,
+    # the specific NATION_1<->NATION_2 supplier/customer pairing finds
+    # no lineitem in the 500-order smoke fixture; real value evidence
+    # at sf0.01+ (caught by the round-10 vacuity lint at sf0.001)
+    empty_at=("sf0.001",),
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume (TPC-H Q7 shape): two aliases of the same

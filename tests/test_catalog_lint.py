@@ -174,6 +174,8 @@ def test_empty_at_annotations_are_pinned_and_valid():
     assert set(catalog.EMPTY_AT) == {
         "customers_without_orders",
         "q22_idle_customers",
+        "q7_nation_volume",  # sf0.001-only: the nation pairing finds
+        # no smoke-fixture lineitem; value-checked at sf0.01+
     }, (
         "EMPTY_AT changed — confirm the new query is genuinely "
         "non-empty at sf0.1 (run tools/check_correctness.py "
