@@ -1,0 +1,157 @@
+"""Exact duplicated-span detection and removal (sub-document dedup).
+
+The reference pipeline dedups whole records by key (HBase latest-cell
+semantics, reference HBaseReader.kt scan-per-key); a 100 TB TRAINING
+corpus additionally needs sub-document dedup: long word spans repeated
+across documents (boilerplate, mirrored pages, licence blocks) inflate
+memorisation even when no two whole documents match. This module is the
+exact-substring flavour popularised by Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better") re-expressed Spark-first
+at word-n-gram granularity:
+
+1. gram inventory    — every word position starts an n-gram; a narrow
+                       ``transform`` over the split array + posexplode
+                       (linear in corpus words, no Python).
+2. duplicate grams   — groupBy(gram md5) HAVING >= ``min_docs`` distinct
+                       docs. The ONLY corpus-wide shuffle, keyed on a
+                       128-bit hash (the payload never shuffles);
+                       partial aggregation collapses within-partition
+                       repeats before the wire.
+3. covered positions — semi-join the gram inventory back to the
+                       duplicate-gram set. Boilerplate is a small
+                       fraction of distinct grams in real corpora, so
+                       AQE turns this into a broadcast join at runtime
+                       when the dup side fits; each hit explodes to its
+                       n covered word positions.
+4. span merge        — per-doc island detection (pos - row_number()),
+                       a doc-partitioned window bounded by doc length.
+5. strip             — rebuild text keeping uncovered positions; a
+                       narrow per-doc array filter (no second pass over
+                       clean documents' grams).
+
+100 TB design: step 2's shuffle is one row per corpus word — the same
+cost class as the engine's other tokenise-everything passes (BM25
+build, minhash signatures) and embarrassingly partial-aggregable.
+Steps 3-5 materialise (doc, position) pairs for DUPLICATED text only.
+Hashes are full md5 so the DuckDB oracle reproduces results exactly
+(engine convention, see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id_col, start, gh): md5 of the n-word gram starting at each word
+    position. Docs shorter than n words contribute nothing (the
+    explicit guard matters: Spark's ``sequence(0, negative)`` would
+    DESCEND, not return empty)."""
+    ws = F.split(F.col(text_col), " ")
+    starts = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, n)))
+    )
+    return df.select(F.col(id_col), F.posexplode(grams).alias("start", "gh"))
+
+
+def duplicated_grams(
+    grams: DataFrame, id_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Gram hashes appearing in >= min_docs DISTINCT documents — the
+    cross-document duplicate inventory (within-doc repetition alone is
+    the repetition_features family's job, not dedup)."""
+    return (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+
+
+def covered_positions(
+    grams: DataFrame, dup: DataFrame, n: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_col, pos) word positions covered by at least one
+    duplicated n-gram (a position is covered if ANY gram containing it
+    is duplicated, i.e. starts q with q <= pos < q + n)."""
+    hits = grams.join(dup, "gh", "left_semi")
+    return hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+    ).distinct()
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document:
+    (id_col, span_start, span_end, n_words, span_text), positions
+    0-based inclusive. A span is a maximal run of covered positions —
+    overlapping duplicated grams merge into one reported span."""
+    grams = word_grams(df, text_col, id_col, n)
+    cov = covered_positions(grams, duplicated_grams(grams, id_col, min_docs), n, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        cov.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .drop("grp")
+    )
+    ws_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    # spans (duplicated text only) is the small side of this equi-join;
+    # AQE broadcasts it against the full corpus at runtime.
+    return spans.join(ws_df, id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        "n_words",
+        F.concat_ws(
+            " ", F.slice("ws", F.col("span_start") + 1, F.col("n_words").cast("int"))
+        ).alias("span_text"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cleaned corpus: every covered position removed from every doc
+    (the remove-all-copies policy of Lee et al. §4 — by construction the
+    surviving corpus contains NO word n-gram shared by min_docs docs,
+    which keep-one cannot guarantee once spans from different canonical
+    docs overlap). Returns (id_col, text_deduped, n_removed); documents
+    with nothing duplicated pass through unchanged, fully-duplicated
+    documents survive as empty strings for the caller's length filter
+    (corpus_filter_pipeline) to drop."""
+    grams = word_grams(df, text_col, id_col, n)
+    cov = covered_positions(grams, duplicated_grams(grams, id_col, min_docs), n, id_col)
+    # per-doc covered-position sets are bounded by doc length, and only
+    # docs containing duplicated text appear at all.
+    cov_sets = cov.groupBy(id_col).agg(F.collect_set("pos").alias("cov"))
+    ws_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    joined = ws_df.join(cov_sets, id_col, "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_deduped"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+    )

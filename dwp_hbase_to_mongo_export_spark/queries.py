@@ -444,6 +444,11 @@ DRIVER_WINDOW_CHANGED = [
 # fill to 50 from the r7 cohort alphabetically. Staleness floor after
 # this round: r7.
 DRIVER_WINDOW = [
+    # never driver-checked (registered this round): the exact
+    # duplicated-span dedup pair — the unchecked tier leads, per the
+    # catalog lint
+    "dedup_spans_apply",
+    "duplicate_spans",
     # code changed this round: date windows moved inside the data range
     # so the gates compare real values for the first time
     "q5_local_supplier_volume",
@@ -496,8 +501,6 @@ DRIVER_WINDOW = [
     "text_boilerplate_df",
     "text_unigram_logprob",
     "tfidf_top_terms",
-    "topk_orders_per_customer",
-    "train_val_split",
 ]
 
 

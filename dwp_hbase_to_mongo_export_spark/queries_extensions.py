@@ -2252,3 +2252,91 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "store string, leaves_purged bigint, recover_sec double"
     )
+
+
+# --- exact duplicated-span dedup (sub-document, Lee et al. 2022 style) ------
+
+_SPAN_CTES = """
+    docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS start,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS gh
+      FROM docs, UNNEST(range(1, len(ws) - 6)) AS t(i)
+    ),
+    dupg AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(p AS INT) AS pos
+      FROM grams g JOIN dupg USING (gh),
+           UNNEST(range(g.start, g.start + 8)) AS t(p)
+    )
+"""
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM covered
+    ),
+    spans AS (
+      SELECT doc_id, grp, min(pos) AS span_start, max(pos) AS span_end,
+             count(*) AS n_words
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id, s.span_start AS span_start, s.span_end AS span_end,
+           s.n_words AS n_words,
+           array_to_string(d.ws[s.span_start + 1 : s.span_end + 1], ' ')
+             AS span_text
+    FROM spans s JOIN docs d USING (doc_id)
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal word spans repeated verbatim across >= 2 documents
+    (exact-substring dedup detection, word-8-gram granularity). The
+    sub-document complement of the whole-record dedup family — see
+    operators/spandedup.py for the 100 TB shuffle accounting."""
+    from .operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spandedup.duplicate_spans(docs, "text", "doc_id", n=8, min_docs=2)
+
+
+@query(
+    "dedup_spans_apply",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    words AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS pos, ws[CAST(i AS INT)] AS w
+      FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT wd.doc_id, wd.pos, wd.w
+      FROM words wd ANTI JOIN covered c
+        ON wd.doc_id = c.doc_id AND wd.pos = c.pos
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY doc_id
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.text_deduped, '') AS text_deduped,
+           CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
+    FROM docs d
+      LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN ncov n USING (doc_id)
+    """,
+)
+def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus with every cross-document duplicated 8-gram span
+    removed (remove-all-copies policy, Lee et al. §4): the surviving
+    corpus provably contains no 8-word gram shared by two documents."""
+    from .operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spandedup.strip_duplicate_spans(docs, "text", "doc_id", n=8, min_docs=2)
