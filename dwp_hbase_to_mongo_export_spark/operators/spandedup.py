@@ -50,14 +50,18 @@ def word_grams(
     position. Docs shorter than n words contribute nothing (the
     explicit guard matters: Spark's ``sequence(0, negative)`` would
     DESCEND, not return empty)."""
-    ws = F.split(F.col(text_col), " ")
+    # materialise the split ONCE per row: an inlined split(text) inside
+    # the transform lambda would be re-evaluated per gram (O(words²)
+    # string work per doc)
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    ws = F.col("ws")
     starts = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, n)))
     )
-    return df.select(F.col(id_col), F.posexplode(grams).alias("start", "gh"))
+    return base.select(F.col(id_col), F.posexplode(grams).alias("start", "gh"))
 
 
 def duplicated_grams(
