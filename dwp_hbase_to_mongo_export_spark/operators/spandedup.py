@@ -137,10 +137,14 @@ def strip_duplicate_spans(
     min_docs: int = 2,
 ) -> DataFrame:
     """Cleaned corpus: every covered position removed from every doc
-    (the remove-all-copies policy of Lee et al. §4 — by construction the
-    surviving corpus contains NO word n-gram shared by min_docs docs,
-    which keep-one cannot guarantee once spans from different canonical
-    docs overlap). Returns (id_col, text_deduped, n_removed); documents
+    (the remove-all-copies policy of Lee et al. §4). Guarantee: every
+    n-gram shared by >= min_docs INPUT documents has ALL its
+    occurrences removed. (Words that become newly adjacent across a
+    removed span can still form fresh shared grams — junction text —
+    so the guarantee is about input grams, not a fixpoint; keep-one
+    policies cannot even offer the input-gram guarantee once spans from
+    different canonical docs overlap.)
+    Returns (id_col, text_deduped, n_removed); documents
     with nothing duplicated pass through unchanged, fully-duplicated
     documents survive as empty strings for the caller's length filter
     (corpus_filter_pipeline) to drop."""

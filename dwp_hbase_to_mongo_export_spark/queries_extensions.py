@@ -2334,8 +2334,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleaned corpus with every cross-document duplicated 8-gram span
-    removed (remove-all-copies policy, Lee et al. §4): the surviving
-    corpus provably contains no 8-word gram shared by two documents."""
+    removed (remove-all-copies policy, Lee et al. §4): every 8-gram
+    shared by two input documents loses all its occurrences (junction
+    text around removed spans is not re-examined — see
+    operators/spandedup.py)."""
     from .operators import spandedup
 
     docs = load_table(spark, sf_dir, "documents")

@@ -78,6 +78,12 @@ DISTINCT_SWEEP_QUERIES = [
     "dedup_incremental_indexed",  # durable-index batch screen (r9): batch
                                # signatures + band equi-join + DPP verify;
                                # index build paid once per variant dir
+    "dedup_spans_full",        # exact duplicated-span strip (r10): gram
+                               # inventory + dup-gram agg + covered-
+                               # position strip; per-replica character
+                               # permutation keeps cross-replica grams
+                               # distinct, so dup-span volume stays
+                               # linear and growth measures the plan
     "index_recovery_drill",    # torn-append recovery x4 stores (r10):
                                # staging is an absolute-constant batch
                                # (replica-0 ids only), recovery is one
@@ -182,8 +188,26 @@ def _index_recovery_drill(spark, sf_dir):
     return BENCH_ONLY["index_recovery_drill"](spark, sf_dir)
 
 
+def _dedup_spans_full(spark, sf_dir):
+    """Duplicated-span STRIP over the whole corpus, reduced to a tiny
+    checksum aggregate (the catalog query returns every cleaned doc —
+    collecting 100x that would time driver transfer, not the plan)."""
+    from dwp_hbase_to_mongo_export_spark.operators import spandedup
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = spandedup.strip_duplicate_spans(docs, "text", "doc_id", n=8, min_docs=2)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_removed").alias("removed"),
+        F.sum(F.length("text_deduped")).alias("chars"),
+    )
+
+
 SWEEP_OVERRIDES = {
     "snapshot_sink_export": _snapshot_sink_export,
+    "dedup_spans_full": _dedup_spans_full,
     "index_recovery_drill": _index_recovery_drill,
     "similarity_topk_ivf_full": _ivf_full_corpus,
     "logreg_fit_full": _logreg_fit_full,
