@@ -163,3 +163,45 @@ def strip_duplicate_spans(
         F.concat_ws(" ", kept).alias("text_deduped"),
         F.size("cov").cast("bigint").alias("n_removed"),
     )
+
+
+def strip_spans_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Incremental form: strip a NEW batch of every span whose n-gram
+    already occurs ANYWHERE in the accepted corpus, or in >= min_docs
+    distinct docs WITHIN the batch (the same decision the one-shot
+    operator makes, restricted to batch text — corpus documents are
+    already accepted and are never rewritten by an ingest).
+
+    Scale: the corpus side reduces to its distinct gram hashes and is
+    immediately semi-joined against the (small) batch gram set, so only
+    grams the batch actually probes survive the corpus pass — the same
+    anti-join discipline as dedup_incremental_batch. The corpus
+    tokenise pass itself is the cost a durable gram index would
+    amortise to once per corpus (the dedupindex.py pattern); this
+    operator is the index-free form.
+    """
+    bg = word_grams(batch, text_col, id_col, n)
+    cg = word_grams(corpus, text_col, id_col, n).select("gh")
+    # corpus grams the batch probes (batch gram set is the small side)
+    vs_corpus = cg.join(bg.select("gh").distinct(), "gh", "left_semi").distinct()
+    within = duplicated_grams(bg, id_col, min_docs)
+    dup = vs_corpus.unionByName(within).distinct()
+    cov = covered_positions(bg, dup, n, id_col)
+    cov_sets = cov.groupBy(id_col).agg(F.collect_set("pos").alias("cov"))
+    ws_df = batch.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    joined = ws_df.join(cov_sets, id_col, "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_deduped"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+    )

@@ -448,6 +448,7 @@ DRIVER_WINDOW = [
     # duplicated-span dedup pair — the unchecked tier leads, per the
     # catalog lint
     "dedup_spans_apply",
+    "dedup_spans_incremental",
     "duplicate_spans",
     # code changed this round: date windows moved inside the data range
     # so the gates compare real values for the first time
@@ -500,7 +501,6 @@ DRIVER_WINDOW = [
     "streaming_quantiles_hist",
     "text_boilerplate_df",
     "text_unigram_logprob",
-    "tfidf_top_terms",
 ]
 
 

@@ -2342,3 +2342,64 @@ def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return spandedup.strip_duplicate_spans(docs, "text", "doc_id", n=8, min_docs=2)
+
+
+@query(
+    "dedup_spans_incremental",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS start,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS gh
+      FROM docs, UNNEST(range(1, len(ws) - 6)) AS t(i)
+    ),
+    bgrams AS (SELECT * FROM grams WHERE doc_id % 10 = 9),
+    cgrams AS (SELECT gh FROM grams WHERE doc_id % 10 <> 9),
+    dup AS (
+      SELECT DISTINCT gh FROM bgrams WHERE gh IN (SELECT gh FROM cgrams)
+      UNION
+      SELECT gh FROM bgrams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(p AS INT) AS pos
+      FROM bgrams g JOIN dup USING (gh),
+           UNNEST(range(g.start, g.start + 8)) AS t(p)
+    ),
+    bdocs AS (SELECT * FROM docs WHERE doc_id % 10 = 9),
+    words AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS pos, ws[CAST(i AS INT)] AS w
+      FROM bdocs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT wd.doc_id, wd.pos, wd.w
+      FROM words wd ANTI JOIN covered c
+        ON wd.doc_id = c.doc_id AND wd.pos = c.pos
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY doc_id
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.text_deduped, '') AS text_deduped,
+           CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
+    FROM bdocs d
+      LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN ncov n USING (doc_id)
+    """,
+)
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest form of span dedup: strip a NEW batch (every
+    doc_id ending in 9, the dedup_incremental_batch split) of spans
+    whose 8-gram already occurs anywhere in the accepted corpus or in
+    two batch docs; the corpus is never rewritten. The corpus tokenise
+    pass is what a durable gram index amortises — this is the
+    index-free form (see operators/spandedup.py)."""
+    from .operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    return spandedup.strip_spans_against_corpus(
+        batch, corpus, "text", "doc_id", n=8, min_docs=2
+    )

@@ -196,3 +196,47 @@ def test_input_gram_guarantee(spark, corpus_texts):
             for s in range(len(run) - n + 1):
                 g = tuple(ws[p] for p in run[s : s + n])
                 assert g not in dup, (r.doc_id, g)
+
+
+# --- incremental (batch vs accepted corpus) ----------------------------------
+
+
+def test_strip_against_corpus_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(0, "c1 c2 a b c d e f g h c3")],  # corpus holds gram a..h
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "x a b c d e f g h y"),  # hits corpus gram: stripped
+            (11, "k l m n o p q r s"),  # shares 8-gram k..r+l..s with 12
+            (12, "k l m n o p q r s"),  # batch-internal dup: both stripped
+            (13, "completely fresh words never seen anywhere at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_spans_against_corpus(batch, corpus, n=8).collect()
+    }
+    # a single CORPUS occurrence suffices (the corpus is accepted text;
+    # min_docs applies within the batch only)
+    assert got[10] == ("x y", 8)
+    assert got[11] == ("", 9)
+    assert got[12] == ("", 9)
+    assert got[13] == ("completely fresh words never seen anywhere at all ok", 0)
+    # output is the batch alone — the corpus is never rewritten
+    assert set(got) == {10, 11, 12, 13}
+
+
+def test_strip_against_empty_corpus_is_batch_only_dedup(spark):
+    corpus = spark.createDataFrame([], "doc_id bigint, text string")
+    batch = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e f g h"), (2, "i j")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_spans_against_corpus(batch, corpus, n=8).collect()
+    }
+    assert got == {0: ("", 8), 1: ("", 8), 2: ("i j", 0)}
