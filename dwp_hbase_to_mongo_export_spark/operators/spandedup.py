@@ -91,6 +91,27 @@ def covered_positions(
     ).distinct()
 
 
+def strip_covered(
+    df: DataFrame, cov: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, text_deduped, n_removed): rebuild each doc keeping the
+    word positions NOT in ``cov`` — the shared strip tail of the
+    one-shot, incremental, and indexed span-dedup forms. Per-doc
+    covered-position sets are bounded by doc length, and only docs
+    containing duplicated text appear in ``cov`` at all."""
+    cov_sets = cov.groupBy(id_col).agg(F.collect_set("pos").alias("cov"))
+    ws_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    joined = ws_df.join(cov_sets, id_col, "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_deduped"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -150,19 +171,7 @@ def strip_duplicate_spans(
     (corpus_filter_pipeline) to drop."""
     grams = word_grams(df, text_col, id_col, n)
     cov = covered_positions(grams, duplicated_grams(grams, id_col, min_docs), n, id_col)
-    # per-doc covered-position sets are bounded by doc length, and only
-    # docs containing duplicated text appear at all.
-    cov_sets = cov.groupBy(id_col).agg(F.collect_set("pos").alias("cov"))
-    ws_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-    joined = ws_df.join(cov_sets, id_col, "left").withColumn(
-        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
-    )
-    kept = F.filter(F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i))
-    return joined.select(
-        F.col(id_col),
-        F.concat_ws(" ", kept).alias("text_deduped"),
-        F.size("cov").cast("bigint").alias("n_removed"),
-    )
+    return strip_covered(df, cov, text_col, id_col)
 
 
 def strip_spans_against_corpus(
@@ -194,14 +203,4 @@ def strip_spans_against_corpus(
     within = duplicated_grams(bg, id_col, min_docs)
     dup = vs_corpus.unionByName(within).distinct()
     cov = covered_positions(bg, dup, n, id_col)
-    cov_sets = cov.groupBy(id_col).agg(F.collect_set("pos").alias("cov"))
-    ws_df = batch.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-    joined = ws_df.join(cov_sets, id_col, "left").withColumn(
-        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
-    )
-    kept = F.filter(F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i))
-    return joined.select(
-        F.col(id_col),
-        F.concat_ws(" ", kept).alias("text_deduped"),
-        F.size("cov").cast("bigint").alias("n_removed"),
-    )
+    return strip_covered(batch, cov, text_col, id_col)

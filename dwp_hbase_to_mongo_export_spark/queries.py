@@ -445,10 +445,12 @@ DRIVER_WINDOW_CHANGED = [
 # this round: r7.
 DRIVER_WINDOW = [
     # never driver-checked (registered this round): the exact
-    # duplicated-span dedup pair — the unchecked tier leads, per the
-    # catalog lint
+    # duplicated-span dedup family (one-shot detect/apply, incremental
+    # batch-vs-corpus, durable-gram-index form) — the unchecked tier
+    # leads, per the catalog lint
     "dedup_spans_apply",
     "dedup_spans_incremental",
+    "dedup_spans_indexed",
     "duplicate_spans",
     # code changed this round: date windows moved inside the data range
     # so the gates compare real values for the first time
@@ -500,7 +502,6 @@ DRIVER_WINDOW = [
     "streaming_dedup",
     "streaming_quantiles_hist",
     "text_boilerplate_df",
-    "text_unigram_logprob",
 ]
 
 

@@ -2055,7 +2055,7 @@ from .queries import bench_only  # noqa: E402
 
 @bench_only("index_recovery_drill")
 def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Worst-case torn-append RECOVERY timed across all four durable
+    """Worst-case torn-append RECOVERY timed across all five durable
     stores (round-9 verdict #4: the recover_*_index_append machinery was
     correctness-tested but untimed, so a regression to corpus-sized
     recovery work had no tripwire). Per store: stage a fully-landed torn
@@ -2232,13 +2232,50 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(_time.time() - t0, 3),
             )
 
+    def _drill_gram() -> tuple:
+        # all-leaf gh purge + meta restore on the span family's store
+        path = _cached_gram_index(spark, sf_dir)
+        with indexcache.build_lock(path):
+            from .operators import gramindex
+
+            m = spark.read.parquet(os.path.join(path, "meta")).head()
+            store = spark.read.parquet(os.path.join(path, "grams")).select("gh")
+            new_ghs = (
+                gramindex._gram_relation(doc_delta, "text", "doc_id", int(m["n"]))
+                .join(store, "gh", "left_anti")
+            )
+            with open(os.path.join(path, gramindex._PENDING), "w") as f:
+                f.write(
+                    _json.dumps(
+                        {
+                            "protocol": 2,
+                            "n_docs": int(m["n_docs"]),
+                            "n_grams": int(m["n_grams"]),
+                            "n": int(m["n"]),
+                            "fingerprint": m["fingerprint"],
+                        }
+                    )
+                )
+            pids = os.path.join(path, gramindex._PENDING_IDS)
+            new_ghs.write.mode("overwrite").parquet(pids)
+            spark.read.parquet(pids).write.mode("append").partitionBy(
+                "bucket"
+            ).parquet(os.path.join(path, "grams"))
+            t0 = _time.time()
+            res = gramindex.recover_gram_index_append(spark, path)
+            return (
+                "gram",
+                int(res["leaves_purged"]),
+                round(_time.time() - t0, 3),
+            )
+
     # The four stores are fully independent (own directories, own
     # locks), exactly like a production maintenance window over many
     # artifacts — run them concurrently so the drill's wall-time tracks
     # the slowest store, not the sum of four.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(4) as ex:
+    with ThreadPoolExecutor(5) as ex:
         rows = [
             f.result()
             for f in [
@@ -2246,6 +2283,7 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ex.submit(_drill_dedup),
                 ex.submit(_drill_ivf),
                 ex.submit(_drill_pq),
+                ex.submit(_drill_gram),
             ]
         ]
 
@@ -2344,9 +2382,10 @@ def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spandedup.strip_duplicate_spans(docs, "text", "doc_id", n=8, min_docs=2)
 
 
-@query(
-    "dedup_spans_incremental",
-    oracle="""
+# shared by dedup_spans_incremental (index-free) and dedup_spans_indexed
+# (durable gram store): two Spark PLANS over the same batch-vs-corpus
+# span semantics pin against one oracle — the _BM25_ORACLE discipline.
+_SPAN_INCR_ORACLE = """
     WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     grams AS (
       SELECT doc_id, CAST(i AS INT) - 1 AS start,
@@ -2386,8 +2425,10 @@ def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bdocs d
       LEFT JOIN agg a USING (doc_id)
       LEFT JOIN ncov n USING (doc_id)
-    """,
-)
+    """
+
+
+@query("dedup_spans_incremental", oracle=_SPAN_INCR_ORACLE)
 def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest form of span dedup: strip a NEW batch (every
     doc_id ending in 9, the dedup_incremental_batch split) of spans
@@ -2403,3 +2444,38 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spandedup.strip_spans_against_corpus(
         batch, corpus, "text", "doc_id", n=8, min_docs=2
     )
+
+
+def _cached_gram_index(spark: SparkSession, sf_dir: str) -> str:
+    """dedup_spans_indexed's durable gram store over the corpus slice
+    (doc_id % 10 != 9), fingerprint-gated and flock-serialized like the
+    other four stores."""
+    from .functions import indexcache
+    from .functions.fingerprint import source_fingerprint
+    from .operators import gramindex
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = indexcache.user_cache_dir("spark_graft_gramindex_v1", sf_dir)
+    with indexcache.build_lock(path):
+        if gramindex.stored_fingerprint(spark, path) != fp:
+            corpus = load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 9
+            )
+            gramindex.build_gram_index(corpus, path, n=8, fingerprint=fp)
+    return path
+
+
+@query("dedup_spans_indexed", oracle=_SPAN_INCR_ORACLE)
+def dedup_spans_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_spans_incremental served from the DURABLE gram index
+    (operators/gramindex.py — the span family's fifth store): the
+    corpus's distinct gram hashes are persisted ONCE and each ingest
+    batch pays only batch-sized gram work plus an equi-join against the
+    stored hashes; bit-identical to the index-free form, so both pin
+    against the same oracle."""
+    from .operators import gramindex
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    path = _cached_gram_index(spark, sf_dir)
+    return gramindex.strip_spans_with_index(spark, path, batch, min_docs=2)

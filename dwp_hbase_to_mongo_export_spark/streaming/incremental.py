@@ -574,3 +574,26 @@ def text_index_stream_ingest(
         max_files_per_trigger=max_files_per_trigger,
         timeout_sec=timeout_sec,
     )
+
+
+def gram_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+) -> dict:
+    """index_stream_ingest bound to the duplicated-span gram index."""
+    from ..operators import gramindex
+
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        lambda df, b: gramindex.append_to_gram_index(
+            df, index_path, batch_id=b
+        ),
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+    )

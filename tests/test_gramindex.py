@@ -1,0 +1,329 @@
+"""Durable gram index (operators/gramindex.py) — the span family's
+fifth store: build/append equivalence to the index-free form, the
+distinct-store contract under overlapping deltas, the full shared crash
+protocol (torn append, commit-point ordering, protocol-2 untouched
+proof, batch-id idempotence), reader refusal, governance verdicts, and
+the streaming epoch binding."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwp_hbase_to_mongo_export_spark.operators import gramindex, spandedup
+from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _store_ghs(spark, path):
+    return sorted(
+        r.gh for r in spark.read.parquet(os.path.join(path, "grams")).collect()
+    )
+
+
+def _meta(spark, path):
+    return tuple(spark.read.parquet(os.path.join(path, "meta")).head())
+
+
+# ------------------------------------------------------------ equivalence
+
+
+def test_indexed_strip_equals_index_free(spark, docs, tmp_path):
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+    got = gramindex.strip_spans_with_index(spark, path, batch)
+    want = spandedup.strip_spans_against_corpus(batch, corpus, n=8)
+    assert _rows(got) == _rows(want)
+
+
+def test_append_equals_rebuild(spark, docs, tmp_path):
+    old = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 300))
+    delta = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 300))
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    inc = str(tmp_path / "inc")
+    gramindex.build_gram_index(old, inc, n=8)
+    res = gramindex.append_to_gram_index(delta, inc)
+    assert res["committed"]
+    full = str(tmp_path / "full")
+    gramindex.build_gram_index(docs.filter(F.col("doc_id") % 10 != 9), full, n=8)
+    assert _store_ghs(spark, inc) == _store_ghs(spark, full)
+    got = gramindex.strip_spans_with_index(spark, inc, batch)
+    want = gramindex.strip_spans_with_index(spark, full, batch)
+    assert _rows(got) == _rows(want)
+    # meta counts merged exactly (n_grams equals the rebuilt store's)
+    assert _meta(spark, inc)[1] == _meta(spark, full)[1]
+
+
+def test_overlapping_delta_never_double_writes(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(0, "a b c d e f g h i")], "doc_id bigint, text string"
+    )
+    # delta doc shares gram a..h with the stored corpus AND adds new ones
+    delta = spark.createDataFrame(
+        [(1, "a b c d e f g h z1 z2 z3 z4 z5 z6 z7")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(base, path, n=8)
+    n_before = len(_store_ghs(spark, path))
+    res = gramindex.append_to_gram_index(delta, path)
+    ghs = _store_ghs(spark, path)
+    # store stays globally distinct; only genuinely new hashes landed
+    assert len(ghs) == len(set(ghs))
+    assert res["grams_inserted"] == len(ghs) - n_before
+    m = _meta(spark, path)
+    assert m[0] == 2 and m[1] == len(ghs)  # n_docs, n_grams exact
+    gov = gramindex.gram_index_governance(spark, path, sample_buckets=64)
+    assert gov["healthy"] and not gov["rebuild"]
+
+
+# ------------------------------------------------------------ crash protocol
+
+
+def test_torn_append_recovers_to_pre_append_state(spark, docs, tmp_path, monkeypatch):
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 300))
+    delta = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 300))
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8, fingerprint="v1")
+    pre_ghs, pre_meta = _store_ghs(spark, path), _meta(spark, path)
+
+    # crash right after the gram rows landed (before the meta swap):
+    # fail the swap-write of meta
+    real = gramindex._swap_write
+
+    def boom(df, target, partition_by=None):
+        if target.endswith("meta"):
+            raise RuntimeError("simulated crash before meta merge")
+        return real(df, target, partition_by)
+
+    monkeypatch.setattr(gramindex, "_swap_write", boom)
+    with pytest.raises(RuntimeError, match="before meta merge"):
+        gramindex.append_to_gram_index(delta, path, batch_id="b1")
+    monkeypatch.undo()
+
+    # marker live -> readers refuse loudly
+    with pytest.raises(ValueError, match="append is pending"):
+        gramindex.strip_spans_with_index(
+            spark, path, docs.filter(F.col("doc_id") % 10 == 9)
+        )
+    assert gramindex.stored_fingerprint(spark, path) is None
+
+    res = gramindex.recover_gram_index_append(spark, path)
+    assert res["recovered"] and res["leaves_purged"] > 0
+    assert _store_ghs(spark, path) == pre_ghs
+    assert _meta(spark, path) == pre_meta
+    # the crashed batch id was never committed: the re-append must run
+    res2 = gramindex.append_to_gram_index(delta, path, batch_id="b1")
+    assert res2["committed"] and not res2["skipped_duplicate_batch"]
+
+
+def test_crash_after_commit_point_is_inert(spark, docs, tmp_path, monkeypatch):
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 300))
+    delta = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 300))
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+
+    real = shutil.rmtree
+
+    def boom(p, *a, **k):
+        if str(p).endswith(gramindex._PENDING_IDS):
+            raise RuntimeError("simulated crash after the commit point")
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(gramindex.shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="after the commit point"):
+        gramindex.append_to_gram_index(delta, path)
+    monkeypatch.undo()
+
+    # committed: marker gone, stale ids dir survives but is inert
+    assert not os.path.exists(os.path.join(path, gramindex._PENDING))
+    assert os.path.isdir(os.path.join(path, gramindex._PENDING_IDS))
+    assert gramindex.recover_gram_index_append(spark, path) == {"recovered": False}
+    full = str(tmp_path / "full")
+    gramindex.build_gram_index(
+        docs.filter(F.col("doc_id") % 10 != 9).filter(
+            (F.col("doc_id") < 300) | (F.col("doc_id") >= 300)
+        ),
+        full,
+        n=8,
+    )
+    assert _store_ghs(spark, path) == _store_ghs(spark, full)
+
+
+def test_protocol2_marker_without_ids_record_cleans_up(spark, docs, tmp_path):
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(
+        docs.filter(F.col("doc_id") < 100), path, n=8, fingerprint="v1"
+    )
+    pre_meta = _meta(spark, path)
+    m = spark.read.parquet(path + "/meta").head()
+    with open(os.path.join(path, gramindex._PENDING), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": 2,
+                    "n_docs": int(m["n_docs"]),
+                    "n_grams": int(m["n_grams"]),
+                    "n": int(m["n"]),
+                    "fingerprint": m["fingerprint"],
+                }
+            )
+        )
+    pids = os.path.join(path, gramindex._PENDING_IDS)
+    os.makedirs(pids)  # partial record: no _SUCCESS
+    res = gramindex.recover_gram_index_append(spark, path)
+    assert res["recovered"] and res["store_untouched"]
+    assert not os.path.exists(os.path.join(path, gramindex._PENDING))
+    assert not os.path.isdir(pids)
+    assert _meta(spark, path) == pre_meta
+
+
+def test_legacy_marker_without_ids_record_raises(spark, docs, tmp_path):
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(docs.filter(F.col("doc_id") < 100), path, n=8)
+    m = spark.read.parquet(path + "/meta").head()
+    with open(os.path.join(path, gramindex._PENDING), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "n_docs": int(m["n_docs"]),
+                    "n_grams": int(m["n_grams"]),
+                    "n": int(m["n"]),
+                }
+            )
+        )
+    with pytest.raises(ValueError, match="rebuild the gram index"):
+        gramindex.recover_gram_index_append(spark, path)
+
+
+# ------------------------------------------------------------ idempotence
+
+
+def test_same_batch_id_twice_noops(spark, docs, tmp_path):
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 300))
+    delta = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 300))
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+    r1 = gramindex.append_to_gram_index(delta, path, batch_id="e7")
+    assert r1["committed"]
+    ghs = _store_ghs(spark, path)
+    meta = _meta(spark, path)
+    r2 = gramindex.append_to_gram_index(delta, path, batch_id="e7")
+    assert r2 == {"committed": False, "skipped_duplicate_batch": True}
+    assert _store_ghs(spark, path) == ghs and _meta(spark, path) == meta
+
+
+def test_rebuild_clears_the_idempotence_record(spark, docs, tmp_path):
+    small = docs.filter(F.col("doc_id") < 100)
+    delta = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(small, path, n=8)
+    gramindex.append_to_gram_index(delta, path, batch_id="e1")
+    gramindex.build_gram_index(small, path, n=8)  # in-place rebuild
+    # e1 must append again against the rebuilt artifact
+    r = gramindex.append_to_gram_index(delta, path, batch_id="e1")
+    assert r["committed"] and not r["skipped_duplicate_batch"]
+
+
+def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
+    from dwp_hbase_to_mongo_export_spark.streaming import incremental
+
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 200))
+    deltas = docs.filter(
+        (F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 200)
+    ).select("doc_id", "text")
+    delta_dir = str(tmp_path / "delta")
+    deltas.repartition(3).write.parquet(delta_dir)
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+    ckpt = str(tmp_path / "ckpt")
+    res = incremental.gram_index_stream_ingest(
+        spark, delta_dir, path, checkpoint_dir=ckpt
+    )
+    assert res["epochs"] >= 1
+    # drained stream ≡ batch build over corpus ∪ deltas
+    ref = str(tmp_path / "ref")
+    gramindex.build_gram_index(
+        corpus.select("doc_id", "text").unionByName(deltas), ref, n=8
+    )
+    assert _store_ghs(spark, path) == _store_ghs(spark, ref)
+    # restart on the same checkpoint re-delivers nothing
+    res2 = incremental.gram_index_stream_ingest(
+        spark, delta_dir, path, checkpoint_dir=ckpt
+    )
+    assert res2["epochs"] == 0
+    assert _store_ghs(spark, path) == _store_ghs(spark, ref)
+
+
+# ------------------------------------------------------------ governance
+
+
+def test_governance_flags_planted_duplicates(spark, docs, tmp_path):
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(docs.filter(F.col("doc_id") < 200), path, n=8)
+    # violate the distinct contract behind the append's back: copy one
+    # leaf's rows into itself
+    grams_dir = os.path.join(path, "grams")
+    leaf = sorted(d for d in os.listdir(grams_dir) if d.startswith("bucket="))[0]
+    leaf_df = spark.read.parquet(os.path.join(grams_dir, leaf))
+    leaf_df.write.mode("append").parquet(os.path.join(grams_dir, leaf))
+    gov = gramindex.gram_index_governance(spark, path, sample_buckets=64)
+    assert not gov["healthy"] and gov["rebuild"]
+    assert leaf in gov["duplicate_leaves"]
+
+
+def test_governance_compact_verdict_after_many_appends(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(base, path, n=8)
+    for i in range(10):
+        delta = spark.createDataFrame(
+            [(100 + i, " ".join(f"x{i}y{j}" for j in range(12)))],
+            "doc_id bigint, text string",
+        )
+        gramindex.append_to_gram_index(delta, path)
+    gov = gramindex.gram_index_governance(
+        spark, path, sample_buckets=64, max_files_per_leaf=2
+    )
+    assert gov["healthy"]  # distinct contract intact
+    assert gov["compact"]  # but fragmented enough to compact
+    res = gramindex.compact_gram_index(spark, path)
+    assert res["n_compacted"] >= 1
+    gov2 = gramindex.gram_index_governance(
+        spark, path, sample_buckets=64, max_files_per_leaf=2
+    )
+    assert not gov2["compact"]
+
+
+def test_build_pending_refused_and_fingerprint_none(spark, docs, tmp_path):
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(docs.filter(F.col("doc_id") < 100), path, n=8)
+    marker = os.path.join(path, gramindex._BUILD_PENDING)
+    open(marker, "w").close()
+    with pytest.raises(ValueError, match="rebuild died mid-flight"):
+        gramindex.strip_spans_with_index(
+            spark, path, docs.filter(F.col("doc_id") % 10 == 9)
+        )
+    with pytest.raises(ValueError, match="rebuild the gram index"):
+        gramindex.append_to_gram_index(docs.limit(5), path)
+    assert gramindex.stored_fingerprint(spark, path) is None
+    os.remove(marker)
+    assert gramindex.stored_fingerprint(spark, path) == ""
