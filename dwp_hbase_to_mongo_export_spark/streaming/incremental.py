@@ -466,7 +466,7 @@ def index_stream_ingest(
     max_files_per_trigger: int = 1,
     timeout_sec: int = 120,
 ) -> dict:
-    """Micro-batch ingest of NEW rows into any of the four durable
+    """Micro-batch ingest of NEW rows into any of the durable
     stores: readStream over the delta directory → ``foreachBatch``
     calling ``append(batch_df, batch_id)`` with the EPOCH id as the
     store's ``batch_id``. This composes Structured Streaming's recovery

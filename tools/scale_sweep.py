@@ -84,7 +84,12 @@ DISTINCT_SWEEP_QUERIES = [
                                # permutation keeps cross-replica grams
                                # distinct, so dup-span volume stays
                                # linear and growth measures the plan
-    "index_recovery_drill",    # torn-append recovery x4 stores (r10):
+    "dedup_spans_indexed",     # durable gram store probe (r10): batch
+                               # gram work + equi-join vs stored hashes;
+                               # store build paid once per variant dir —
+                               # growth should track the probe, not the
+                               # corpus tokenise pass the store replaces
+    "index_recovery_drill",    # torn-append recovery x5 stores (r10):
                                # staging is an absolute-constant batch
                                # (replica-0 ids only), recovery is one
                                # concurrent anti-join pass over store
