@@ -327,3 +327,29 @@ def test_build_pending_refused_and_fingerprint_none(spark, docs, tmp_path):
     assert gramindex.stored_fingerprint(spark, path) is None
     os.remove(marker)
     assert gramindex.stored_fingerprint(spark, path) == ""
+
+
+def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
+    """The store-family race pin, applied to the fifth store: two
+    appends racing on one gram store must queue on the _append.lock —
+    both commit, result ≡ clean build over old ∪ d1 ∪ d2."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    old = docs.filter(F.col("doc_id") < 300)
+    d1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    d2 = docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 400))
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(old, path, n=8)
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(gramindex.append_to_gram_index, d, path, batch_id=b)
+            for d, b in ((d1, "b1"), (d2, "b2"))
+        ]
+        results = [f.result() for f in futs]
+    assert all(r["committed"] for r in results)
+
+    full = str(tmp_path / "full")
+    gramindex.build_gram_index(docs.filter(F.col("doc_id") < 400), full, n=8)
+    assert _store_ghs(spark, path) == _store_ghs(spark, full)
+    assert _meta(spark, path)[:2] == _meta(spark, full)[:2]

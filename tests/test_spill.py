@@ -30,8 +30,15 @@ DRILL = os.path.join(REPO, "tools", "spill_drill.py")
 # (signature Arrow pass + partitioned writes) and batch screen
 # (candidate join + set verify) must also complete by spilling, and the
 # fingerprint-gated artifact must hash-match across constrained and
-# unconstrained sessions.
-QUERIES = ["dedup_minhash_lsh", "winnowing_overlap", "dedup_incremental_indexed"]
+# unconstrained sessions. dedup_spans_indexed joined in round 10: the
+# gram store's corpus distinct + bucketed write and the batch probe's
+# gram agg must likewise spill-and-match.
+QUERIES = [
+    "dedup_minhash_lsh",
+    "winnowing_overlap",
+    "dedup_incremental_indexed",
+    "dedup_spans_indexed",
+]
 
 
 def _session_hashes(spark, sf_dir: str) -> dict[str, tuple[int, str]]:
