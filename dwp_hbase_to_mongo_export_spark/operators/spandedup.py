@@ -204,3 +204,38 @@ def strip_spans_against_corpus(
     dup = vs_corpus.unionByName(within).distinct()
     cov = covered_positions(bg, dup, n, id_col)
     return strip_covered(batch, cov, text_col, id_col)
+
+
+def strip_duplicate_spans_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The KEEP-ONE policy (Lee et al.'s other variant): the canonical
+    occurrence of each duplicated n-gram — the one in the smallest
+    ``id_col`` — survives; every occurrence in a non-canonical doc is
+    removed. A position is removed iff SOME covering duplicated gram
+    has its canonical copy elsewhere, so a doc that is canonical for
+    one gram can still lose positions to an overlapping gram whose
+    canonical copy lives in an earlier doc. Same plan shape as the
+    remove-all form plus one column: the dup-gram aggregate carries
+    min(id) and the covered-position semi-join becomes an equi-join
+    filtered on ``id != canonical``."""
+    grams = word_grams(df, text_col, id_col, n)
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("canonical"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh", "canonical")
+    )
+    hits = grams.join(dup, "gh").filter(F.col(id_col) != F.col("canonical"))
+    cov = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+    ).distinct()
+    return strip_covered(df, cov, text_col, id_col)

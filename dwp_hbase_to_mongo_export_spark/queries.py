@@ -451,6 +451,7 @@ DRIVER_WINDOW = [
     "dedup_spans_apply",
     "dedup_spans_incremental",
     "dedup_spans_indexed",
+    "dedup_spans_keep_first",
     "duplicate_spans",
     # code changed this round: date windows moved inside the data range
     # so the gates compare real values for the first time
@@ -501,7 +502,6 @@ DRIVER_WINDOW = [
     "snapshot_diff",
     "streaming_dedup",
     "streaming_quantiles_hist",
-    "text_boilerplate_df",
 ]
 
 

@@ -2479,3 +2479,57 @@ def dedup_spans_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     path = _cached_gram_index(spark, sf_dir)
     return gramindex.strip_spans_with_index(spark, path, batch, min_docs=2)
+
+
+@query(
+    "dedup_spans_keep_first",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS start,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS gh
+      FROM docs, UNNEST(range(1, len(ws) - 6)) AS t(i)
+    ),
+    dup AS (
+      SELECT gh, min(doc_id) AS canonical
+      FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(p AS INT) AS pos
+      FROM grams g JOIN dup d USING (gh),
+           UNNEST(range(g.start, g.start + 8)) AS t(p)
+      WHERE g.doc_id <> d.canonical
+    ),
+    words AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS pos, ws[CAST(i AS INT)] AS w
+      FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT wd.doc_id, wd.pos, wd.w
+      FROM words wd ANTI JOIN covered c
+        ON wd.doc_id = c.doc_id AND wd.pos = c.pos
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY doc_id
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.text_deduped, '') AS text_deduped,
+           CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
+    FROM docs d
+      LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN ncov n USING (doc_id)
+    """,
+)
+def dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP-ONE span policy: each duplicated 8-gram's canonical
+    occurrence (smallest doc_id) survives, every other occurrence is
+    stripped — the policy pair to dedup_spans_apply's remove-all-copies
+    (operators/spandedup.py::strip_duplicate_spans_keep_first)."""
+    from .operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spandedup.strip_duplicate_spans_keep_first(
+        docs, "text", "doc_id", n=8, min_docs=2
+    )

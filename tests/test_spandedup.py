@@ -240,3 +240,72 @@ def test_strip_against_empty_corpus_is_batch_only_dedup(spark):
         for r in spandedup.strip_spans_against_corpus(batch, corpus, n=8).collect()
     }
     assert got == {0: ("", 8), 1: ("", 8), 2: ("i j", 0)}
+
+
+# --- keep-one policy ----------------------------------------------------------
+
+
+def _reference_keep_first(texts: dict[int, str], n: int, min_docs: int):
+    from collections import defaultdict
+
+    docs = {d: t.split(" ") for d, t in texts.items()}
+    gram_docs = defaultdict(set)
+    for d, ws in docs.items():
+        for s in range(len(ws) - n + 1):
+            gram_docs[tuple(ws[s : s + n])].add(d)
+    canonical = {
+        g: min(ds) for g, ds in gram_docs.items() if len(ds) >= min_docs
+    }
+    out = {}
+    for d, ws in docs.items():
+        cov = set()
+        for s in range(len(ws) - n + 1):
+            g = tuple(ws[s : s + n])
+            if g in canonical and canonical[g] != d:
+                cov.update(range(s, s + n))
+        kept = [w for i, w in enumerate(ws) if i not in cov]
+        out[d] = (" ".join(kept), len(cov))
+    return out
+
+
+def test_keep_first_keeps_the_canonical_occurrence(spark, corpus):
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans_keep_first(corpus, n=8).collect()
+    }
+    # doc 0 is canonical for "a..h": untouched; doc 1 loses its copy
+    assert got[0] == (A, 0)
+    assert got[1] == ("x y z", 8)
+    # wholesale dup: doc 4 (min id) survives intact, doc 5 empties
+    assert got[4] == (E, 0)
+    assert got[5] == ("", 9)
+    assert got[2] == (C, 0) and got[3] == (D, 0) and got[6] == (G, 0)
+
+
+def test_keep_first_canonical_doc_can_still_lose_other_grams(spark):
+    # doc 5 owns gram P; doc 10 contains P (canonical elsewhere) plus a
+    # unique tail — the canonical-for-nothing copy is stripped even
+    # though doc 10 is the only place its OTHER gram occurs
+    df = spark.createDataFrame(
+        [(5, "p1 p2 p3 p4 p5 p6 p7 p8"), (10, "p1 p2 p3 p4 p5 p6 p7 p8 q1")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans_keep_first(df, n=8).collect()
+    }
+    assert got[5] == ("p1 p2 p3 p4 p5 p6 p7 p8", 0)
+    assert got[10] == ("q1", 8)
+
+
+@given(_corpus)
+@settings(max_examples=8, deadline=None)
+def test_keep_first_matches_bruteforce_reference(spark, corpus_texts):
+    texts = dict(enumerate(corpus_texts))
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    want = _reference_keep_first(texts, n=3, min_docs=2)
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans_keep_first(df, n=3).collect()
+    }
+    assert got == want
