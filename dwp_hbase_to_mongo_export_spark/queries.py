@@ -453,6 +453,7 @@ DRIVER_WINDOW = [
     "dedup_spans_indexed",
     "dedup_spans_keep_first",
     "duplicate_spans",
+    "span_dedup_report",
     # code changed this round: date windows moved inside the data range
     # so the gates compare real values for the first time
     "q5_local_supplier_volume",
@@ -501,7 +502,6 @@ DRIVER_WINDOW = [
     "similarity_topk_int8",
     "snapshot_diff",
     "streaming_dedup",
-    "streaming_quantiles_hist",
 ]
 
 

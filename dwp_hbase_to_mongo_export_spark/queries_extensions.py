@@ -2533,3 +2533,69 @@ def dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spandedup.strip_duplicate_spans_keep_first(
         docs, "text", "doc_id", n=8, min_docs=2
     )
+
+
+@query(
+    "span_dedup_report",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS start,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS gh
+      FROM docs, UNNEST(range(1, len(ws) - 6)) AS t(i)
+    ),
+    dupg AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(p AS INT) AS pos
+      FROM grams g JOIN dupg USING (gh),
+           UNNEST(range(g.start, g.start + 8)) AS t(p)
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source, len(d.ws) AS words,
+             coalesce(c.n, 0) AS covered
+      FROM docs d LEFT JOIN (
+        SELECT doc_id, count(*) AS n FROM covered GROUP BY doc_id
+      ) c USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST(sum(covered) AS BIGINT) AS covered_words,
+           round(sum(covered) * 1.0 / sum(words), 4) AS covered_ratio
+    FROM per_doc GROUP BY source
+    """,
+)
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication monitoring: per source, how many documents
+    carry cross-document duplicated 8-gram spans and what fraction of
+    words they cover — the report an ingest operator reads before
+    choosing the span policy (remove-all vs keep-one) and thresholds.
+    Aggregation-only plan: the covered-position relation reduces to one
+    bigint per doc before the per-source rollup."""
+    from .operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = spandedup.word_grams(docs, "text", "doc_id", 8)
+    cov = spandedup.covered_positions(
+        grams, spandedup.duplicated_grams(grams, "doc_id", 2), 8, "doc_id"
+    )
+    per_doc_cov = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    base = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("words")
+    )
+    per_doc = base.join(per_doc_cov, "doc_id", "left").withColumn(
+        "covered", F.coalesce(F.col("n"), F.lit(0))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("covered") > 0).cast("bigint")).alias("dup_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("covered").cast("bigint").alias("covered_words"),
+        F.round(F.sum("covered") / F.sum("words"), 4).alias("covered_ratio"),
+    )
