@@ -58,6 +58,7 @@ from .textindex import (
     _PENDING,
     _UNKNOWN,
     _append_lock,
+    _clear_stale_ids_record,
     _recover_swap,
     _recovered_leaves,
     _restore_last_append,
@@ -401,7 +402,7 @@ def _recover_dedup_index_append_impl(spark: SparkSession, path: str) -> dict:
     pending = os.path.join(path, _PENDING)
     _recover_swap(os.path.join(path, "meta"))
     if not os.path.exists(pending):
-        return {"recovered": False}
+        return _clear_stale_ids_record(path, _PENDING_IDS)
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:

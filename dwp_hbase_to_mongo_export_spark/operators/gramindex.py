@@ -25,7 +25,14 @@ Artifact layout at ``path/``:
               governance exploits that for exact sampled checks.
 - ``meta/``   one row: n_docs, n_grams, n (gram size), fingerprint.
               Written LAST on first build (the commit record) and
-              swap-rewritten on append.
+              swap-rewritten on append. ``n_grams`` is exact (the
+              store is distinct by construction); ``n_docs`` counts
+              DOC INGESTS OBSERVED, not distinct corpus docs — the
+              append contract allows a delta to overlap the corpus
+              (only genuinely new grams are written), so re-ingesting
+              a doc id increments it again. Consumers needing an exact
+              distinct doc count must track it in the corpus table,
+              not this sidecar.
 
 Crash-safety is the shared store protocol (textindex.py primitives):
 ``_append-pending`` marker recording the pre-append meta scalars +
@@ -56,6 +63,7 @@ from .textindex import (
     _PENDING,
     _UNKNOWN,
     _append_lock,
+    _clear_stale_ids_record,
     _recover_swap,
     _recovered_leaves,
     _restore_last_append,
@@ -204,6 +212,9 @@ def _append_to_gram_index_impl(
     written — so unlike the doc-keyed stores the delta may freely
     overlap the corpus; the store stays distinct by construction), new
     rows appended into their static buckets, meta merged by addition.
+    Because overlap is allowed, the merged ``n_docs`` is "doc ingests
+    observed" — re-ingesting the same doc ids adds them again
+    (``n_grams`` stays exact; see the module docstring).
 
     Crash/retry protocol (the shared store discipline): pre-append meta
     scalars + the last-append slot go into the ``_append-pending``
@@ -297,7 +308,7 @@ def _recover_gram_index_append_impl(spark: SparkSession, path: str) -> dict:
     precedes every store write); pre-v2 ambiguity raises."""
     pending = os.path.join(path, _PENDING)
     if not os.path.exists(pending):
-        return {"recovered": False}
+        return _clear_stale_ids_record(path, _PENDING_IDS)
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:
@@ -371,17 +382,25 @@ def strip_spans_with_index(
 ) -> DataFrame:
     """Indexed form of ``strip_spans_against_corpus``: the corpus pass
     is replaced by an equi-join of the batch's gram hashes against the
-    stored distinct hashes (batch side broadcast — the store never
-    shuffles), bit-identical to the index-free form over the same
-    corpus (pinned in tests). Gram size comes from meta, so callers
-    cannot probe with mismatched n."""
+    stored distinct hashes, bit-identical to the index-free form over
+    the same corpus (pinned in tests). Gram size comes from meta, so
+    callers cannot probe with mismatched n.
+
+    Join strategy (round-11 advice): no forced broadcast — a
+    production-sized nightly batch's distinct gram set can exceed the
+    broadcast/driver limit, and a forced hint would then FAIL the probe
+    rather than degrade. AQE sizes the batch side at runtime and
+    converts the shuffle semi-join to a broadcast join itself whenever
+    the gram set actually fits (the common case); above that it stays a
+    shuffle semi-join on 16-byte hashes — the same AQE-decided
+    discipline as the family's other joins."""
     _check_markers(path)
     meta = _read_meta(spark, path)
     n = int(meta["n"])
     bg = word_grams(batch, text_col, id_col, n)
     store = spark.read.parquet(os.path.join(path, "grams")).select("gh")
     vs_store = store.join(
-        F.broadcast(bg.select("gh").distinct()), "gh", "left_semi"
+        bg.select("gh").distinct(), "gh", "left_semi"
     ).distinct()
     dup = vs_store.unionByName(duplicated_grams(bg, id_col, min_docs)).distinct()
     cov = covered_positions(bg, dup, n, id_col)

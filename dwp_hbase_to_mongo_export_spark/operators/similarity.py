@@ -224,6 +224,7 @@ from .textindex import _PENDING, _UNKNOWN  # noqa: E402
 from .textindex import _recover_swap, _recovered_leaves, _swap_write  # noqa: E402
 from .textindex import (  # noqa: E402
     _append_lock,
+    _clear_stale_ids_record,
     _restore_last_append,
     _write_last_append,
     read_last_append,
@@ -386,7 +387,7 @@ def _recover_ivf_index_append_impl(spark, path: str) -> dict:
     relation. No-op without a marker."""
     pending = os.path.join(path, _PENDING)
     if not os.path.exists(pending):
-        return {"recovered": False}
+        return _clear_stale_ids_record(path, _PENDING_IDS)
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:
@@ -1027,7 +1028,7 @@ def _recover_pq_index_append_impl(spark, path: str) -> dict:
     codes_dir = os.path.join(path, "codes")
     _recover_swap(codes_dir)
     if not os.path.exists(pending):
-        return {"recovered": False}
+        return _clear_stale_ids_record(path, _PENDING_IDS)
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:

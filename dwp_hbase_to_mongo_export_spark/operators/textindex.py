@@ -182,6 +182,27 @@ def _restore_last_append(path: str, old) -> None:
         _write_last_append(path, old)
 
 
+def _clear_stale_ids_record(path: str, ids_name: str) -> dict:
+    """No-marker recovery tail, shared by all five durable stores: a
+    marker-LESS ids record is inert junk from a crash between the
+    commit point (marker removal) and the ids-record delete — but it
+    must not survive into the NEXT append, which writes its own marker
+    BEFORE Spark's overwrite replaces the ids dir. A crash inside that
+    window would pair the fresh marker with the PREVIOUS batch's
+    committed ids record, and recovery would then purge
+    already-committed store rows while restoring meta that still counts
+    them — silent corruption that even governance's distinct checks
+    cannot see (round-11 advice). Clearing the stale record here keeps
+    the invariant every recovery relies on: an ids record on disk
+    always belongs to the live marker. Every append runs entry-time
+    recovery first, so this executes before any new marker exists."""
+    stale = os.path.join(path, ids_name)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+        return {"recovered": False, "stale_ids_cleared": True}
+    return {"recovered": False}
+
+
 def _check_markers(path: str) -> None:
     """Shared reader-side refusal: a marked artifact must never be
     scored against — its relations may disagree. The messages advise
@@ -567,7 +588,7 @@ def _recover_text_index_append_impl(spark: SparkSession, path: str) -> dict:
     unparseable marker is ambiguous and raises, advising rebuild."""
     pending = os.path.join(path, _PENDING)
     if not os.path.exists(pending):
-        return {"recovered": False}
+        return _clear_stale_ids_record(path, _PENDING_DOCS)
     with open(pending, encoding="utf-8") as f:
         raw = f.read()
     try:

@@ -2086,6 +2086,7 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .functions import indexcache
     from .operators import dedupindex, textindex
+    from .operators.textindex import read_last_append as _rla
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2116,6 +2117,7 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "n_tok_docs": int(m["n_tok_docs"]),
                             "sum_dl": int(m["sum_dl"]),
                             "fingerprint": m["fingerprint"],
+                            "last_append": _rla(path),
                         }
                     )
                 )
@@ -2148,6 +2150,7 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "protocol": 2,
                             "n_docs": int(m["n_docs"]),
                             "fingerprint": m["fingerprint"],
+                            "last_append": _rla(path),
                         }
                     )
                 )
@@ -2190,7 +2193,15 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding").alias("cv"),
             )
             with open(os.path.join(path, similarity._PENDING), "w") as f:
-                f.write(_json.dumps({"kind": "ivf", "protocol": 2}))
+                f.write(
+                    _json.dumps(
+                        {
+                            "kind": "ivf",
+                            "protocol": 2,
+                            "last_append": _rla(path),
+                        }
+                    )
+                )
             batch_index.select(
                 F.col("neighbor_id").alias("id"), "cluster"
             ).distinct().write.mode("overwrite").parquet(
@@ -2215,7 +2226,12 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(path, similarity._PENDING), "w") as f:
                 f.write(
                     _json.dumps(
-                        {"kind": "pq", "id_col": "vec_id", "protocol": 2}
+                        {
+                            "kind": "pq",
+                            "id_col": "vec_id",
+                            "protocol": 2,
+                            "last_append": _rla(path),
+                        }
                     )
                 )
             vec_delta.select(F.col("vec_id").alias("id")).distinct().write.mode(
@@ -2244,6 +2260,10 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gramindex._gram_relation(doc_delta, "text", "doc_id", int(m["n"]))
                 .join(store, "gh", "left_anti")
             )
+            # stage the EXACT production marker shape, including the
+            # last_append slot a real protocol-2 append always records
+            # (round-11 advice — its absence read as the _UNKNOWN
+            # sentinel: benign, but the drill should drill reality)
             with open(os.path.join(path, gramindex._PENDING), "w") as f:
                 f.write(
                     _json.dumps(
@@ -2253,6 +2273,7 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "n_grams": int(m["n_grams"]),
                             "n": int(m["n"]),
                             "fingerprint": m["fingerprint"],
+                            "last_append": _rla(path),
                         }
                     )
                 )
@@ -2269,10 +2290,10 @@ def index_recovery_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(_time.time() - t0, 3),
             )
 
-    # The four stores are fully independent (own directories, own
+    # The five stores are fully independent (own directories, own
     # locks), exactly like a production maintenance window over many
     # artifacts — run them concurrently so the drill's wall-time tracks
-    # the slowest store, not the sum of four.
+    # the slowest store, not the sum of five.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(5) as ex:

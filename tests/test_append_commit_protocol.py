@@ -82,12 +82,17 @@ def test_text_crash_after_commit_point_is_inert(
         textindex.append_to_text_index(delta, path)
     monkeypatch.undo()
 
-    # committed: marker gone, stale ids dir survives but is inert
+    # committed: marker gone, stale ids dir survives but is inert —
+    # and the no-marker recovery CLEARS it (round-11 advice: a stale
+    # committed ids record must never coexist with the next append's
+    # fresh marker)
     assert not os.path.exists(os.path.join(path, textindex._PENDING))
     assert os.path.isdir(os.path.join(path, textindex._PENDING_DOCS))
     assert textindex.recover_text_index_append(spark, path) == {
-        "recovered": False
+        "recovered": False,
+        "stale_ids_cleared": True,
     }
+    assert not os.path.isdir(os.path.join(path, textindex._PENDING_DOCS))
 
     full = str(tmp_path / "full")
     textindex.build_text_index(docs, full)
@@ -176,8 +181,10 @@ def test_dedup_crash_after_commit_point_is_inert(
     assert not os.path.exists(os.path.join(path, dedupindex._PENDING))
     assert os.path.isdir(os.path.join(path, dedupindex._PENDING_IDS))
     assert dedupindex.recover_dedup_index_append(spark, path) == {
-        "recovered": False
+        "recovered": False,
+        "stale_ids_cleared": True,
     }
+    assert not os.path.isdir(os.path.join(path, dedupindex._PENDING_IDS))
 
     full = str(tmp_path / "full")
     dedupindex.build_dedup_index(corpus, full, **PARAMS)
@@ -271,8 +278,10 @@ def test_ivf_crash_after_commit_point_is_inert(
     assert not os.path.exists(os.path.join(path, similarity._PENDING))
     assert os.path.isdir(os.path.join(path, similarity._PENDING_IDS))
     assert similarity.recover_ivf_index_append(spark, path) == {
-        "recovered": False
+        "recovered": False,
+        "stale_ids_cleared": True,
     }
+    assert not os.path.isdir(os.path.join(path, similarity._PENDING_IDS))
     # the appended rows are all committed exactly once
     assert spark.read.parquet(path + "/postings").count() == emb.count()
     gov = similarity.ivf_index_governance(spark, path, list(range(10)), k=5)
@@ -321,8 +330,10 @@ def test_pq_crash_after_commit_point_is_inert(spark, emb, tmp_path, monkeypatch)
     assert not os.path.exists(os.path.join(path, similarity._PENDING))
     assert os.path.isdir(os.path.join(path, similarity._PENDING_IDS))
     assert similarity.recover_pq_index_append(spark, path) == {
-        "recovered": False
+        "recovered": False,
+        "stale_ids_cleared": True,
     }
+    assert not os.path.isdir(os.path.join(path, similarity._PENDING_IDS))
     got = spark.read.parquet(path + "/codes")
     assert got.count() == emb.count()
     assert got.select("vec_id").distinct().count() == emb.count()

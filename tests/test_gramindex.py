@@ -91,6 +91,14 @@ def test_overlapping_delta_never_double_writes(spark, tmp_path):
     assert m[0] == 2 and m[1] == len(ghs)  # n_docs, n_grams exact
     gov = gramindex.gram_index_governance(spark, path, sample_buckets=64)
     assert gov["healthy"] and not gov["rebuild"]
+    # re-ingesting the SAME doc id: n_grams stays exact (no new hashes)
+    # but n_docs counts doc ingests observed, not distinct corpus docs —
+    # the documented semantics under the overlap-allowed contract
+    res2 = gramindex.append_to_gram_index(delta, path)
+    assert res2["grams_inserted"] == 0
+    m2 = _meta(spark, path)
+    assert m2[0] == 3 and m2[1] == len(ghs)
+    assert _store_ghs(spark, path) == ghs
 
 
 # ------------------------------------------------------------ crash protocol
@@ -151,10 +159,18 @@ def test_crash_after_commit_point_is_inert(spark, docs, tmp_path, monkeypatch):
         gramindex.append_to_gram_index(delta, path)
     monkeypatch.undo()
 
-    # committed: marker gone, stale ids dir survives but is inert
+    # committed: marker gone, stale ids dir survives the crash but is
+    # inert — and the no-marker recovery CLEARS it (round-11 advice: a
+    # surviving stale ids record could pair with the NEXT append's
+    # marker if that append crashed pre-overwrite, making recovery
+    # purge committed rows)
     assert not os.path.exists(os.path.join(path, gramindex._PENDING))
     assert os.path.isdir(os.path.join(path, gramindex._PENDING_IDS))
-    assert gramindex.recover_gram_index_append(spark, path) == {"recovered": False}
+    assert gramindex.recover_gram_index_append(spark, path) == {
+        "recovered": False,
+        "stale_ids_cleared": True,
+    }
+    assert not os.path.isdir(os.path.join(path, gramindex._PENDING_IDS))
     full = str(tmp_path / "full")
     gramindex.build_gram_index(
         docs.filter(F.col("doc_id") % 10 != 9).filter(
@@ -164,6 +180,67 @@ def test_crash_after_commit_point_is_inert(spark, docs, tmp_path, monkeypatch):
         n=8,
     )
     assert _store_ghs(spark, path) == _store_ghs(spark, full)
+
+
+def test_stale_ids_record_cannot_poison_next_append(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Round-11 advice (the medium finding): a post-commit crash leaves
+    a marker-less COMMITTED ids record; the next append writes its
+    marker BEFORE the ids overwrite, so a crash in that window used to
+    pair the fresh marker with the previous batch's committed ids —
+    recovery would purge committed gram rows while restoring meta that
+    counts them. Prevention: every append's entry recovery clears the
+    stale record, so the dangerous pairing can no longer be
+    constructed. This drills the exact production sequence."""
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 300))
+    delta = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 300))
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+
+    # step 1: append commits but dies before the ids-record delete
+    real = shutil.rmtree
+
+    def boom(p, *a, **k):
+        if str(p).endswith(gramindex._PENDING_IDS):
+            raise RuntimeError("simulated crash after the commit point")
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(gramindex.shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="after the commit point"):
+        gramindex.append_to_gram_index(delta, path)
+    monkeypatch.undo()
+    committed = _store_ghs(spark, path)
+    committed_meta = _meta(spark, path)
+
+    # step 2: the next append's FIRST act is entry recovery — which must
+    # clear the stale committed ids record before any new marker exists
+    res = gramindex._recover_gram_index_append_impl(spark, path)
+    assert res == {"recovered": False, "stale_ids_cleared": True}
+    assert not os.path.isdir(os.path.join(path, gramindex._PENDING_IDS))
+
+    # step 3: that next append now crashes right after writing its
+    # marker (before its own ids overwrite) — the exact window the
+    # advice names. With the stale record gone, recovery PROVES the
+    # store untouched instead of purging step 1's committed rows.
+    m = spark.read.parquet(os.path.join(path, "meta")).head()
+    with open(os.path.join(path, gramindex._PENDING), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": 2,
+                    "n_docs": int(m["n_docs"]),
+                    "n_grams": int(m["n_grams"]),
+                    "n": int(m["n"]),
+                    "fingerprint": m["fingerprint"],
+                    "last_append": gramindex.read_last_append(path),
+                }
+            )
+        )
+    res = gramindex.recover_gram_index_append(spark, path)
+    assert res["recovered"] and res["store_untouched"]
+    assert _store_ghs(spark, path) == committed
+    assert _meta(spark, path) == committed_meta
 
 
 def test_protocol2_marker_without_ids_record_cleans_up(spark, docs, tmp_path):
