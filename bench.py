@@ -13,8 +13,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from __spark_entry__ import queries  # noqa: E402
 from dwp_hbase_to_mongo_export_spark.session import get_spark  # noqa: E402
+
+
+def bench_action(df: DataFrame) -> DataFrame:
+    """The timed action: a 1-row aggregate of xxhash64 over ALL output
+    columns. ``count()`` is NOT a valid bench action (round-10 verdict,
+    the dedup_spans_apply finding — generalised by round-11's plan
+    probe): under ``count()`` Catalyst prunes every column the row
+    count doesn't need, which drops aggregate expressions (q1's eight
+    sums/avgs vanish), eliminates left joins against unique-keyed
+    sides, and in the worst case reduces the whole operator to a
+    parquet row-count (dedup_spans_apply's counted plan was literally
+    ``count over Project over Relation`` — 0 of its 2 joins and 3
+    generates survived). Hashing every output column makes every
+    column, join, and projection load-bearing: Catalyst cannot prune
+    work whose result feeds the hash, so the timed plan is the
+    full-work plan — the same reason tools/check_correctness.py's
+    value hashes were never affected. The reference bar: its
+    integration spec pins bytes actually written, not plan residue
+    (src/integration/kotlin/UberTestSpec.kt:180-206).
+
+    tools/bench_plan_lint.py compares this action's plan against the
+    legacy counted plan per catalog query and fails if the action ever
+    loses operators or scan columns again. Map columns go through
+    to_json (hash expressions reject MapType); names are
+    backtick-quoted; pmod keeps the sum far from int64 overflow under
+    ANSI mode."""
+    cols = [
+        F.to_json(F.col(f"`{c}`")) if t.startswith("map<") else F.col(f"`{c}`")
+        for c, t in df.dtypes
+    ]
+    return df.agg(
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))).alias("h")
+    )
 
 # Reported in the stdout contract line (must stay ~25 entries so the JSON
 # line fits the driver's 2000-char tail); every other query is still timed
@@ -102,7 +138,7 @@ def main() -> None:
         warm_dir = sf_dir
     for name in names:
         try:
-            qs[name](spark, warm_dir).count()
+            bench_action(qs[name](spark, warm_dir)).collect()
         except Exception:
             pass
     spark.catalog.clearCache()
@@ -124,7 +160,7 @@ def main() -> None:
         for attempt in range(3):
             t0 = time.time()
             try:
-                qs[name](spark, sf_dir).count()
+                bench_action(qs[name](spark, sf_dir)).collect()
                 dt = round(time.time() - t0, 3)
                 samples.append(dt)
             except Exception as e:  # a broken query should not hide the others
