@@ -43,23 +43,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _norm_word(w: F.Column) -> F.Column:
+    """Opt-in per-word normalisation for span matching: lowercase and
+    strip everything but [a-z0-9]. Whitespace folding is inherent (the
+    word array comes from a split). Mirrored in the DuckDB oracles as
+    ``regexp_replace(lower(w), '[^a-z0-9]', '', 'g')``."""
+    return F.regexp_replace(F.lower(w), "[^a-z0-9]", "")
+
+
 def word_grams(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    normalise: bool = False,
 ) -> DataFrame:
     """(id_col, start, gh): md5 of the n-word gram starting at each word
     position. Docs shorter than n words contribute nothing (the
     explicit guard matters: Spark's ``sequence(0, negative)`` would
-    DESCEND, not return empty)."""
-    # materialise the split ONCE per row: an inlined split(text) inside
-    # the transform lambda would be re-evaluated per gram (O(words²)
-    # string work per doc)
+    DESCEND, not return empty).
+
+    ``normalise=True`` hashes the NORMALISED words (lower + punctuation
+    strip, ``_norm_word``) so boilerplate differing only in case or
+    punctuation still matches — while ``start`` positions stay indexed
+    into the ORIGINAL word array, so the strip tail removes original
+    text. Word count is unchanged by normalisation (empty normalised
+    words keep their position), which is what keeps the position
+    mapping exact."""
+    # materialise the split — and the normalised array — ONCE per row:
+    # an inlined split(text) (or transform(ws, norm)) inside the gram
+    # lambda would be re-evaluated per gram (O(words²) string work per
+    # doc; the round-10 in-round fix, same discipline here)
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
     ws = F.col("ws")
+    if normalise:
+        base = base.withColumn("gws", F.transform(ws, _norm_word))
+        gsrc = F.col("gws")
+    else:
+        gsrc = ws
     starts = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, n)))
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(gsrc, i + 1, n)))
     )
     return base.select(F.col(id_col), F.posexplode(grams).alias("start", "gh"))
 
@@ -156,6 +182,7 @@ def strip_duplicate_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    normalise: bool = False,
 ) -> DataFrame:
     """Cleaned corpus: every covered position removed from every doc
     (the remove-all-copies policy of Lee et al. §4). Guarantee: every
@@ -168,8 +195,13 @@ def strip_duplicate_spans(
     Returns (id_col, text_deduped, n_removed); documents
     with nothing duplicated pass through unchanged, fully-duplicated
     documents survive as empty strings for the caller's length filter
-    (corpus_filter_pipeline) to drop."""
-    grams = word_grams(df, text_col, id_col, n)
+    (corpus_filter_pipeline) to drop.
+
+    ``normalise=True`` matches grams on normalised words (lower +
+    punctuation strip — boilerplate that differs only in case or
+    punctuation still dedups) while stripping positions from the
+    ORIGINAL text; see ``word_grams``."""
+    grams = word_grams(df, text_col, id_col, n, normalise=normalise)
     cov = covered_positions(grams, duplicated_grams(grams, id_col, min_docs), n, id_col)
     return strip_covered(df, cov, text_col, id_col)
 
@@ -204,6 +236,78 @@ def strip_spans_against_corpus(
     dup = vs_corpus.unionByName(within).distinct()
     cov = covered_positions(bg, dup, n, id_col)
     return strip_covered(batch, cov, text_col, id_col)
+
+
+def strip_duplicate_spans_fixpoint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_passes: int = 3,
+) -> DataFrame:
+    """Bounded fixpoint of the remove-all-copies strip: re-run the strip
+    until a pass finds NO cross-document duplicated n-gram, up to
+    ``max_passes``. One pass's contract is honest that words made newly
+    adjacent across a removed span can form fresh shared grams
+    (junction text); this closes that gap to a measured bound instead
+    of a docstring caveat (round-10 verdict #2).
+
+    Determinism contract (what makes a SQL oracle possible): the output
+    is EXACTLY the ``max_passes``-fold composition of the single-pass
+    strip — the early exit fires only when a further pass would be the
+    identity (no covered positions ⇒ every doc rebuilds verbatim; the
+    split/concat_ws round-trip preserves text, including runs of
+    spaces, exactly). So an unrolled k-pass SQL oracle hash-matches
+    regardless of which pass the engine actually stopped at.
+
+    Iteration discipline (the components.py pattern): each pass
+    persists its frame before the residual-emptiness action so the
+    next pass (and the final consumer) reads the materialised result,
+    not a lineage replay; at 100 TB the per-pass persist becomes a
+    write to the corpus store, and the per-pass cost is proportional to
+    the REMAINING duplicated text (pass k's gram inventory is over the
+    already-stripped corpus; empirically residuals shrink by ~an order
+    of magnitude per pass — see span_dedup_residual).
+
+    Returns (id_col, text_deduped, n_removed) with n_removed summed
+    across passes."""
+    cur = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("text"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+    )
+    persisted = []
+    for _ in range(max_passes):
+        cur = cur.persist()
+        persisted.append(cur)
+        grams = word_grams(cur, "text", id_col, n)
+        cov = covered_positions(
+            grams, duplicated_grams(grams, id_col, min_docs), n, id_col
+        )
+        if cov.isEmpty():
+            break
+        stripped = strip_covered(
+            cur.select(id_col, "text"), cov, "text", id_col
+        )
+        cur = (
+            cur.select(F.col(id_col), F.col("n_removed").alias("prev"))
+            .join(stripped, id_col)
+            .select(
+                F.col(id_col),
+                F.col("text_deduped").alias("text"),
+                (F.col("prev") + F.col("n_removed")).alias("n_removed"),
+            )
+        )
+    out = cur.select(
+        F.col(id_col), F.col("text").alias("text_deduped"), "n_removed"
+    )
+    # materialise the final frame before releasing the pass caches the
+    # plan still references (the components.py checkpoint-release fix)
+    out = out.localCheckpoint(eager=True)
+    for p in persisted:
+        p.unpersist()
+    return out
 
 
 def strip_duplicate_spans_keep_first(

@@ -309,3 +309,103 @@ def test_keep_first_matches_bruteforce_reference(spark, corpus_texts):
         for r in spandedup.strip_duplicate_spans_keep_first(df, n=3).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- fixpoint + normalised
+
+
+def test_fixpoint_chases_junction_grams_to_empty_residual(spark):
+    """Hand-built junction case (n=3): stripping "a b c" makes "j k"
+    newly adjacent to "m n" in d0, forming the fresh gram "j k m"
+    shared with d2 — the exact non-fixpoint dedup_spans_apply's
+    contract discloses. The bounded fixpoint must chase it: pass 2
+    strips the junction gram, pass 3 finds nothing."""
+    rows = [(0, "j k a b c m n"), (1, "a b c"), (2, "j k m")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    one_pass = {
+        r.doc_id: r.text_deduped
+        for r in spandedup.strip_duplicate_spans(df, n=3).collect()
+    }
+    assert one_pass[0] == "j k m n"  # junction gram survives one pass
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans_fixpoint(
+            df, n=3, max_passes=3
+        ).collect()
+    }
+    assert got == {0: ("n", 6), 1: ("", 3), 2: ("", 3)}
+    # residual after the fixpoint is empty
+    out = spark.createDataFrame(
+        [(k, v[0]) for k, v in got.items()], "doc_id bigint, text string"
+    )
+    g = spandedup.word_grams(out, n=3)
+    assert spandedup.duplicated_grams(g, min_docs=2).count() == 0
+
+
+@given(_corpus)
+@settings(max_examples=6, deadline=None)
+def test_fixpoint_equals_unrolled_composition(spark, corpus_texts):
+    """The determinism contract that makes the SQL oracle possible:
+    fixpoint(max_passes=k) == the k-fold composition of the single-pass
+    strip, regardless of where the early exit fired (a pass over a
+    clean corpus is the identity)."""
+    texts = dict(enumerate(corpus_texts))
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    # unrolled: 3 manual passes accumulating n_removed
+    cur = {d: (t, 0) for d, t in texts.items()}
+    for _ in range(3):
+        sdf = spark.createDataFrame(
+            [(d, t) for d, (t, _) in cur.items()], "doc_id bigint, text string"
+        )
+        stripped = {
+            r.doc_id: (r.text_deduped, r.n_removed)
+            for r in spandedup.strip_duplicate_spans(sdf, n=3).collect()
+        }
+        cur = {d: (stripped[d][0], cur[d][1] + stripped[d][1]) for d in cur}
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans_fixpoint(
+            df, n=3, max_passes=3
+        ).collect()
+    }
+    assert got == cur
+
+
+def test_normalised_matches_case_and_punctuation_variants(spark):
+    """Strict grams miss boilerplate differing only in case/punct; the
+    normalised policy catches it and strips the ORIGINAL text."""
+    rows = [(0, "The Quick! Brown Fox."), (1, "the quick brown fox")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    strict = {
+        r.doc_id: r.n_removed
+        for r in spandedup.strip_duplicate_spans(df, n=3).collect()
+    }
+    assert strict == {0: 0, 1: 0}
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans(
+            df, n=3, normalise=True
+        ).collect()
+    }
+    assert got == {0: ("", 4), 1: ("", 4)}
+
+
+def test_normalised_positions_map_to_original_words(spark):
+    """A doc where only the MIDDLE is shared modulo punctuation: the
+    strip must remove exactly the original-cased words at the covered
+    positions and keep the rest verbatim."""
+    rows = [
+        (0, "intro Alpha, Beta? Gamma! outro unique0"),
+        (1, "alpha beta gamma tail1 tail2 tail3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in spandedup.strip_duplicate_spans(
+            df, n=3, normalise=True
+        ).collect()
+    }
+    assert got == {
+        0: ("intro outro unique0", 3),
+        1: ("tail1 tail2 tail3", 3),
+    }
