@@ -458,6 +458,52 @@ def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def store_maintenance(
+    spark: SparkSession,
+    index_path: str,
+    data_dirs: list[str],
+    compactor,
+    max_files_per_leaf: int = 8,
+):
+    """WHEN-compact decision wired to action (round-10 verdict #5):
+    governance computes a ``compact`` verdict per store
+    (sinks/compaction.fragmentation_report) but nothing acted on it —
+    an epoch-per-file ingest cadence walks a leaf from 2 files to
+    2,000 and scan cost becomes file-open overhead. Returns a callable
+    for ``index_stream_ingest``'s ``maintenance`` hook that, under the
+    store's ``_append.lock`` (so it can never interleave with a live
+    append or recovery):
+
+    1. runs the metadata-only fragmentation verdict over the store's
+       data directories (pure os.walk — no Spark job on the happy
+       path), and
+    2. invokes ``compactor()`` (the store's own crash-safe per-leaf
+       compactor) only when the verdict flags.
+
+    Cost shape: the check is filesystem-metadata-sized per epoch; the
+    compaction, when it fires, rewrites only fragmented leaves through
+    the swap protocol — leaf-sized I/O, amortised across the epochs
+    that fragmented them."""
+    from ..operators.textindex import _append_lock
+    from ..sinks.compaction import fragmentation_report
+
+    def maintain() -> dict:
+        with _append_lock(index_path):
+            flagged = any(
+                fragmentation_report(
+                    d, max_files_per_leaf=max_files_per_leaf
+                )["compact"]
+                for d in data_dirs
+                if os.path.isdir(d)
+            )
+            if not flagged:
+                return {"compacted": False}
+            result = compactor()
+            return {"compacted": True, "result": result}
+
+    return maintain
+
+
 def index_stream_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -465,6 +511,7 @@ def index_stream_ingest(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
     timeout_sec: int = 120,
+    maintenance=None,
 ) -> dict:
     """Micro-batch ingest of NEW rows into any of the durable
     stores: readStream over the delta directory → ``foreachBatch``
@@ -490,7 +537,16 @@ def index_stream_ingest(
     Pass a persistent ``checkpoint_dir`` to make restarts resume from
     the offset log (a FRESH checkpoint replays every file — that is a
     rebuild scenario, not a retry, and is deliberately not absorbed).
-    Returns {"epochs": n_foreachBatch_calls, "skipped": n_replays_noopd}.
+
+    ``maintenance`` (see ``store_maintenance``) runs BETWEEN epochs,
+    after each committed append: foreachBatch calls are sequential, so
+    a flagged compaction executes in the natural maintenance window —
+    the stream simply triggers its next micro-batch afterwards, and
+    because compaction is content-preserving and runs under the store
+    lock, concurrent readers and the replay protocol are unaffected.
+
+    Returns {"epochs": n_foreachBatch_calls, "skipped":
+    n_replays_noopd, "compactions": n_maintenance_compactions}.
     """
     import shutil as _shutil
 
@@ -503,12 +559,14 @@ def index_stream_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(delta_dir)
     )
-    stats = {"epochs": 0, "skipped": 0}
+    stats = {"epochs": 0, "skipped": 0, "compactions": 0}
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         res = append(batch_df, f"epoch-{epoch_id}")
         stats["epochs"] += 1
         stats["skipped"] += int(res["skipped_duplicate_batch"])
+        if maintenance is not None:
+            stats["compactions"] += int(maintenance().get("compacted", False))
 
     own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
@@ -537,10 +595,25 @@ def dedup_index_stream_ingest(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
     timeout_sec: int = 120,
+    auto_compact: bool = True,
+    compact_max_files_per_leaf: int = 8,
 ) -> dict:
-    """index_stream_ingest bound to the dedup signature index."""
+    """index_stream_ingest bound to the dedup signature index, with
+    between-epoch auto-compaction of BOTH partitioned relations when
+    the fragmentation verdict flags."""
     from ..operators import dedupindex
 
+    maintenance = (
+        store_maintenance(
+            spark,
+            index_path,
+            [os.path.join(index_path, "bands"), os.path.join(index_path, "sets")],
+            lambda: dedupindex.compact_dedup_index(spark, index_path),
+            max_files_per_leaf=compact_max_files_per_leaf,
+        )
+        if auto_compact
+        else None
+    )
     return index_stream_ingest(
         spark,
         delta_dir,
@@ -550,6 +623,7 @@ def dedup_index_stream_ingest(
         checkpoint_dir=checkpoint_dir,
         max_files_per_trigger=max_files_per_trigger,
         timeout_sec=timeout_sec,
+        maintenance=maintenance,
     )
 
 
@@ -560,10 +634,26 @@ def text_index_stream_ingest(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
     timeout_sec: int = 120,
+    auto_compact: bool = True,
+    compact_max_files_per_leaf: int = 8,
 ) -> dict:
-    """index_stream_ingest bound to the BM25 text index."""
+    """index_stream_ingest bound to the BM25 text index, with
+    between-epoch auto-compaction of the posting store when the
+    fragmentation verdict flags (stats/meta are swap-rewritten
+    wholesale per append and never fragment)."""
     from ..operators import textindex
 
+    maintenance = (
+        store_maintenance(
+            spark,
+            index_path,
+            [os.path.join(index_path, "postings")],
+            lambda: textindex.compact_text_index(spark, index_path),
+            max_files_per_leaf=compact_max_files_per_leaf,
+        )
+        if auto_compact
+        else None
+    )
     return index_stream_ingest(
         spark,
         delta_dir,
@@ -573,6 +663,7 @@ def text_index_stream_ingest(
         checkpoint_dir=checkpoint_dir,
         max_files_per_trigger=max_files_per_trigger,
         timeout_sec=timeout_sec,
+        maintenance=maintenance,
     )
 
 
@@ -583,10 +674,25 @@ def gram_index_stream_ingest(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
     timeout_sec: int = 120,
+    auto_compact: bool = True,
+    compact_max_files_per_leaf: int = 8,
 ) -> dict:
-    """index_stream_ingest bound to the duplicated-span gram index."""
+    """index_stream_ingest bound to the duplicated-span gram index,
+    with between-epoch auto-compaction of the gram store when the
+    fragmentation verdict flags."""
     from ..operators import gramindex
 
+    maintenance = (
+        store_maintenance(
+            spark,
+            index_path,
+            [os.path.join(index_path, "grams")],
+            lambda: gramindex.compact_gram_index(spark, index_path),
+            max_files_per_leaf=compact_max_files_per_leaf,
+        )
+        if auto_compact
+        else None
+    )
     return index_stream_ingest(
         spark,
         delta_dir,
@@ -596,4 +702,5 @@ def gram_index_stream_ingest(
         checkpoint_dir=checkpoint_dir,
         max_files_per_trigger=max_files_per_trigger,
         timeout_sec=timeout_sec,
+        maintenance=maintenance,
     )

@@ -348,6 +348,54 @@ def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
     assert _store_ghs(spark, path) == _store_ghs(spark, ref)
 
 
+def test_streaming_ingest_auto_compacts_between_epochs(spark, docs, tmp_path):
+    """Round-10 verdict #5: the WHEN-compact verdict must be ACTED on.
+    Epoch-per-file ingest fragments the gram leaves; with a tight
+    max_files_per_leaf the between-epoch maintenance hook must fire at
+    least one compaction under the store lock, reads must stay
+    hash-identical to a never-compacted batch build, and the final
+    store must no longer flag."""
+    from dwp_hbase_to_mongo_export_spark.streaming import incremental
+
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 200))
+    deltas = docs.filter(
+        (F.col("doc_id") % 10 != 9) & (F.col("doc_id") >= 200)
+    ).select("doc_id", "text")
+    delta_dir = str(tmp_path / "delta")
+    deltas.repartition(6).write.parquet(delta_dir)
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+    res = incremental.gram_index_stream_ingest(
+        spark,
+        delta_dir,
+        path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_max_files_per_leaf=2,
+    )
+    assert res["epochs"] >= 4 and res["compactions"] >= 1
+    ref = str(tmp_path / "ref")
+    gramindex.build_gram_index(
+        corpus.select("doc_id", "text").unionByName(deltas), ref, n=8
+    )
+    assert _store_ghs(spark, path) == _store_ghs(spark, ref)
+    gov = gramindex.gram_index_governance(
+        spark, path, sample_buckets=64, max_files_per_leaf=2
+    )
+    assert gov["healthy"] and not gov["compact"]
+    # opting out leaves the verdict unacted-on (0 compactions)
+    path2 = str(tmp_path / "gx2")
+    gramindex.build_gram_index(corpus, path2, n=8)
+    res2 = incremental.gram_index_stream_ingest(
+        spark,
+        delta_dir,
+        path2,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        auto_compact=False,
+    )
+    assert res2["compactions"] == 0
+    assert _store_ghs(spark, path2) == _store_ghs(spark, ref)
+
+
 # ------------------------------------------------------------ governance
 
 
