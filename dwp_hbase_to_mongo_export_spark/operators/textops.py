@@ -160,24 +160,44 @@ def repetition_features(
     (O(g log g)), not a distinct x full-list membership scan (O(g^2) —
     ruinous on long boilerplate docs, exactly the ones this filter
     exists to catch). Token arrays are bounded by the truncating
-    normalise exactly like the shingle operators."""
-    nt = normalize_text(F.col(text_col), 512)
-    toks = F.split(nt, " ")
-    n = F.size(toks)
-    grams = F.when(
-        (F.length(nt) > 0) & (n >= 3),
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines)
-    n_grams = F.size(grams)
+    normalise exactly like the shingle operators.
+
+    Evaluation discipline (round-11, exposed when bench switched to a
+    materialising action — this query was count-pruned and never
+    actually timed): tokens/grams/lines are materialised as COLUMNS in
+    staged projections, never inlined. An inlined ``toks`` inside the
+    gram lambda re-evaluates normalise+split PER GRAM (O(words²)
+    regex work per doc), and an inlined ``grams`` re-builds the array
+    for each of its four consumers; CollapseProject keeps staged
+    non-cheap multi-use projections apart, so each array is computed
+    once per row (measured 10.5x on this query at sf0.1)."""
+    base = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        normalize_text(F.col(text_col), 512).alias("_nt"),
+    )
+    toksed = base.select(
+        id_col, "_lines", "_nt", F.split(F.col("_nt"), " ").alias("_toks")
+    )
+    gramsed = toksed.select(
+        id_col,
+        "_lines",
+        F.when(
+            (F.length("_nt") > 0) & (F.size("_toks") >= 3),
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 3)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
+    )
+    n_lines = F.size(F.col("_lines"))
+    n_grams = F.size(F.col("_grams"))
     # longest equal-adjacent run over the sorted grams = max occurrence
     # count of any gram; one linear aggregate, state (prev, run, best)
     run_state = F.aggregate(
-        F.array_sort(grams),
+        F.array_sort(F.col("_grams")),
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
@@ -191,19 +211,19 @@ def repetition_features(
         ),
     )
     top = run_state["best"]
-    return df.select(
+    return gramsed.select(
         id_col,
         F.round(
             F.when(
                 n_lines > 0,
-                1 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+                1 - F.size(F.array_distinct(F.col("_lines"))) / n_lines.cast("double"),
             ).otherwise(0.0),
             4,
         ).alias("dup_line_fraction"),
         F.round(
             F.when(
                 n_grams > 0,
-                1 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+                1 - F.size(F.array_distinct(F.col("_grams"))) / n_grams.cast("double"),
             ).otherwise(0.0),
             4,
         ).alias("dup_gram_fraction"),
@@ -215,7 +235,16 @@ def repetition_features(
 
 def word_ngrams(c: Column, n: int = 8, max_chars: int | None = 512) -> Column:
     """Distinct word n-grams of normalised (optionally truncated) text as
-    an array column — narrow, bounded, no explode."""
+    an array column — narrow, bounded, no explode.
+
+    EVALUATION WARNING: as a self-contained Column expression, the
+    token array is captured INSIDE the gram lambda and re-evaluated per
+    gram — O(words²) normalise+split work per row (Catalyst cannot
+    let-bind a subexpression inside a higher-order function). Fine for
+    one-off scalar use; for relation-shaped consumers use
+    ``word_ngram_rows``, which stages the split as a column (the
+    round-11 fix that took boilerplate_ngram_df from 36 s to
+    corpus-linear at sf0.1)."""
     nt = normalize_text(c, max_chars)
     toks = F.split(nt, " ")
     cnt = F.size(toks)
@@ -228,6 +257,37 @@ def word_ngrams(c: Column, n: int = 8, max_chars: int | None = 512) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    n: int = 8,
+    max_chars: int | None = 512,
+) -> DataFrame:
+    """Exploded distinct word n-grams — (id_col?, g) — with the
+    normalised text and its token array STAGED as columns so each is
+    computed once per row (CollapseProject keeps non-cheap multi-use
+    projections apart; the lambda then only touches the materialised
+    ``_toks`` attribute). Same values as exploding ``word_ngrams``."""
+    keep = [F.col(id_col)] if id_col else []
+    base = df.select(
+        *keep, normalize_text(F.col(text_col), max_chars).alias("_nt")
+    )
+    toksed = base.select(
+        *keep, "_nt", F.split(F.col("_nt"), " ").alias("_toks")
+    )
+    grams = F.when(
+        (F.length("_nt") > 0) & (F.size("_toks") >= n),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toksed.select(*keep, F.explode(grams).alias("g"))
 
 
 def decontaminate(
@@ -252,13 +312,8 @@ def decontaminate(
     a broadcast semi-ish equi-join, and the count aggregates map-side.
     A left join keeps clean documents (contaminated = false) so the
     output is a per-document verdict, not just the flagged subset."""
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
-        .distinct()
-    )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    )
+    bench_grams = word_ngram_rows(benchmark, text_col, None, n).distinct()
+    corpus_grams = word_ngram_rows(corpus, text_col, id_col, n)
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
@@ -300,9 +355,7 @@ def boilerplate_ngram_df(
     on the SAME key (g), so the exchange is reused, and the common-gram
     side shrinks by the min_df filter before joining. The final per-doc
     counts shuffle once on doc_id. No driver-side data, no UDF."""
-    grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    )
+    grams = word_ngram_rows(corpus, text_col, id_col, n)
     common = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -213,13 +213,28 @@ def date_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         m == 2, F.concat(F.lit('{"createdDateTime": "'), incoming2, F.lit('"}'))
     ).otherwise(F.lit("{}"))
 
+    # Stage the payload and each extracted field as COLUMNS: inlined,
+    # the payload's concat/date_format chain is re-evaluated once per
+    # USE (3 fields x (from_json + get_json_object) x 2 parse
+    # candidates ≈ 6x), and each JSON probe twice — CollapseProject
+    # keeps staged non-cheap multi-use projections apart, so each
+    # evaluates once per row (round-11: this query was count-pruned and
+    # never actually timed before the materialising bench action).
+    staged = o.select(k.alias("okey"), payload.alias("_payload")).select(
+        "okey",
+        _extract_date(F.col("_payload"), "_lastModifiedDateTime").alias("_lm"),
+        _extract_date(F.col("_payload"), "_removedDateTime").alias("_rm"),
+        _extract_date(F.col("_payload"), "createdDateTime").alias("_cr"),
+    )
     chain = F.coalesce(
-        _parse_two_formats(_extract_date(payload, "_lastModifiedDateTime")),
-        _parse_two_formats(_extract_date(payload, "_removedDateTime")),
-        _parse_two_formats(_extract_date(payload, "createdDateTime")),
+        _parse_two_formats(F.col("_lm")),
+        _parse_two_formats(F.col("_rm")),
+        _parse_two_formats(F.col("_cr")),
         F.to_timestamp(F.lit(_EPOCH), _CANON),
     )
-    return o.select(k.alias("okey"), F.date_format(chain, _CANON).alias("last_modified"))
+    return staged.select(
+        "okey", F.date_format(chain, _CANON).alias("last_modified")
+    )
 
 
 # --- row 17: conditional _archivedDateTime drop -----------------------------
