@@ -428,80 +428,76 @@ _register_extra_modules()
 # the documented code-changed overrides pulled ahead of staleness order
 # (tests/test_catalog_lint.py exempts exactly these from the
 # no-fresher-than-a-staler-outsider rule).
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 DRIVER_WINDOW_CHANGED = [
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    "dedup_spans_indexed",
 ]
 
-# Round-10 window (tools/rotate_window.py --changed q5...,q6...,
-# adopted verbatim per the round-9 verdict): lead with q5/q6, whose
-# date windows were shifted inside the fixture range this round — their
-# r9 rows were vacuous (empty-window agreement, the round-9 verdict's
-# one real defect) and the fixed code must re-prove on real values;
-# then retire the entire r6 cohort (12 queries — the oldest driver
-# evidence in the catalog, including the five streaming surfaces); then
-# fill to 50 from the r7 cohort alphabetically. Staleness floor after
-# this round: r7.
+# Round-11 window (tools/rotate_window.py --changed dedup_spans_indexed,
+# adopted verbatim per the round-10 verdict #3): the four queries
+# registered this round lead (residual monitor, bounded fixpoint,
+# normalised span matching, strict-vs-normalised policy report); then
+# dedup_spans_indexed, whose probe-join strategy changed this round
+# (forced broadcast dropped for AQE-decided, round-11 advice); then the
+# ENTIRE remaining r7 cohort (9 queries — the oldest driver evidence,
+# including udtf_split_sentences, the r10 verdict's named leader); then
+# fill to 50 from the r8 cohort alphabetically. Staleness floor after
+# this round: r8.
 DRIVER_WINDOW = [
-    # never driver-checked (registered this round): the exact
-    # duplicated-span dedup family (one-shot detect/apply, incremental
-    # batch-vs-corpus, durable-gram-index form) — the unchecked tier
-    # leads, per the catalog lint
-    "dedup_spans_apply",
-    "dedup_spans_incremental",
+    # never driver-checked (registered this round)
+    "dedup_spans_fixpoint",
+    "dedup_spans_normalised",
+    "span_dedup_policy_report",
+    "span_dedup_residual",
+    # code changed this round: indexed probe join is AQE-decided now
     "dedup_spans_indexed",
-    "dedup_spans_keep_first",
-    "duplicate_spans",
-    "span_dedup_report",
-    # code changed this round: date windows moved inside the data range
-    # so the gates compare real values for the first time
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    # staleness retirement: last all-true at the driver in round 6
-    "similarity_topk_pq_indexed",
-    "stat_aggregates",
-    "stratified_sample",
-    "streaming_export_pipeline",
-    "streaming_hbase_source_scan",
-    "streaming_incremental_scan",
-    "streaming_session_windows",
-    "streaming_stateful_latest",
-    "streaming_stream_join",
-    "streaming_windowed_counts",
-    "validation_quarantine",
-    "winnowing_overlap",
-    # staleness fill: last all-true at the driver in round 7
-    "bloom_semijoin_reduction",
-    "bm25_search",
-    "bpe_encode",
-    "cms_sketch_merge",
-    "corpus_filter_pipeline",
-    "corpus_global_shuffle",
-    "corpus_mixture",
-    "corpus_temperature_mix",
-    "customers_without_orders",
-    "data_quality_report",
-    "dedup_apply",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "distinct_users_per_day",
-    "doc_token_chunks",
-    "embedding_quantize_int8",
-    "export_unwrap_roundtrip",
-    "funnel_analysis",
-    "hybrid_search_rrf",
-    "median_value_by_type",
-    "percentiles_by_type",
-    "q12_shipping_lateness",
-    "retention_cohorts",
-    "revenue_rollup",
-    "salted_skew_agg",
-    "similarity_topk_int8",
-    "snapshot_diff",
-    "streaming_dedup",
+    # staleness retirement: last all-true at the driver in round 7
+    "streaming_quantiles_hist",
+    "text_boilerplate_df",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "topk_orders_per_customer",
+    "train_val_split",
+    "udtf_split_sentences",
+    "value_quantiles_hist",
+    "word_freq_cms",
+    # staleness fill: last all-true at the driver in round 8
+    "asof_click_attribution",
+    "cluster_prototypes",
+    "continuous_aggregate_rollup",
+    "corpus_drift_psi",
+    "cube_revenue",
+    "decontaminate_corpus",
+    "dedup_clusters",
+    "dedup_clusters_alternating",
+    "dedup_embedding_cosine_lsh",
+    "dedup_simhash",
+    "dedup_simhash_near",
+    "embedding_norms",
+    "kmeans_clusters",
+    "kmeans_purity",
+    "latest_per_key",
+    "manifest_projection",
+    "moving_avg_and_gaps",
+    "multimodal_audio_segments",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "quantiles_by_type_hist",
+    "range_join_click_to_purchase",
+    "scd2_incremental",
+    "semantic_dedup",
 ]
 
 
