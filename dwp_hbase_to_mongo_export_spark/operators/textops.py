@@ -70,10 +70,22 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     df = ensure_parallelism(df)
     c = F.col(text_col)
+    # stage the normalised text and token array ONCE per row: inlined,
+    # token_count/tokens/mean_tok_len each re-run the regex normalise
+    # and split per use (round-11 staging discipline — this query was
+    # count-pruned and never actually timed before)
+    staged = df.select(
+        F.col(id_col), c.alias("_txt"), normalize_text(c, None).alias("_nt")
+    ).select(
+        id_col, "_txt", "_nt", F.split(F.col("_nt"), " ").alias("_toks")
+    )
+    df, c = staged, F.col("_txt")
     n_chars = F.length(c)
-    n_toks = token_count(c)
-    toks = tokens(c)
-    mean_tok_len = F.when(n_toks > 0, F.length(normalize_text(c)) / n_toks).otherwise(0.0)
+    n_toks = F.when(F.length("_nt") == 0, F.lit(0)).otherwise(
+        F.size(F.col("_toks"))
+    )
+    toks = F.col("_toks")
+    mean_tok_len = F.when(n_toks > 0, F.length("_nt") / n_toks).otherwise(0.0)
     punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
