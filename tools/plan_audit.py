@@ -81,6 +81,9 @@ NESTED_LOOP_ALLOWED = {
     # 1-query x corpus scan (the same allowed shape as
     # similarity_topk_bruteforce); the fusion join itself is 20x20 rows
     "hybrid_search_rrf",
+    # strict-vs-normalised policy rows x the ONE-row corpus word total:
+    # a 2x1 cross of global aggregates — scalar x scalar
+    "span_dedup_policy_report",
 }
 
 

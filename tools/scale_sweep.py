@@ -89,6 +89,12 @@ DISTINCT_SWEEP_QUERIES = [
                                # store build paid once per variant dir —
                                # growth should track the probe, not the
                                # corpus tokenise pass the store replaces
+    "dedup_spans_fixpoint_full",  # bounded-fixpoint strip (r11): up to 3
+                               # strip passes with early exit; pass k's
+                               # gram inventory is over the ALREADY-
+                               # stripped corpus, so growth should track
+                               # the single-pass row plus residual-sized
+                               # extra passes
     "index_recovery_drill",    # torn-append recovery x5 stores (r10):
                                # staging is an absolute-constant batch
                                # (replica-0 ids only), recovery is one
@@ -210,9 +216,29 @@ def _dedup_spans_full(spark, sf_dir):
     )
 
 
+def _dedup_spans_fixpoint_full(spark, sf_dir):
+    """Bounded-fixpoint strip reduced to the same checksum aggregate as
+    _dedup_spans_full (collecting the cleaned corpus would time driver
+    transfer, not the passes)."""
+    from dwp_hbase_to_mongo_export_spark.operators import spandedup
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = spandedup.strip_duplicate_spans_fixpoint(
+        docs, "text", "doc_id", n=8, min_docs=2, max_passes=3
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_removed").alias("removed"),
+        F.sum(F.length("text_deduped")).alias("chars"),
+    )
+
+
 SWEEP_OVERRIDES = {
     "snapshot_sink_export": _snapshot_sink_export,
     "dedup_spans_full": _dedup_spans_full,
+    "dedup_spans_fixpoint_full": _dedup_spans_fixpoint_full,
     "index_recovery_drill": _index_recovery_drill,
     "similarity_topk_ivf_full": _ivf_full_corpus,
     "logreg_fit_full": _logreg_fit_full,
