@@ -667,6 +667,90 @@ def text_index_stream_ingest(
     )
 
 
+def ivf_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+    auto_compact: bool = True,
+    compact_max_files_per_leaf: int = 8,
+) -> dict:
+    """index_stream_ingest bound to the durable IVF posting store, with
+    between-epoch auto-compaction of the cluster leaves when the
+    fragmentation verdict flags (each append writes one file set per
+    touched cluster — exactly the micro-batch cadence that fragments)."""
+    from ..operators import similarity
+
+    maintenance = (
+        store_maintenance(
+            spark,
+            index_path,
+            [os.path.join(index_path, "postings")],
+            lambda: similarity.compact_ivf_postings(spark, index_path),
+            max_files_per_leaf=compact_max_files_per_leaf,
+        )
+        if auto_compact
+        else None
+    )
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        lambda df, b: similarity.append_to_ivf_index(
+            index_path, df, id_col=id_col, vec_col=vec_col, batch_id=b
+        ),
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        maintenance=maintenance,
+    )
+
+
+def pq_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+    auto_compact: bool = True,
+    compact_max_files_per_leaf: int = 8,
+) -> dict:
+    """index_stream_ingest bound to the durable PQ codes store, with
+    between-epoch auto-compaction of the flat codes directory (treated
+    as a single leaf by the fragmentation verdict — every ADC query
+    scores every code row, so file-open overhead is pure waste)."""
+    from ..operators import similarity
+
+    maintenance = (
+        store_maintenance(
+            spark,
+            index_path,
+            [os.path.join(index_path, "codes")],
+            lambda: similarity.compact_pq_codes(spark, index_path),
+            max_files_per_leaf=compact_max_files_per_leaf,
+        )
+        if auto_compact
+        else None
+    )
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        lambda df, b: similarity.append_to_pq_index(
+            index_path, df, id_col=id_col, vec_col=vec_col, batch_id=b
+        ),
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        maintenance=maintenance,
+    )
+
+
 def gram_index_stream_ingest(
     spark: SparkSession,
     delta_dir: str,

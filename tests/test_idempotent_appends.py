@@ -398,3 +398,84 @@ def test_streaming_text_ingest_matches_batch_build(spark, docs, tmp_path):
     got = textindex.query_text_index(spark, path, terms, top_n=10).collect()
     want = textindex.query_text_index(spark, full, terms, top_n=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivf_stream_ingest_exactly_once_with_auto_compaction(
+    spark, emb, tmp_path
+):
+    """The IVF store's streaming binding (round-11): epoch-keyed
+    micro-batch appends land once each, the between-epoch maintenance
+    hook compacts when the tight leaf threshold flags, and the final
+    postings are id-identical to a single batch append."""
+    from dwp_hbase_to_mongo_export_spark.streaming.incremental import (
+        ivf_index_stream_ingest,
+    )
+
+    cents = similarity._resolve_centroids(
+        emb.filter(F.col("vec_id") < 200), None, 20, None, "vec_id", "embedding"
+    )
+    idx = similarity._nearest_centroids(
+        emb.filter(F.col("vec_id") % 2 == 0), cents, 1, "embedding", "cluster"
+    ).select(
+        "cluster",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(idx, cents, path)
+    delta = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(6).write.parquet(delta_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    stats = ivf_index_stream_ingest(
+        spark,
+        delta_dir,
+        path,
+        checkpoint_dir=ckpt,
+        compact_max_files_per_leaf=2,
+    )
+    assert stats["epochs"] >= 4 and stats["skipped"] == 0
+    assert stats["compactions"] >= 1
+    got = spark.read.parquet(path + "/postings")
+    assert got.count() == emb.count()
+    assert got.select("neighbor_id").distinct().count() == emb.count()
+    # restart on the durable checkpoint re-delivers nothing
+    stats = ivf_index_stream_ingest(
+        spark, delta_dir, path, checkpoint_dir=ckpt
+    )
+    assert stats["epochs"] == 0 or stats["skipped"] == stats["epochs"]
+    assert spark.read.parquet(path + "/postings").count() == emb.count()
+
+
+def test_pq_stream_ingest_exactly_once_with_auto_compaction(
+    spark, emb, tmp_path
+):
+    """The PQ store's streaming binding (round-11): the flat codes dir
+    is one leaf, so an epoch-per-file cadence trips the verdict fast;
+    codes stay exactly-once and ADC-servable throughout."""
+    from dwp_hbase_to_mongo_export_spark.streaming.incremental import (
+        pq_index_stream_ingest,
+    )
+
+    codes, books = similarity.build_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), m=4, k_codes=8, iters=2
+    )
+    path = str(tmp_path / "pq")
+    similarity.save_pq_index(codes, books, path)
+    delta = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(6).write.parquet(delta_dir)
+
+    stats = pq_index_stream_ingest(
+        spark,
+        delta_dir,
+        path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_max_files_per_leaf=2,
+    )
+    assert stats["epochs"] >= 4 and stats["skipped"] == 0
+    assert stats["compactions"] >= 1
+    got = spark.read.parquet(path + "/codes")
+    assert got.count() == emb.count()
+    assert got.select("vec_id").distinct().count() == emb.count()
