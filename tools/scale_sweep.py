@@ -216,6 +216,20 @@ def _dedup_spans_full(spark, sf_dir):
     )
 
 
+def _dedup_incremental_indexed_agg(spark, sf_dir):
+    """The durable-index screen reduced to a checksum aggregate: at
+    x100 the 26-class text rotation leaves ~4 replicas verbatim-equal
+    (documented on _rotated_alphabet), so the true-pair OUTPUT is ~1M
+    rows — collect() would time driver transfer of the pathological
+    pair list, not the probe plan. The hash references every output
+    column, so the full verify work still runs."""
+    import bench
+
+    from dwp_hbase_to_mongo_export_spark.queries import QUERIES
+
+    return bench.bench_action(QUERIES["dedup_incremental_indexed"](spark, sf_dir))
+
+
 def _dedup_spans_fixpoint_full(spark, sf_dir):
     """Bounded-fixpoint strip reduced to the same checksum aggregate as
     _dedup_spans_full (collecting the cleaned corpus would time driver
@@ -239,6 +253,7 @@ SWEEP_OVERRIDES = {
     "snapshot_sink_export": _snapshot_sink_export,
     "dedup_spans_full": _dedup_spans_full,
     "dedup_spans_fixpoint_full": _dedup_spans_fixpoint_full,
+    "dedup_incremental_indexed": _dedup_incremental_indexed_agg,
     "index_recovery_drill": _index_recovery_drill,
     "similarity_topk_ivf_full": _ivf_full_corpus,
     "logreg_fit_full": _logreg_fit_full,
