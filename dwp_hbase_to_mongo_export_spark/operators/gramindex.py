@@ -98,10 +98,14 @@ def _check_markers(path: str) -> None:
 
 
 def _gram_relation(
-    docs: DataFrame, text_col: str, id_col: str, n: int
+    docs: DataFrame, text_col: str, id_col: str, n: int, normalise: bool = False
 ) -> DataFrame:
     """(gh, bucket): the DISTINCT gram hashes of ``docs``."""
-    g = word_grams(docs, text_col, id_col, n).select("gh").distinct()
+    g = (
+        word_grams(docs, text_col, id_col, n, normalise=normalise)
+        .select("gh")
+        .distinct()
+    )
     return g.withColumn("bucket", gram_bucket(F.col("gh")))
 
 
@@ -113,10 +117,12 @@ def _write_meta(
     n: int,
     fingerprint: str,
     first: bool,
+    normalise: bool = False,
 ) -> None:
     meta = spark.createDataFrame(
-        [(n_docs, n_grams, n, fingerprint)],
-        "n_docs bigint, n_grams bigint, n int, fingerprint string",
+        [(n_docs, n_grams, n, fingerprint, bool(normalise))],
+        "n_docs bigint, n_grams bigint, n int, fingerprint string, "
+        "normalise boolean",
     )
     target = os.path.join(path, "meta")
     if first:
@@ -129,6 +135,12 @@ def _read_meta(spark: SparkSession, path: str):
     return spark.read.parquet(os.path.join(path, "meta")).head()
 
 
+def _meta_normalise(meta) -> bool:
+    """The store's matching policy. Pre-round-11 stores lack the meta
+    column — they were built strict, so absent reads as False."""
+    return bool(meta.asDict().get("normalise", False))
+
+
 def build_gram_index(
     corpus: DataFrame,
     path: str,
@@ -136,14 +148,22 @@ def build_gram_index(
     id_col: str = "doc_id",
     n: int = 8,
     fingerprint: str | None = None,
+    normalise: bool = False,
 ) -> None:
     """ONE corpus-scale tokenise/hash/distinct pass into the bucketed
     gram store. First-build commit record is meta-written-last; an
     in-place rebuild is bracketed by ``_build-pending`` (readers
-    refuse), and holds the mutation lock like every append."""
+    refuse), and holds the mutation lock like every append.
+
+    ``normalise=True`` stores NORMALISED gram hashes (lower +
+    punctuation strip, spandedup._norm_word) — the policy is stamped
+    into meta, and appends/probes read it from there, so a caller can
+    never mix strict and normalised hashes in one store."""
     os.makedirs(path, exist_ok=True)
     with _append_lock(path):
-        _build_gram_index_locked(corpus, path, text_col, id_col, n, fingerprint)
+        _build_gram_index_locked(
+            corpus, path, text_col, id_col, n, fingerprint, normalise
+        )
 
 
 def _build_gram_index_locked(
@@ -153,6 +173,7 @@ def _build_gram_index_locked(
     id_col: str,
     n: int,
     fingerprint: str | None,
+    normalise: bool = False,
 ) -> None:
     spark = corpus.sparkSession
     rebuild = os.path.isdir(os.path.join(path, "meta")) or os.path.isdir(
@@ -173,13 +194,22 @@ def _build_gram_index_locked(
         # batch ids committed against the OLD artifact must not no-op
         # appends to the rebuilt one
         os.remove(last)
-    grams = _gram_relation(corpus, text_col, id_col, n)
+    grams = _gram_relation(corpus, text_col, id_col, n, normalise)
     grams.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "grams")
     )
     n_grams = spark.read.parquet(os.path.join(path, "grams")).count()
     n_docs = corpus.select(id_col).distinct().count()
-    _write_meta(spark, path, n_docs, n_grams, n, fingerprint or "", first=True)
+    _write_meta(
+        spark,
+        path,
+        n_docs,
+        n_grams,
+        n,
+        fingerprint or "",
+        first=True,
+        normalise=normalise,
+    )
     if os.path.exists(build_marker):
         os.remove(build_marker)
 
@@ -240,9 +270,10 @@ def _append_to_gram_index_impl(
     _recover_swap(os.path.join(path, "meta"))
     old = _read_meta(spark, path)
     n = int(old["n"])
+    normalise = _meta_normalise(old)
     store = spark.read.parquet(os.path.join(path, "grams")).select("gh")
     new_ghs = (
-        _gram_relation(delta, text_col, id_col, n)
+        _gram_relation(delta, text_col, id_col, n, normalise)
         .join(store, "gh", "left_anti")
         .select("gh", "bucket")
     )
@@ -255,6 +286,7 @@ def _append_to_gram_index_impl(
                     "n_docs": int(old["n_docs"]),
                     "n_grams": int(old["n_grams"]),
                     "n": n,
+                    "normalise": normalise,
                     "fingerprint": old["fingerprint"],
                     "last_append": read_last_append(path),
                 }
@@ -278,6 +310,7 @@ def _append_to_gram_index_impl(
         n,
         fingerprint or str(old["fingerprint"]),
         first=False,
+        normalise=normalise,
     )
     if batch_id is not None:
         _write_last_append(path, batch_id)
@@ -317,6 +350,7 @@ def _recover_gram_index_append_impl(spark: SparkSession, path: str) -> dict:
             "n_docs": int(state["n_docs"]),
             "n_grams": int(state["n_grams"]),
             "n": int(state["n"]),
+            "normalise": bool(state.get("normalise", False)),
             "fingerprint": str(state.get("fingerprint") or ""),
         }
         protocol = int(state.get("protocol") or 1)
@@ -365,6 +399,7 @@ def _recover_gram_index_append_impl(spark: SparkSession, path: str) -> dict:
         old["n"],
         old["fingerprint"],
         first=not os.path.isdir(os.path.join(path, "meta")),
+        normalise=old["normalise"],
     )
     _restore_last_append(path, old_last)
     os.remove(pending)
@@ -383,8 +418,9 @@ def strip_spans_with_index(
     """Indexed form of ``strip_spans_against_corpus``: the corpus pass
     is replaced by an equi-join of the batch's gram hashes against the
     stored distinct hashes, bit-identical to the index-free form over
-    the same corpus (pinned in tests). Gram size comes from meta, so
-    callers cannot probe with mismatched n.
+    the same corpus (pinned in tests). Gram size AND matching policy
+    (strict vs normalised) come from meta, so callers cannot probe with
+    a mismatched n or hash a strict batch against a normalised store.
 
     Join strategy (round-11 advice): no forced broadcast — a
     production-sized nightly batch's distinct gram set can exceed the
@@ -397,7 +433,8 @@ def strip_spans_with_index(
     _check_markers(path)
     meta = _read_meta(spark, path)
     n = int(meta["n"])
-    bg = word_grams(batch, text_col, id_col, n)
+    normalise = _meta_normalise(meta)
+    bg = word_grams(batch, text_col, id_col, n, normalise=normalise)
     store = spark.read.parquet(os.path.join(path, "grams")).select("gh")
     vs_store = store.join(
         bg.select("gh").distinct(), "gh", "left_semi"

@@ -213,6 +213,7 @@ def strip_spans_against_corpus(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    normalise: bool = False,
 ) -> DataFrame:
     """Incremental form: strip a NEW batch of every span whose n-gram
     already occurs ANYWHERE in the accepted corpus, or in >= min_docs
@@ -228,8 +229,8 @@ def strip_spans_against_corpus(
     amortise to once per corpus (the dedupindex.py pattern); this
     operator is the index-free form.
     """
-    bg = word_grams(batch, text_col, id_col, n)
-    cg = word_grams(corpus, text_col, id_col, n).select("gh")
+    bg = word_grams(batch, text_col, id_col, n, normalise=normalise)
+    cg = word_grams(corpus, text_col, id_col, n, normalise=normalise).select("gh")
     # corpus grams the batch probes (batch gram set is the small side)
     vs_corpus = cg.join(bg.select("gh").distinct(), "gh", "left_semi").distinct()
     within = duplicated_grams(bg, id_col, min_docs)

@@ -434,9 +434,10 @@ DRIVER_WINDOW_CHANGED = [
 ]
 
 # Round-11 window (tools/rotate_window.py --changed dedup_spans_indexed,
-# adopted verbatim per the round-10 verdict #3): the four queries
-# registered this round lead (residual monitor, bounded fixpoint,
-# normalised span matching, strict-vs-normalised policy report); then
+# adopted per the round-10 verdict #3): the five queries registered
+# this round lead (residual monitor, bounded fixpoint, normalised span
+# matching — index-free and durable-store forms — and the
+# strict-vs-normalised policy report); then
 # dedup_spans_indexed, whose probe-join strategy changed this round
 # (forced broadcast dropped for AQE-decided, round-11 advice); then the
 # ENTIRE remaining r7 cohort (9 queries — the oldest driver evidence,
@@ -446,6 +447,7 @@ DRIVER_WINDOW_CHANGED = [
 DRIVER_WINDOW = [
     # never driver-checked (registered this round)
     "dedup_spans_fixpoint",
+    "dedup_spans_indexed_normalised",
     "dedup_spans_normalised",
     "span_dedup_policy_report",
     "span_dedup_residual",
@@ -497,7 +499,6 @@ DRIVER_WINDOW = [
     "quantiles_by_type_hist",
     "range_join_click_to_purchase",
     "scd2_incremental",
-    "semantic_dedup",
 ]
 
 

@@ -2406,13 +2406,16 @@ def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by dedup_spans_incremental (index-free) and dedup_spans_indexed
 # (durable gram store): two Spark PLANS over the same batch-vs-corpus
 # span semantics pin against one oracle — the _BM25_ORACLE discipline.
-_SPAN_INCR_ORACLE = """
+# Parametrised on the gram expression so the normalised-policy indexed
+# form reuses the whole reviewed block with only the hash input changed.
+def _span_incr_oracle(gram_sql: str) -> str:
+    return f"""
     WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     grams AS (
       SELECT doc_id, CAST(i AS INT) - 1 AS start,
-             md5(array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS gh
+             md5({gram_sql}) AS gh
       FROM docs, UNNEST(range(1, len(ws) - 6)) AS t(i)
-    ),
+    ),""" + """
     bgrams AS (SELECT * FROM grams WHERE doc_id % 10 = 9),
     cgrams AS (SELECT gh FROM grams WHERE doc_id % 10 <> 9),
     dup AS (
@@ -2449,6 +2452,14 @@ _SPAN_INCR_ORACLE = """
     """
 
 
+_STRICT_GRAM_SQL = "array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')"
+_NORM_GRAM_SQL = (
+    "array_to_string(list_transform(ws[CAST(i AS INT):CAST(i AS INT)+7], "
+    "w -> regexp_replace(lower(w), '[^a-z0-9]', '', 'g')), ' ')"
+)
+_SPAN_INCR_ORACLE = _span_incr_oracle(_STRICT_GRAM_SQL)
+
+
 @query("dedup_spans_incremental", oracle=_SPAN_INCR_ORACLE)
 def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest form of span dedup: strip a NEW batch (every
@@ -2467,22 +2478,29 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cached_gram_index(spark: SparkSession, sf_dir: str) -> str:
+def _cached_gram_index(
+    spark: SparkSession, sf_dir: str, normalise: bool = False
+) -> str:
     """dedup_spans_indexed's durable gram store over the corpus slice
     (doc_id % 10 != 9), fingerprint-gated and flock-serialized like the
-    other four stores."""
+    other four stores. The normalised-policy store lives under its own
+    cache key — the policy is part of the artifact's identity (and
+    stamped into meta, so a cross-policy probe is impossible anyway)."""
     from .functions import indexcache
     from .functions.fingerprint import source_fingerprint
     from .operators import gramindex
 
     fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    path = indexcache.user_cache_dir("spark_graft_gramindex_v1", sf_dir)
+    key = "spark_graft_gramindex_norm_v1" if normalise else "spark_graft_gramindex_v1"
+    path = indexcache.user_cache_dir(key, sf_dir)
     with indexcache.build_lock(path):
         if gramindex.stored_fingerprint(spark, path) != fp:
             corpus = load_table(spark, sf_dir, "documents").filter(
                 F.col("doc_id") % 10 != 9
             )
-            gramindex.build_gram_index(corpus, path, n=8, fingerprint=fp)
+            gramindex.build_gram_index(
+                corpus, path, n=8, fingerprint=fp, normalise=normalise
+            )
     return path
 
 
@@ -2911,3 +2929,21 @@ def span_dedup_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
         F.round(F.col("covered_words") / F.col("words"), 4).alias("covered_ratio"),
     )
+
+
+@query("dedup_spans_indexed_normalised", oracle=_span_incr_oracle(_NORM_GRAM_SQL))
+def dedup_spans_indexed_normalised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_spans_indexed under the NORMALISED matching policy: the
+    durable gram store persists lower+punct-stripped gram hashes (the
+    policy stamped into meta — probes hash their batch the same way by
+    construction), so case/punctuation-variant boilerplate dedups
+    against the corpus at batch-sized incremental cost. The oracle is
+    the shared batch-vs-corpus template with only the gram expression
+    swapped — the same one-oracle-two-plans discipline as the strict
+    pair, completing the policy x index matrix."""
+    from .operators import gramindex
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    path = _cached_gram_index(spark, sf_dir, normalise=True)
+    return gramindex.strip_spans_with_index(spark, path, batch, min_docs=2)

@@ -478,3 +478,96 @@ def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
     gramindex.build_gram_index(docs.filter(F.col("doc_id") < 400), full, n=8)
     assert _store_ghs(spark, path) == _store_ghs(spark, full)
     assert _meta(spark, path)[:2] == _meta(spark, full)[:2]
+
+
+# ------------------------------------------------------- normalised policy
+
+
+def test_normalised_store_equals_index_free_normalised(spark, docs, tmp_path):
+    """The policy x index matrix closes: a normalised-policy store's
+    indexed strip is bit-identical to the index-free normalised form,
+    and differs from the strict store exactly where case/punct-variant
+    boilerplate exists."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    path = str(tmp_path / "gxn")
+    gramindex.build_gram_index(corpus, path, n=8, normalise=True)
+    assert gramindex._meta_normalise(
+        spark.read.parquet(os.path.join(path, "meta")).head()
+    )
+    got = gramindex.strip_spans_with_index(spark, path, batch)
+    want = spandedup.strip_spans_against_corpus(
+        batch, corpus, n=8, normalise=True
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_normalised_policy_survives_append_and_recovery(spark, tmp_path):
+    """Appends and torn-append recovery read the policy from meta/the
+    marker — a normalised store keeps matching case-variant text after
+    both, and meta still says normalise=True."""
+    base = spark.createDataFrame(
+        [(0, "The Quick! Brown Fox jumps over lazy dogs now")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "entirely new words appended here for gram growth")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "gxn")
+    gramindex.build_gram_index(base, path, n=8, normalise=True)
+    res = gramindex.append_to_gram_index(delta, path)
+    assert res["committed"]
+    m = spark.read.parquet(os.path.join(path, "meta")).head()
+    assert gramindex._meta_normalise(m)
+    # a case/punct variant of the BASE doc strips fully against the store
+    probe = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over lazy dogs")],
+        "doc_id bigint, text string",
+    )
+    out = gramindex.strip_spans_with_index(spark, path, probe).head()
+    assert out["text_deduped"] == "" and out["n_removed"] == 8
+    # torn append: recovery restores meta WITH the policy bit
+    real = shutil.rmtree
+    import pytest as _pytest
+
+    def boom(p, *a, **k):
+        if str(p).endswith(gramindex._PENDING_IDS):
+            raise RuntimeError("simulated crash after the commit point")
+        return real(p, *a, **k)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(gramindex.shutil, "rmtree", side_effect=boom):
+        with _pytest.raises(RuntimeError, match="after the commit point"):
+            gramindex.append_to_gram_index(
+                spark.createDataFrame(
+                    [(2, "yet another totally fresh sentence of eight words")],
+                    "doc_id bigint, text string",
+                ),
+                path,
+            )
+    gramindex.recover_gram_index_append(spark, path)
+    m2 = spark.read.parquet(os.path.join(path, "meta")).head()
+    assert gramindex._meta_normalise(m2)
+
+
+def test_pre_policy_meta_reads_as_strict(spark, docs, tmp_path):
+    """A pre-round-11 store's meta lacks the normalise column — it was
+    built strict, so probes must hash strict (absent == False)."""
+    corpus = docs.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") < 200))
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    path = str(tmp_path / "gx")
+    gramindex.build_gram_index(corpus, path, n=8)
+    # rewrite meta in the pre-policy schema (no normalise column)
+    m = spark.read.parquet(os.path.join(path, "meta")).head()
+    spark.createDataFrame(
+        [(int(m["n_docs"]), int(m["n_grams"]), int(m["n"]), m["fingerprint"])],
+        "n_docs bigint, n_grams bigint, n int, fingerprint string",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    assert not gramindex._meta_normalise(
+        spark.read.parquet(os.path.join(path, "meta")).head()
+    )
+    got = gramindex.strip_spans_with_index(spark, path, batch)
+    want = spandedup.strip_spans_against_corpus(batch, corpus, n=8)
+    assert _rows(got) == _rows(want)
