@@ -78,6 +78,56 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    emb: DataFrame,
+    filter_col: str = "label",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """FILTERED vector search, per-query equality filter: exact cosine
+    top-k where every candidate must share the query's ``filter_col``
+    value (the tenant/category/language restriction every production
+    vector system exposes — 'nearest neighbors WITHIN my partition').
+
+    The Spark-first insight: an EQUALITY filter turns the brute-force
+    crossJoin into an ordinary equi-join on the filter key — Catalyst
+    hash-partitions both sides by the key (or broadcasts the query
+    side), so each task only ever scores candidates that pass the
+    filter. Search work is sum over groups of |q_g| x |c_g| instead of
+    |q| x |c|: the filter is enforced by the JOIN, not by scoring
+    everything and discarding — which is exactly what makes filtered
+    search CHEAPER than unfiltered at 100 TB, where a post-filter
+    top-k over the full corpus wastes (1 - selectivity) of its
+    cosines. Ties break by neighbor id for determinism."""
+    q = emb
+    if max_query_id is not None:
+        q = q.filter(F.col(id_col) < max_query_id)
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(filter_col).alias("_fk"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(filter_col).alias("_fk"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "_fk")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _resolve_centroids(
     emb: DataFrame,
     centroids: DataFrame | None,
@@ -616,6 +666,7 @@ def query_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_probes: bool = True,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a built IVF index: each query row picks its ``nprobe``
     nearest centroids (the same map-only kernel as the build) and
@@ -630,12 +681,30 @@ def query_ivf(
     candidate rows — query-set-sized, not corpus-sized. Set
     ``broadcast_probes=False`` for corpus-scale query sets; the join
     then shuffles only the probe side when the index kept its
-    cluster-id partitioning."""
+    cluster-id partitioning.
+
+    ``candidate_ids`` (a one-column frame of ``id_col`` values) makes
+    this a FILTERED probe: posting rows are pruned by a LEFT SEMI join
+    against the allowed-id set BEFORE scoring, so disallowed candidates
+    cost no cosine and never reach the rank. The allowed set is usually
+    metadata-predicate-sized (AQE broadcasts it when small; above the
+    threshold it degrades to a shuffle semi-join on the id — never the
+    vectors). The standard filtered-ANN caveat applies and is the
+    CALLER's dial, not hidden magic: probing still visits nprobe
+    clusters chosen by geometry alone, so a highly selective filter
+    wants a larger nprobe to keep recall (the recall-governance report
+    measures exactly this trade)."""
     probes = _nearest_centroids(queries, cents, nprobe, vec_col, "cluster").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster"
     )
     if broadcast_probes:
         probes = F.broadcast(probes)
+    if candidate_ids is not None:
+        index = index.join(
+            candidate_ids.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
     # no dropDuplicates: a neighbor lives in exactly one posting list and
     # a query's nprobe probes are distinct, so (query_id, neighbor_id)
     # pairs are unique by construction — a dedup would be a whole extra

@@ -18,7 +18,9 @@ Design points, Spark-first:
 * md5-derived buckets, not Murmur: DETERMINISTIC across engines, so
   the whole sketch — and every estimate taken from it — is
   value-checkable bit-for-bit against the DuckDB oracle (the same
-  reason the KMV sketch uses md5; HLL's register layout is
+  reason the KMV sketch uses md5, and why the HLL at the bottom of
+  this module derives ITS registers from md5 instead of delegating to
+  approx_count_distinct, whose register layout is
   implementation-private and can't be cross-checked).
 * Mergeable by bucket-wise SUM: sketch(A union B) = merge(sketch(A),
   sketch(B)) EXACTLY (not just approximately) — per-shard/per-day
@@ -484,3 +486,124 @@ def exact_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet/Fuchs/Gandouet/Meunier 2007, public literature)
+# over md5-derived registers.
+#
+# The third distinct-count member of the sketch family, next to KMV:
+# where KMV keeps the k smallest hashes (k longs of state, estimate
+# from the kth order statistic), HLL keeps max(rho) per register — m
+# SMALL INTEGERS of state with ~1.04/sqrt(m) relative error, the shape
+# every production cardinality system (Redis, BigQuery, Druid) uses.
+# Spark's own approx_count_distinct IS an HLL, but its register layout
+# is implementation-private, so its estimates can't be value-checked
+# against another engine; THIS build derives registers from md5 like
+# the rest of the family, so DuckDB reproduces every register and every
+# estimate bit-for-bit (the reason the family previously stopped at
+# KMV).
+#
+# Determinism notes (the family discipline):
+# * register r = first md5 byte (m=256); rho = position of the first
+#   set bit of the NEXT 48 hash bits (w=48), both integers.
+# * The harmonic-mean denominator sum(2^-M_j) is computed as the EXACT
+#   BIGINT sum(2^(49-M_j)) (every term dyadic, max total 256*2^49 <
+#   2^63) so summation ORDER cannot shift a low bit across engines —
+#   a double fold of 2^-M_j terms spans 57 bits of scale and WOULD be
+#   order-sensitive. The estimate is then ONE double division by a
+#   shared literal constant.
+# * Mergeable by register-wise MAX — sketch(A ∪ B) = merge exactly,
+#   the same algebra as CMS's bucket-wise SUM. Pinned by
+#   hll_sketch_merge's oracle.
+# * Small-range (linear-counting) correction applies below 2.5m with
+#   empty registers, per the paper; the 48-bit hash width makes the
+#   large-range collision correction irrelevant at any realistic
+#   cardinality (2^48 ≈ 2.8e14).
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers: first md5 byte
+HLL_W = 48  # hash bits consumed after the register byte (12 hex chars)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # alpha_m for m >= 128
+# est = alpha*m^2 / sum(2^-M_j) = HLL_ALPHA_NUM / sum(2^(49-M_j)):
+# one shared double literal, one division — bit-identical across engines
+HLL_ALPHA_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+
+
+def hll_rows(
+    df: DataFrame, value: Column, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(group..., r, rho) per input row: register id and leading-bit
+    rank of the md5-derived hash. The hex digest and the 48-bit tail
+    are STAGED as columns (each feeds 2+ consumers — inlined, Catalyst
+    re-evaluates the md5 per use, the round-11 staging discipline)."""
+    gcols = list(group_cols)
+    staged = df.select(*gcols, F.md5(value.cast("string")).alias("_hex"))
+    v = F.conv(F.substring("_hex", 3, 12), 16, 10).cast("bigint")
+    staged = staged.select(
+        *gcols,
+        F.conv(F.substring("_hex", 1, 2), 16, 10).cast("bigint").alias("r"),
+        v.alias("_v"),
+    )
+    rho = (
+        F.when(F.col("_v") == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin("_v")))
+        .cast("int")
+    )
+    return staged.select(*gcols, "r", rho.alias("rho"))
+
+
+def hll_registers(
+    df: DataFrame, value: Column, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Build the register relation (group..., r, mr): max(rho) per
+    register. ONE scan + one map-side-combined aggregation whose
+    exchange carries <= m rows per (partition, group present) — max()
+    partial-aggregates for free, so no custom fold is needed (unlike
+    KMV's bottom-k, which Spark has no native partial for). State is m
+    small ints per group regardless of input size."""
+    return (
+        hll_rows(df, value, group_cols)
+        .groupBy(*list(group_cols), "r")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Estimate cardinality from a register relation (r, mr): returns
+    (group..., n_registers_used, est_distinct). est_distinct carries
+    the paper's small-range linear-counting correction (V = empty
+    registers; est <= 2.5m and V > 0 -> m*ln(m/V)) and is rounded to
+    1dp so the single ln() — the only libm call in the estimate — can't
+    flip a value hash on a last-ulp engine difference. Works identically
+    on a directly-built, merged, or recovered register relation: the
+    input IS the sketch."""
+    gcols = list(group_cols)
+    base = regs.select(
+        *gcols,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - mr)").alias("_wt"),
+    )
+    n = F.count(F.lit(1))
+    v_empty = (F.lit(HLL_M) - n).cast("bigint")
+    s_int = F.coalesce(F.sum("_wt"), F.lit(0)) + v_empty * F.lit(
+        1 << (HLL_W + 1)
+    ).cast("bigint")
+    raw = F.lit(HLL_ALPHA_NUM) / s_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    aggs = [
+        n.alias("n_registers_used"),
+        F.round(est, 1).alias("est_distinct"),
+    ]
+    return base.groupBy(*gcols).agg(*aggs) if gcols else base.agg(*aggs)
+
+
+def hll_merge(regs: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge register relations by register-wise MAX — the HLL sketch
+    algebra: per-shard/per-day sketches combine into the union's sketch
+    EXACTLY (max is associative/commutative/idempotent), each shard
+    shipping m small ints. Input may carry extra shard columns; they
+    are folded away."""
+    return regs.groupBy(*list(group_cols), "r").agg(F.max("mr").alias("mr"))

@@ -445,12 +445,21 @@ DRIVER_WINDOW_CHANGED = [
 # fill to 50 from the r8 cohort alphabetically. Staleness floor after
 # this round: r8.
 DRIVER_WINDOW = [
-    # never driver-checked (registered this round)
+    # never driver-checked (registered this round; sorted — the
+    # test_catalog_lint contract for the unchecked tier)
     "dedup_spans_fixpoint",
     "dedup_spans_indexed_normalised",
     "dedup_spans_normalised",
+    "distinct_users_hll",
+    "distinct_users_hll_by_day",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "hll_sketch_merge",
+    "similarity_topk_filtered",
+    "similarity_topk_ivf_filtered",
     "span_dedup_policy_report",
     "span_dedup_residual",
+    "streaming_distinct_hll",
     # code changed this round: indexed probe join is AQE-decided now
     "dedup_spans_indexed",
     # staleness retirement: last all-true at the driver in round 7
@@ -491,14 +500,12 @@ DRIVER_WINDOW = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "q7_nation_volume",
-    "q9_profit_by_nation_year",
-    "quantiles_by_type_hist",
-    "range_join_click_to_purchase",
-    "scd2_incremental",
+    # (8 r8-cohort names trimmed from this fill when the session-2 round-11
+    # queries — HLL family incl. its streaming member, DSIR, filtered ANN —
+    # took the unchecked tier, keeping the window at 50; they rotate back
+    # in next round: q18_large_orders q19_disjunctive_pred
+    # q22_idle_customers q7_nation_volume q9_profit_by_nation_year
+    # quantiles_by_type_hist range_join_click_to_purchase scd2_incremental)
 ]
 
 

@@ -1273,6 +1273,197 @@ def distinct_users_kmv_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HLL distinct-count sketch (operators/sketches.py bottom section) -------
+# Shared SQL fragments: the register build and the estimate, mirrored
+# op-for-op from sketches.hll_rows/hll_registers/hll_estimate. The
+# harmonic denominator is an exact BIGINT sum (order-insensitive); the
+# estimate is one double division by the shared HLL_ALPHA_NUM literal.
+
+_HLL_ROWS = """
+    SELECT {extra} CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) AS r,
+           CAST(('0x' || substr(hex, 3, 12)) AS BIGINT) AS v
+    FROM (SELECT {extra_src} md5(CAST(user_id AS VARCHAR)) AS hex FROM events)
+"""
+
+_HLL_RHO = "CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END"
+
+# estimate over a register relation named {regs} (columns: [group,] mr)
+_HLL_EST = """
+    SELECT {g} CAST(count(*) AS BIGINT) AS n_registers_used,
+           round(CASE WHEN (2.6499581405668102e+19 / CAST(
+                     COALESCE(sum((CAST(1 AS BIGINT) << (49 - mr))), 0)
+                     + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS DOUBLE))
+                     <= 640.0 AND (256 - count(*)) > 0
+                 THEN 256.0 * ln(256.0 / (256 - count(*)))
+                 ELSE (2.6499581405668102e+19 / CAST(
+                     COALESCE(sum((CAST(1 AS BIGINT) << (49 - mr))), 0)
+                     + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS DOUBLE))
+                 END, 1) AS est_distinct
+    FROM {regs} {group_by}
+"""
+
+
+@query(
+    "distinct_users_hll",
+    oracle=f"""
+    WITH rws AS ({_HLL_ROWS.format(extra="", extra_src="")}),
+    regs AS (SELECT r, max({_HLL_RHO}) AS mr FROM rws GROUP BY r),
+    est AS ({_HLL_EST.format(g="", regs="regs", group_by="")}),
+    x AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT n_registers_used, est_distinct, exact_distinct,
+           round((est_distinct - exact_distinct) / exact_distinct * 100.0, 2)
+             AS rel_err_pct
+    FROM est CROSS JOIN x
+    """,
+)
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate over events.user_id, m=256
+    md5-derived registers — the third distinct sketch next to KMV
+    (operators/sketches.py bottom section has the family comparison and
+    the cross-engine determinism contract: exact-integer harmonic sum,
+    one double division, linear-counting correction under 2.5m). The
+    output carries the EXACT count and the relative error alongside the
+    estimate, so the gate also pins the accuracy claim (~1.04/sqrt(256)
+    = 6.5% sigma): sf0.001 exercises the linear-counting branch, sf0.1
+    the raw-estimate branch.
+
+    Scale: registers build in ONE scan + one map-side-combined max()
+    aggregation — the exchange carries <= 256 rows per partition, and
+    the estimate folds 256 rows to 1. The exact count here is fixture
+    evidence; at 100 TB you'd keep only the sketch (that's the point)."""
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketches.hll_registers(ev, F.col("user_id"))
+    est = sketches.hll_estimate(regs)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(F.broadcast(exact)).select(
+        "n_registers_used",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * F.lit(100.0),
+            2,
+        ).alias("rel_err_pct"),
+    )
+
+
+@query(
+    "hll_sketch_merge",
+    oracle=f"""
+    WITH rws AS ({_HLL_ROWS.format(
+        extra="day,",
+        extra_src="CAST(CAST(ts AS DATE) AS VARCHAR) AS day,",
+    )}),
+    daily AS (SELECT day, r, max({_HLL_RHO}) AS mr FROM rws GROUP BY day, r),
+    merged AS (SELECT r, max(mr) AS mr FROM daily GROUP BY r),
+    direct AS (SELECT r, max({_HLL_RHO}) AS mr FROM rws GROUP BY r),
+    em AS ({_HLL_EST.format(g="", regs="merged", group_by="")}),
+    ed AS ({_HLL_EST.format(g="", regs="direct", group_by="")})
+    SELECT 'direct' AS scope, n_registers_used, est_distinct FROM ed
+    UNION ALL
+    SELECT 'merged_daily', n_registers_used, est_distinct FROM em
+    """,
+)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA, pinned: per-day register relations merged by
+    register-wise MAX must equal the registers built directly over all
+    data — max is associative/commutative/idempotent, so
+    sketch(A ∪ B) = merge(sketch(A), sketch(B)) EXACTLY, which is what
+    lets per-day sketches (256 small ints each) combine into a month
+    without rescanning. Both output rows carry the SAME estimate; the
+    oracle pins that equality. The daily and direct sides are built as
+    DIFFERENT groupings of the same row relation — the equality is an
+    algebraic fact being tested, not plan reuse."""
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.hll_rows(
+        ev.select(
+            F.col("ts").cast("date").cast("string").alias("day"), "user_id"
+        ),
+        F.col("user_id"),
+        ["day"],
+    )
+    daily = rows.groupBy("day", "r").agg(F.max("rho").alias("mr"))
+    merged = sketches.hll_merge(daily)
+    direct = rows.groupBy("r").agg(F.max("rho").alias("mr"))
+
+    def side(regs: DataFrame, scope: str) -> DataFrame:
+        return sketches.hll_estimate(regs).select(
+            F.lit(scope).alias("scope"), "n_registers_used", "est_distinct"
+        )
+
+    return side(direct, "direct").unionAll(side(merged, "merged_daily"))
+
+
+@query(
+    "distinct_users_hll_by_day",
+    oracle=f"""
+    WITH rws AS ({_HLL_ROWS.format(
+        extra="day,",
+        extra_src="CAST(CAST(ts AS DATE) AS VARCHAR) AS day,",
+    )}),
+    daily AS (SELECT day, r, max({_HLL_RHO}) AS mr FROM rws GROUP BY day, r)
+    {_HLL_EST.format(g="day,", regs="daily", group_by="GROUP BY day")}
+    """,
+)
+def distinct_users_hll_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP HLL: daily distinct-user estimates from a 256-register
+    sketch per day — the grouped member of the HLL family (global:
+    distinct_users_hll; mergeability: hll_sketch_merge), the KMV-by-day
+    counterpart with constant state per group and no bottom-k fold
+    needed (max() partial-aggregates natively). Small days sit in the
+    linear-counting regime, so small-group estimates stay near-exact —
+    the same never-worse-for-small-groups property the KMV by-day query
+    documents.
+
+    Scale: one scan; the exchange carries <= 256 register rows per
+    (partition, day present); per-day estimate folds each day's
+    registers to one row. Daily sketches also merge upward (day ->
+    month) by register MAX without rescanning."""
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketches.hll_registers(
+        ev.select(
+            F.col("ts").cast("date").cast("string").alias("day"), "user_id"
+        ),
+        F.col("user_id"),
+        ["day"],
+    )
+    return sketches.hll_estimate(regs, ["day"])
+
+
+@query(
+    "streaming_distinct_hll",
+    oracle=f"""
+    WITH rws AS ({_HLL_ROWS.format(extra="", extra_src="")}),
+    regs AS (SELECT r, max({_HLL_RHO}) AS mr FROM rws GROUP BY r)
+    {_HLL_EST.format(g="", regs="regs", group_by="")}
+    """,
+)
+def streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL registers built INCREMENTALLY over the event stream
+    (streaming/incremental.hll_sketch_stream): micro-batch (register,
+    rho) rows fold into <= 256 rows of running state by register-wise
+    MAX — the sketch's merge IS the streaming aggregation — then the
+    estimate reads the final state. Bit-identical to the batch
+    distinct_users_hll registers under the same estimate SQL (the
+    streaming_quantiles_hist discipline, for the distinct member of
+    the sketch family: histogram=SUM-fold, CMS=SUM-fold, HLL=MAX-fold
+    all stream with constant state)."""
+    from .operators import sketches
+    from .streaming import incremental as streaming
+
+    regs = streaming.run_available_now(
+        streaming.hll_sketch_stream(spark, sf_dir)
+    )
+    return sketches.hll_estimate(regs)
+
+
 @query(
     "skew_split_join_events",
     oracle="""

@@ -299,11 +299,18 @@ _IVF_COS = (
     "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 )
 
-# Shared by similarity_topk_ivf (one-shot) and similarity_topk_ivf_indexed
-# (build/query split): the two Spark paths are different PLANS over the
-# same IVF semantics, so they pin against the identical oracle.
-_IVF_ORACLE = f"""
-    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+# Shared by similarity_topk_ivf (one-shot), similarity_topk_ivf_indexed
+# (build/query split) and — with a candidate filter — the filtered
+# probe: different Spark PLANS over the same IVF semantics pin against
+# the template with only the filter clause swapped (the _BM25_ORACLE
+# discipline).
+
+
+def _ivf_oracle_sql(cand_filter: str = "") -> str:
+    """The IVF probe oracle; ``cand_filter`` is an extra AND clause on
+    the candidate set (e.g. an allowed-id metadata predicate)."""
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 2000),
     cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM corpus WHERE vec_id % 100 = 0),
     assign AS (
       SELECT vec_id, cent_id FROM (
@@ -324,7 +331,7 @@ _IVF_ORACLE = f"""
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assign a ON a.cent_id = p.probe
-      WHERE a.vec_id != p.query_id
+      WHERE a.vec_id != p.query_id{cand_filter}
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT c.query_id, c.neighbor_id,
@@ -334,6 +341,13 @@ _IVF_ORACLE = f"""
                   JOIN corpus n ON n.vec_id = c.neighbor_id
     ) WHERE rank <= 5
 """
+
+
+_IVF_ORACLE = _ivf_oracle_sql()
+_IVF_FILTERED_ORACLE = _ivf_oracle_sql(
+    cand_filter="""
+        AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"""
+)
 
 
 @query("similarity_topk_ivf", oracle=_IVF_ORACLE)
@@ -362,6 +376,56 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, cents = similarity.build_ivf_index(emb, centroid_stride=100)
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.query_ivf(index, cents, q, nprobe=2, k=5)
+
+
+@query(
+    "similarity_topk_filtered",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.label = q.label AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search, exact form (similarity.filtered_topk):
+    top-5 cosine neighbors restricted to candidates sharing the query's
+    label — the tenant/category filter every production vector system
+    exposes. The equality filter turns the crossJoin into an equi-join
+    on the filter key, so disallowed candidates are never scored (the
+    join enforces the filter; work is per-group, not corpus-wide) —
+    filtered search done right is CHEAPER than unfiltered, not a
+    post-filter over it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.filtered_topk(emb, filter_col="label", k=5, max_query_id=10)
+
+
+@query("similarity_topk_ivf_filtered", oracle=_IVF_FILTERED_ORACLE)
+def similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF probe (query_ivf's candidate_ids form): the probe
+    visits the usual nprobe clusters, but posting rows are pruned by a
+    LEFT SEMI join against the allowed-id set (label % 2 = 0 here — a
+    metadata predicate resolved to ids) BEFORE any cosine is computed.
+    Same centroids, same probes, same oracle template as
+    similarity_topk_ivf with only the candidate filter added — pinning
+    that filtering changes WHICH candidates rank, never how the probe
+    geometry works. The recall caveat (selective filters want larger
+    nprobe) is documented on the operator; at this fixture's 50%
+    selectivity nprobe=2 recall is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    index, cents = similarity.build_ivf_index(emb, centroid_stride=100)
+    q = emb.filter(F.col("vec_id") < 10)
+    allowed = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    return similarity.query_ivf(
+        index, cents, q, nprobe=2, k=5, candidate_ids=allowed
+    )
 
 
 def _plane_sql(p: int, n_dims: int = 64) -> str:

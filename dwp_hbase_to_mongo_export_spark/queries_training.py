@@ -484,3 +484,111 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 100)
         .select("doc_id", "rank")
     )
+
+
+# --- DSIR importance resampling (operators/dsir.py) -------------------------
+# Shared oracle CTE chain: tokens -> hashed buckets -> the two
+# Laplace-smoothed bucket models in one grouped pass -> per-doc
+# log-weights. Mirrored op-for-op from dsir.bucket_models /
+# importance_logweights (per-bucket log-ratio rounded 9dp, per-doc sum
+# rounded 3dp, target slice = lang 'en').
+
+_DSIR_CTES = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
+      FROM documents WHERE len({_NORM}) > 0
+    ),
+    bt AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('dsir:' || t), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM tok WHERE t <> ''
+    ),
+    flag AS (SELECT doc_id, (lang = 'en') AS is_t FROM documents),
+    pb AS (
+      SELECT bucket,
+             sum(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+      FROM bt JOIN flag f USING (doc_id)
+      GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+    models AS (
+      SELECT bucket,
+             round(ln((ct + 1.0) / (tt + 1024.0))
+                   - ln((cr + 1.0) / (tr + 1024.0)), 9) AS lr
+      FROM pb CROSS JOIN tot
+    ),
+    scored AS (
+      -- + 0.0 normalises -0.0 (see dsir.importance_logweights)
+      SELECT b.doc_id, count(*) AS n_tokens,
+             round(sum(m.lr), 3) + 0.0 AS logw
+      FROM bt b JOIN models m USING (bucket)
+      GROUP BY b.doc_id
+    ),
+    wts AS (
+      SELECT d.doc_id,
+             COALESCE(s.n_tokens, 0) AS n_tokens,
+             COALESCE(s.logw, 0.0) AS logw
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN scored s USING (doc_id)
+    )
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"WITH {_DSIR_CTES} SELECT doc_id, n_tokens, logw FROM wts",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 1+2 (operators/dsir.py, Xie et al. 2023): hashed
+    unigram bucket features, target (lang='en') vs raw bucket models
+    fitted in ONE corpus pass, per-document importance log-weight =
+    sum of per-bucket log-likelihood ratios over the doc's tokens. A
+    positive logw reads 'more target-like than raw'. The weight table
+    is what a curation pipeline persists; resampling (dsir_resample)
+    consumes it.
+
+    Scale: the model table is 1024 rows by construction (feature
+    hashing) — broadcast; the corpus token stream never shuffles for
+    the model lookup; per-doc sum is one aggregation on doc_id."""
+    from .operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir.importance_logweights(docs, F.col("lang") == "en")
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    keyed AS (
+      SELECT doc_id,
+             round(logw + (- ln(- ln(
+               (CAST(('0x' || substr(md5('dsirG:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 1) / 4294967296.0
+             ))), 6) AS k
+      FROM wts
+    )
+    SELECT doc_id, rank FROM (
+      SELECT doc_id, row_number() OVER (ORDER BY k DESC, doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= 100
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 3 (operators/dsir.py): Gumbel top-k resampling of the
+    importance weights — a WITHOUT-replacement draw of 100 documents
+    from softmax(logw) via the Gumbel-max trick, deterministic because
+    the Gumbel uniforms are md5-derived (the weighted_sample_aes
+    treatment: key rounded 6dp, doc-id tiebreak, ranks exposed).
+
+    Scale: keys are one map pass over the doc-count weight table; the
+    top-k is a TakeOrdered (per-partition heads + driver merge), no
+    full sort, no corpus rescan — stages 1+2 already reduced 100 TB of
+    text to one row per document."""
+    from .operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir.importance_logweights(docs, F.col("lang") == "en")
+    return dsir.gumbel_topk(w, k=100)

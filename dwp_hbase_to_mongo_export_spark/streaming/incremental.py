@@ -432,6 +432,27 @@ def histogram_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the HLL distinct sketch (operators/
+    sketches.py): each micro-batch's (register, rho) rows fold into the
+    running register state by register-wise MAX — HLL merge IS the
+    streaming aggregation (the same merge-is-the-agg property the
+    histogram and CMS streams pin), so the final state is bit-identical
+    to the batch-built registers and the estimate taken from it matches
+    the batch oracle (streaming_distinct_hll). State is <= m=256 rows
+    regardless of stream length — the running who-have-we-seen summary
+    an ingest pipeline keeps per key domain without a shuffling
+    distinct."""
+    from ..operators.sketches import hll_rows
+
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        hll_rows(ev.select("user_id"), F.col("user_id"))
+        .groupBy("r")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
 def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming build of the Count-Min frequency sketch
     (operators/sketches.py) over the document word stream: each

@@ -641,3 +641,49 @@ def test_text_index_partial_postings_append_recovery(spark, sf_dir, tmp_path):
     assert {
         (r.term, r.df) for r in spark.read.parquet(path + "/stats").collect()
     } == {(r.term, r.df) for r in spark.read.parquet(full + "/stats").collect()}
+
+
+# --- filtered vector search --------------------------------------------------
+
+
+def test_filtered_topk_respects_the_filter_and_matches_per_group_exact(
+    spark, emb
+):
+    """Every neighbor shares the query's label, and the result equals
+    brute-force top-k run per label slice — the equi-join IS the
+    filter."""
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    got = similarity.filtered_topk(emb, k=5, max_query_id=20).collect()
+    assert all(lab[r.query_id] == lab[r.neighbor_id] for r in got)
+    expect = []
+    for lb in {lab[q] for q in lab if q < 20}:
+        sl = emb.filter(F.col("label") == lb)
+        expect += [
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.brute_force_topk(sl, k=5, max_query_id=20).collect()
+        ]
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got) == sorted(expect)
+
+
+def test_query_ivf_candidate_filter_subsets_postings(spark, emb):
+    """candidate_ids prunes ranked candidates to the allowed set; with
+    allowed = everything the filtered probe is the unfiltered probe."""
+    corpus = emb.filter(F.col("vec_id") < 2000)
+    index, cents = similarity.build_ivf_index(
+        corpus, centroid_stride=100, persist=False
+    )
+    q = corpus.filter(F.col("vec_id") < 10)
+    allowed = corpus.filter(F.col("label") % 2 == 0).select("vec_id")
+    got = similarity.query_ivf(
+        index, cents, q, nprobe=2, k=5, candidate_ids=allowed
+    ).collect()
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    assert got and all(r.neighbor_id in allowed_ids for r in got)
+
+    everything = corpus.select("vec_id")
+    unfiltered = similarity.query_ivf(index, cents, q, nprobe=2, k=5).collect()
+    trivially_filtered = similarity.query_ivf(
+        index, cents, q, nprobe=2, k=5, candidate_ids=everything
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank) for r in rows)
+    assert key(trivially_filtered) == key(unfiltered)

@@ -362,3 +362,123 @@ def test_kmv_partials_excludes_null_hashes(spark):
         r["hv"] for r in partials.distinct().orderBy("hv").limit(2).collect()
     )
     assert merged == [1, 2]
+
+
+# --- HLL -------------------------------------------------------------------
+
+
+def _hll_py_registers(values):
+    """Pure-Python reference for the md5-derived HLL register build."""
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for s in values:
+        hx = hashlib.md5(str(s).encode()).hexdigest()
+        r = int(hx[:2], 16)
+        v = int(hx[2:14], 16)
+        rho = 49 if v == 0 else 49 - v.bit_length()
+        regs[r] = max(regs.get(r, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_reference(spark):
+    vals = [f"u{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = {
+        (r["r"], r["mr"])
+        for r in sketches.hll_registers(df, F.col("k")).collect()
+    }
+    assert got == set(_hll_py_registers(vals).items())
+
+
+def test_hll_rho_edge_cases(spark):
+    """rho is the 1-based position of the first set bit of the 48-bit
+    tail; an all-zero tail reads 49 (the paper's w+1 convention)."""
+    rows = sketches.hll_rows(
+        spark.createDataFrame([(i,) for i in range(2000)], "k int"),
+        F.col("k"),
+    ).collect()
+    assert all(1 <= r["rho"] <= 49 for r in rows)
+    assert all(0 <= r["r"] < sketches.HLL_M for r in rows)
+
+
+def test_hll_merge_equals_direct(spark):
+    """Register-wise MAX of shard sketches == sketch of the union —
+    the mergeability algebra, on an adversarial 3-way shard split."""
+    df = spark.createDataFrame(
+        [(f"u{i % 700}", i % 3) for i in range(5000)], "k string, shard int"
+    )
+    rows = sketches.hll_rows(df, F.col("k"), ["shard"])
+    daily = rows.groupBy("shard", "r").agg(F.max("rho").alias("mr"))
+    merged = sketches.hll_merge(daily)
+    direct = rows.groupBy("r").agg(F.max("rho").alias("mr"))
+    assert {(r["r"], r["mr"]) for r in merged.collect()} == {
+        (r["r"], r["mr"]) for r in direct.collect()
+    }
+    em = sketches.hll_estimate(merged).collect()[0]
+    ed = sketches.hll_estimate(direct).collect()[0]
+    assert em.asDict() == ed.asDict()
+
+
+def test_hll_linear_counting_near_exact_when_small(spark):
+    """Tiny cardinalities sit in the linear-counting regime, where the
+    estimate is near-exact (V close to m)."""
+    df = spark.createDataFrame([(f"u{i}",) for i in range(20)], "k string")
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, F.col("k"))
+    ).collect()[0]
+    assert est["n_registers_used"] <= 20
+    assert abs(est["est_distinct"] - 20) <= 2
+
+
+def test_hll_estimate_within_published_error(spark):
+    """m=256 -> sigma = 1.04/16 = 6.5%; allow 3 sigma on one draw."""
+    n = 5000
+    df = spark.createDataFrame([(f"user-{i}",) for i in range(n)], "k string")
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, F.col("k"))
+    ).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.195, est
+
+
+def test_hll_estimate_empty_input_is_zero(spark):
+    df = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, F.col("k"))
+    ).collect()[0]
+    assert est["n_registers_used"] == 0
+    assert est["est_distinct"] == 0.0
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    """Cardinality estimation must be insensitive to multiplicity:
+    max() is idempotent, so 100x-duplicated input builds the identical
+    sketch."""
+    once = spark.createDataFrame([(f"u{i}",) for i in range(300)], "k string")
+    many = spark.createDataFrame(
+        [(f"u{i}",) for i in range(300) for _ in range(7)], "k string"
+    )
+    r1 = {
+        (r["r"], r["mr"])
+        for r in sketches.hll_registers(once, F.col("k")).collect()
+    }
+    r2 = {
+        (r["r"], r["mr"])
+        for r in sketches.hll_registers(many, F.col("k")).collect()
+    }
+    assert r1 == r2
+
+
+def test_hll_streaming_registers_equal_batch(spark, sf_dir):
+    """The streaming MAX-fold drains to the exact batch registers —
+    merge IS the streaming aggregation (the histogram/CMS discipline
+    for the distinct member)."""
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from dwp_hbase_to_mongo_export_spark.streaming import incremental as st
+
+    got = st.run_available_now(st.hll_sketch_stream(spark, sf_dir))
+    ev = load_table(spark, sf_dir, "events")
+    want = sketches.hll_registers(ev, F.col("user_id"))
+    assert {(r["r"], r["mr"]) for r in got.collect()} == {
+        (r["r"], r["mr"]) for r in want.collect()
+    }

@@ -84,6 +84,14 @@ NESTED_LOOP_ALLOWED = {
     # strict-vs-normalised policy rows x the ONE-row corpus word total:
     # a 2x1 cross of global aggregates — scalar x scalar
     "span_dedup_policy_report",
+    # HLL estimate vs exact: the cross is the ONE-row register
+    # aggregate x the ONE-row exact-count scalar — scalar x scalar
+    "distinct_users_hll",
+    # DSIR bucket models: the cross is the broadcast ONE-row
+    # (target-total, raw-total) scalar against the <=1024-row bucket
+    # relation — the text_unigram_logprob total-count shape
+    "dsir_importance_weights",
+    "dsir_resample",  # same models feed the sample's weight table
 }
 
 

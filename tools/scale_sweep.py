@@ -54,6 +54,12 @@ SWEEP_QUERIES = [
                                # (r9): map-only mapInPandas both ways,
                                # zero shuffles — linear is correct; file
                                # count grows with rows (roll size fixed)
+    "distinct_users_hll",      # HLL register build (r11): linear scan,
+                               # <=256-row/partition max() exchange —
+                               # duplication-invariant by idempotence
+    "dsir_importance_weights",  # DSIR models + per-doc weights (r11):
+                               # token scan, 1024-row broadcast model,
+                               # one doc-keyed agg — linear
 ]
 
 # The clustering/search/near-dup families need DISTINCT-content
