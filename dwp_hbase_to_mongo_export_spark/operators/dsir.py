@@ -69,6 +69,50 @@ def feature_bucket(token: Column, n_buckets: int = N_BUCKETS) -> Column:
     )
 
 
+def bucket_counts(
+    corpus: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """The sufficient statistics of both bucket models, from ONE token
+    scan: (bucket, ct, cr) — target and raw occurrence counts per
+    hashed bucket. This relation folds by bucket-wise SUM, so it is
+    MERGEABLE exactly like the CMS sketch: per-shard/per-day counts
+    combine into the corpus counts without rescanning, and the same
+    fold IS a streaming aggregation (streaming/incremental.
+    dsir_counts_stream) — nightly model refresh costs one pass over
+    the new batch, never the corpus."""
+    toks = corpus.select(
+        F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    return toks.select(
+        feature_bucket(F.col("t"), n_buckets).alias("bucket"), "_is_t"
+    ).groupBy("bucket").agg(
+        F.sum("_is_t").alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+
+
+def models_from_counts(
+    per_bucket: DataFrame, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(bucket, lr) from the count statistics: the Laplace-smoothed
+    log-likelihood ratio per bucket, rounded to 9dp (one ln per side —
+    engines differ at most in the last ulp). Totals ride a broadcast
+    crossJoin (the q11 threshold idiom); input and output are both
+    <= n_buckets rows."""
+    totals = per_bucket.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    b = float(n_buckets)
+    lr = F.round(
+        F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(b)))
+        - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(b))),
+        9,
+    )
+    return per_bucket.join(F.broadcast(totals)).select("bucket", lr.alias("lr"))
+
+
 def bucket_models(
     corpus: DataFrame,
     target: Column,
@@ -88,28 +132,8 @@ def bucket_models(
     via the smoothing constants at lookup time, but only PRESENT
     buckets can ever be looked up, so the table stays <= n_buckets
     rows and omitting absent rows is exact."""
-    toks = corpus.select(
-        F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
-    ).filter(F.col("t") != "")
-    per_bucket = toks.select(
-        feature_bucket(F.col("t"), n_buckets).alias("bucket"), "_is_t"
-    ).groupBy("bucket").agg(
-        F.sum("_is_t").alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
-    )
-    # scalar totals ride a broadcast crossJoin (the q11 threshold idiom)
-    totals = per_bucket.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
-    b = float(n_buckets)
-    lr = F.round(
-        F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(b)))
-        - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(b))),
-        9,
-    )
-    return per_bucket.join(F.broadcast(totals)).select(
-        "bucket", lr.alias("lr")
+    return models_from_counts(
+        bucket_counts(corpus, target, text_col, n_buckets), n_buckets
     )
 
 
@@ -119,18 +143,25 @@ def importance_logweights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    models: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_tokens, logw) for EVERY corpus document: logw =
     round(sum of lr over the doc's token occurrences, 3). Token-less
     documents report (0, 0.0) — a zero weight is 'indistinguishable
     from raw', the neutral element.
 
+    ``models`` overrides the model table (bucket, lr) — the
+    maintained-model path: counts folded incrementally (streaming or
+    per-shard merge, see bucket_counts) score a batch without refitting
+    from the corpus. Default fits from ``corpus``/``target`` directly.
+
     Plan: the model table is n_buckets rows (AQE broadcasts it; no
     explicit hint needed at this size, but one is safe since n_buckets
     is a construction-time constant, not data-driven) — the corpus
     token stream never shuffles for the lookup; the per-doc sum is one
     aggregation on the id."""
-    models = bucket_models(corpus, target, text_col, id_col, n_buckets)
+    if models is None:
+        models = bucket_models(corpus, target, text_col, id_col, n_buckets)
     toks = corpus.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),

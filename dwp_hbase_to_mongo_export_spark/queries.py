@@ -460,6 +460,7 @@ DRIVER_WINDOW = [
     "span_dedup_policy_report",
     "span_dedup_residual",
     "streaming_distinct_hll",
+    "streaming_dsir_weights",
     # code changed this round: indexed probe join is AQE-decided now
     "dedup_spans_indexed",
     # staleness retirement: last all-true at the driver in round 7
@@ -499,11 +500,11 @@ DRIVER_WINDOW = [
     "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    # (8 r8-cohort names trimmed from this fill when the session-2 round-11
-    # queries — HLL family incl. its streaming member, DSIR, filtered ANN —
-    # took the unchecked tier, keeping the window at 50; they rotate back
-    # in next round: q18_large_orders q19_disjunctive_pred
+    # (9 r8-cohort names trimmed from this fill when the session-2 round-11
+    # queries — HLL family incl. its streaming member, DSIR batch +
+    # streaming-maintained forms, filtered ANN — took the unchecked tier,
+    # keeping the window at 50; they rotate back in next round:
+    # q17_small_qty_revenue q18_large_orders q19_disjunctive_pred
     # q22_idle_customers q7_nation_volume q9_profit_by_nation_year
     # quantiles_by_type_hist range_join_click_to_purchase scd2_incremental)
 ]

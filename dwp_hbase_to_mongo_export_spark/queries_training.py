@@ -592,3 +592,30 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = dsir.importance_logweights(docs, F.col("lang") == "en")
     return dsir.gumbel_topk(w, k=100)
+
+
+@query(
+    "streaming_dsir_weights",
+    oracle=f"WITH {_DSIR_CTES} SELECT doc_id, n_tokens, logw FROM wts",
+)
+def streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR bucket-model statistics maintained INCREMENTALLY over
+    the document stream (streaming/incremental.dsir_counts_stream:
+    bucket-wise SUM fold, <= 1024 rows of state), then the batch
+    documents scored against the drained models — two plans, ONE oracle
+    with dsir_importance_weights (the streaming_quantiles_hist
+    discipline): the counts relation merges exactly, so a nightly model
+    refresh is one pass over the new batch and never a corpus refit,
+    and the weights it produces are bit-identical to fitting from
+    scratch."""
+    from .operators import dsir
+    from .streaming import incremental as streaming
+
+    counts = streaming.run_available_now(
+        streaming.dsir_counts_stream(spark, sf_dir)
+    )
+    models = dsir.models_from_counts(counts)
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir.importance_logweights(
+        docs, F.col("lang") == "en", models=models
+    )

@@ -453,6 +453,32 @@ def hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the DSIR bucket-model statistics
+    (operators/dsir.bucket_counts): each micro-batch's (bucket,
+    target-count, raw-count) rows fold into the running state by
+    bucket-wise SUM — the counts relation is mergeable exactly like the
+    CMS sketch, so the drained state is bit-identical to the
+    batch-fitted counts and the models derived from it score documents
+    identically (pinned by streaming_dsir_weights against the SAME
+    oracle as dsir_importance_weights). State is <= N_BUCKETS rows
+    regardless of stream length — model refresh costs one pass over
+    the new batch, never a corpus refit."""
+    from ..functions.text import normalize_text
+    from ..operators.dsir import N_BUCKETS, feature_bucket
+
+    docs = stream_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    return (
+        toks.select(feature_bucket(F.col("t"), N_BUCKETS).alias("bucket"), "_is_t")
+        .groupBy("bucket")
+        .agg(F.sum("_is_t").alias("ct"), F.count(F.lit(1)).alias("cr"))
+    )
+
+
 def cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming build of the Count-Min frequency sketch
     (operators/sketches.py) over the document word stream: each

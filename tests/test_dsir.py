@@ -122,3 +122,18 @@ def test_gumbel_topk_biases_toward_heavy_weights(spark):
     )
     top = dsir.gumbel_topk(df, k=1).collect()
     assert top[0]["doc_id"] == 1
+
+
+def test_streaming_counts_equal_batch_counts(spark, sf_dir):
+    """The streaming SUM-fold drains to the exact batch count
+    statistics — bucket counts merge like the CMS sketch, so model
+    maintenance never needs a corpus refit."""
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from dwp_hbase_to_mongo_export_spark.streaming import incremental as st
+
+    got = st.run_available_now(st.dsir_counts_stream(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    want = dsir.bucket_counts(docs, F.col("lang") == "en")
+    assert {(r["bucket"], r["ct"], r["cr"]) for r in got.collect()} == {
+        (r["bucket"], r["ct"], r["cr"]) for r in want.collect()
+    }

@@ -92,6 +92,7 @@ NESTED_LOOP_ALLOWED = {
     # relation — the text_unigram_logprob total-count shape
     "dsir_importance_weights",
     "dsir_resample",  # same models feed the sample's weight table
+    "streaming_dsir_weights",  # same models, counts drained from the stream
 }
 
 
