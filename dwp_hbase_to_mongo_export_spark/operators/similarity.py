@@ -722,6 +722,49 @@ def query_ivf(
     )
 
 
+def ivf_near_dup(
+    index: DataFrame,
+    cents,
+    queries: DataFrame,
+    nprobe: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Near-duplicate detection against a BUILT IVF index: each query
+    (new-batch) vector probes its nprobe nearest clusters and reports
+    every posting whose exact cosine clears ``threshold`` — the
+    embedding member of the incremental-dedup family (exact
+    fingerprints: dedupindex; MinHash bands: dedup_incremental_indexed;
+    word-8-grams: gramindex; embeddings: THIS). A nightly ingest asks
+    'which new vectors already live in the corpus, semantically' and
+    pays nprobe/|clusters| of the corpus per query instead of a full
+    cosine join — the SemDeDup decision at index-probe cost.
+
+    Same probe geometry and recall caveat as query_ivf (a true
+    near-dup assigned to a cluster outside the probe set is missed;
+    raise nprobe for recall — with near-dup thresholds this high the
+    duplicate's cluster is almost always the query's own). Returns
+    (batch_id, corpus_id, cos rounded 3), cos exact for every reported
+    pair."""
+    probes = _nearest_centroids(queries, cents, nprobe, vec_col, "cluster").select(
+        F.col(id_col).alias("batch_id"), F.col(vec_col).alias("qv"), "cluster"
+    )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    scored = (
+        probes.join(index, "cluster")
+        .filter(F.col("batch_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return scored.filter(F.col("cos") >= F.lit(threshold)).select(
+        "batch_id",
+        F.col("neighbor_id").alias("corpus_id"),
+        F.round("cos", 3).alias("cos"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,

@@ -407,6 +407,62 @@ def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_topk(emb, filter_col="label", k=5, max_query_id=10)
 
 
+@query(
+    "dedup_embedding_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < 2000 AND vec_id % 10 <> 9
+    ),
+    batch AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < 2000 AND vec_id % 10 = 9
+    ),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM corpus WHERE vec_id % 100 = 0),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC, c.cent_id) AS rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS batch_id, cent_id AS probe FROM (
+        SELECT b.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_IVF_COS.format(a='b.embedding', b='c.cv')} DESC, c.cent_id) AS rn
+        FROM batch b CROSS JOIN cents c
+      ) WHERE rn <= 2
+    )
+    SELECT p.batch_id, a.vec_id AS corpus_id,
+           round(CAST({_IVF_COS.format(a='b.embedding', b='n.embedding')} AS DOUBLE), 3) AS cos
+    FROM probes p
+    JOIN assign a ON a.cent_id = p.probe
+    JOIN batch b ON b.vec_id = p.batch_id
+    JOIN corpus n ON n.vec_id = a.vec_id
+    WHERE {_IVF_COS.format(a='b.embedding', b='n.embedding')} >= 0.4
+    """,
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING dedup served from the IVF index
+    (similarity.ivf_near_dup): which vectors of a new batch (ids ending
+    in 9) already have a semantic near-duplicate (cos >= 0.4) in the
+    existing corpus — the embedding member of the incremental-dedup
+    matrix (exact fingerprint anti-join: dedup_incremental_batch;
+    durable MinHash bands: dedup_incremental_indexed; durable word
+    8-grams: dedup_spans_indexed; THIS: the IVF posting probe). The
+    oracle mirrors the probe geometry (deterministic stride centroids,
+    nprobe=2), so the gate pins the probed semantics exactly; the probe
+    visits nprobe/|clusters| of the corpus per batch vector instead of
+    a batch x corpus cosine join."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    corpus = emb.filter(F.col("vec_id") % 10 != 9)
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    index, cents = similarity.build_ivf_index(corpus, centroid_stride=100)
+    return similarity.ivf_near_dup(index, cents, batch, nprobe=2, threshold=0.4)
+
+
 @query("similarity_topk_ivf_filtered", oracle=_IVF_FILTERED_ORACLE)
 def similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED IVF probe (query_ivf's candidate_ids form): the probe

@@ -619,3 +619,74 @@ def streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.importance_logweights(
         docs, F.col("lang") == "en", models=models
     )
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source,
+             CAST(sum(CASE WHEN len({_NORM}) = 0 THEN 0
+                      ELSE len(string_split({_NORM}, ' ')) END) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(n_tokens)) AS total_w FROM stats),
+    plan AS (
+      SELECT source, n_tokens,
+             round(sqrt(n_tokens) / t.total_w, 9) AS weight
+      FROM stats CROSS JOIN tot t
+    )
+    SELECT source, n_tokens, weight,
+           round(least(4.0, 1000000 * weight / n_tokens), 3) AS epochs,
+           round(least(4.0, 1000000 * weight / n_tokens) * n_tokens, 1)
+             AS effective_tokens,
+           (1000000 * weight / n_tokens) > 4.0 AS capped
+    FROM plan
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning for a token budget: given a total training budget
+    (1e6 tokens here) and temperature weights (count^0.5 — the same
+    alpha-sampling as corpus_temperature_mix), compute how many EPOCHS
+    of each source the mixture implies — the repetition planning a
+    multi-source pretraining run does when up-weighted small sources
+    can't supply their target mass in unique tokens (public scaling-law
+    practice caps useful repetition; max_epochs=4 here). A capped
+    source marks unmet budget the mixer must redistribute or accept.
+    Returns (source, n_tokens, weight, epochs, effective_tokens,
+    capped).
+
+    Scale: one tokenise pass folded map-side to |sources| rows; the
+    plan arithmetic is a broadcast crossJoin with the one-row total —
+    corpus never shuffles. The output is the config artifact a sampler
+    (corpus_mixture / weighted_sample) consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import normalize_text
+
+    nt = normalize_text(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.when(F.length(nt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(nt, " ")))
+        .alias("_tok"),
+    )
+    stats = per_doc.groupBy("source").agg(
+        F.sum("_tok").cast("bigint").alias("n_tokens")
+    )
+    tot = stats.agg(F.sum(F.sqrt("n_tokens")).alias("total_w"))
+    weight = F.round(F.sqrt("n_tokens") / F.col("total_w"), 9)
+    plan = stats.join(F.broadcast(tot)).select(
+        "source", "n_tokens", weight.alias("weight")
+    )
+    ep = F.least(F.lit(4.0), F.lit(1000000) * F.col("weight") / F.col("n_tokens"))
+    return plan.select(
+        "source",
+        "n_tokens",
+        "weight",
+        F.round(ep, 3).alias("epochs"),
+        F.round(ep * F.col("n_tokens"), 1).alias("effective_tokens"),
+        (F.lit(1000000) * F.col("weight") / F.col("n_tokens") > F.lit(4.0)).alias(
+            "capped"
+        ),
+    )

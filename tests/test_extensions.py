@@ -687,3 +687,34 @@ def test_query_ivf_candidate_filter_subsets_postings(spark, emb):
     ).collect()
     key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank) for r in rows)
     assert key(trivially_filtered) == key(unfiltered)
+
+
+def test_ivf_near_dup_contract(spark, emb):
+    """Every reported pair is batch-vs-corpus, clears the threshold,
+    and appears in the exact all-pairs ground truth (cos is exact, so
+    precision is 1 by construction — the probe only bounds recall)."""
+    corpus = emb.filter((F.col("vec_id") < 2000) & (F.col("vec_id") % 10 != 9))
+    batch = emb.filter((F.col("vec_id") < 2000) & (F.col("vec_id") % 10 == 9))
+    index, cents = similarity.build_ivf_index(
+        corpus, centroid_stride=100, persist=False
+    )
+    got = similarity.ivf_near_dup(
+        index, cents, batch, nprobe=2, threshold=0.4
+    ).collect()
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    corpus_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert got, "fixture should contain cross near-dups at 0.4"
+    assert all(r.batch_id in batch_ids and r.corpus_id in corpus_ids for r in got)
+    assert all(r.cos >= 0.4 for r in got)
+
+    exact = {
+        (a, b)
+        for a, b in (
+            (r.id_a, r.id_b)
+            for r in dedup.embedding_dup_pairs(
+                emb.filter(F.col("vec_id") < 2000), threshold=0.4
+            ).collect()
+        )
+    }
+    sym = exact | {(b, a) for a, b in exact}
+    assert all((r.batch_id, r.corpus_id) in sym for r in got)

@@ -93,6 +93,10 @@ NESTED_LOOP_ALLOWED = {
     "dsir_importance_weights",
     "dsir_resample",  # same models feed the sample's weight table
     "streaming_dsir_weights",  # same models, counts drained from the stream
+    # epoch planning: the cross is the |sources|-row stats relation x
+    # the ONE-row temperature-weight total — scalar side (the
+    # corpus_temperature_mix shape)
+    "corpus_epoch_plan",
 }
 
 
