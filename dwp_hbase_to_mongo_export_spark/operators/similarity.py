@@ -692,8 +692,10 @@ def query_ivf(
     vectors). The standard filtered-ANN caveat applies and is the
     CALLER's dial, not hidden magic: probing still visits nprobe
     clusters chosen by geometry alone, so a highly selective filter
-    wants a larger nprobe to keep recall (the recall-governance report
-    measures exactly this trade)."""
+    wants a larger nprobe to keep recall (the ann_recall_filtered
+    governance query measures exactly this trade — at the fixture's
+    50% selectivity it reads recall@5 0.52 at sf0.01 falling to 0.26
+    at sf0.1 with nprobe=2 fixed)."""
     probes = _nearest_centroids(queries, cents, nprobe, vec_col, "cluster").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster"
     )

@@ -447,6 +447,7 @@ DRIVER_WINDOW_CHANGED = [
 DRIVER_WINDOW = [
     # never driver-checked (registered this round; sorted — the
     # test_catalog_lint contract for the unchecked tier)
+    "ann_recall_filtered",
     "corpus_epoch_plan",
     "dedup_embedding_incremental",
     "dedup_spans_fixpoint",
@@ -499,15 +500,15 @@ DRIVER_WINDOW = [
     "pivot_event_counts",
     "q10_returned_items",
     "q13_order_distribution",
-    "q14_promo_share",
-    # (11 r8-cohort names trimmed from this fill when the session-2 round-11
+    # (12 r8-cohort names trimmed from this fill when the session-2 round-11
     # queries — HLL family incl. its streaming member, DSIR batch +
     # streaming-maintained forms, filtered ANN, epoch planning, the
-    # IVF-served incremental embedding dedup — took the unchecked tier,
-    # keeping the window at 50; they rotate back in next round:
-    # q15_top_supplier q16_supplier_variety q17_small_qty_revenue
-    # q18_large_orders q19_disjunctive_pred q22_idle_customers
-    # q7_nation_volume q9_profit_by_nation_year quantiles_by_type_hist
+    # IVF-served incremental embedding dedup, filtered-probe recall
+    # governance — took the unchecked tier, keeping the window at 50;
+    # they rotate back in next round: q14_promo_share q15_top_supplier
+    # q16_supplier_variety q17_small_qty_revenue q18_large_orders
+    # q19_disjunctive_pred q22_idle_customers q7_nation_volume
+    # q9_profit_by_nation_year quantiles_by_type_hist
     # range_join_click_to_purchase scd2_incremental)
 ]
 

@@ -463,6 +463,96 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_near_dup(index, cents, batch, nprobe=2, threshold=0.4)
 
 
+@query(
+    "ann_recall_filtered",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 2000),
+    allowed AS (SELECT vec_id FROM corpus WHERE label % 2 = 0),
+    fbrute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id) AS rank
+        FROM corpus q JOIN corpus c ON q.vec_id != c.vec_id
+        JOIN allowed al ON al.vec_id = c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    approx AS ({_IVF_FILTERED_ORACLE}),
+    inter AS (
+      SELECT b.query_id, count(*) AS hits
+      FROM approx a JOIN fbrute b USING (query_id, neighbor_id)
+      GROUP BY b.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM fbrute)
+    SELECT count(*) AS n_queries,
+           floor(avg(coalesce(i.hits, 0) / 5.0) * 1000.0 + 0.5) / 1000.0
+             AS mean_recall
+    FROM qs q LEFT JOIN inter i USING (query_id)
+    """,
+)
+def ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall governance for the FILTERED probe (the selectivity-vs-
+    nprobe trade query_ivf's candidate_ids documents): recall@5 of the
+    filtered IVF probe against exact ground truth computed over the
+    SAME allowed set (label % 2 = 0) — the number an operator watches
+    when tightening a metadata filter, because the probe's nprobe
+    clusters are chosen by geometry alone and a selective filter can
+    empty them. Complements ann_recall_report (unfiltered LSH/IVF/PQ
+    recall); queries with no approximate hits still count as recall 0.
+
+    Scale: exact ground truth only for the bounded query sample
+    (broadcast side x the filtered corpus); everything after the probes
+    is sample-sized."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    allowed = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    cand = emb.join(
+        allowed.withColumnRenamed("vec_id", "_aid"),
+        F.col("vec_id") == F.col("_aid"),
+        "left_semi",
+    )
+    # exact filtered ground truth: broadcast query side x allowed corpus
+    qs = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cs = cand.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql.window import Window as _W
+
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(cs)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", similarity.cosine(F.col("qv"), F.col("cv")))
+    )
+    w = _W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    fbrute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    index, cents = similarity.build_ivf_index(emb, centroid_stride=100)
+    approx = similarity.query_ivf(
+        index, cents, q, nprobe=2, k=5, candidate_ids=allowed
+    )
+    inter = (
+        approx.join(fbrute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    grid = fbrute.select("query_id").distinct()
+    from .functions.portable import round_portable
+
+    return grid.join(inter, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        round_portable(
+            F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0)), 3
+        ).alias("mean_recall"),
+    )
+
+
 @query("similarity_topk_ivf_filtered", oracle=_IVF_FILTERED_ORACLE)
 def similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED IVF probe (query_ivf's candidate_ids form): the probe

@@ -60,6 +60,7 @@ NESTED_LOOP_ALLOWED = {
     # sampled-query side x corpus — the same allowed shape as
     # similarity_topk_bruteforce); everything downstream is sample-sized
     "ann_recall_report",
+    "ann_recall_filtered",  # same shape, ground truth over the allowed set
     # histogram-quantile probe: non-equi range join of <=4 probe rows
     # against the <=nbins-row cumulative sketch — both sides are
     # sketch-sized regardless of corpus size (pinned by
