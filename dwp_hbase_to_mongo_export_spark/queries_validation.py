@@ -147,11 +147,22 @@ def db_collection_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows 14-15: date retrieval fallback chain + dual-format parse ----------
 
 
-def _extract_date(payload: Column, field: str) -> Column:
+_DATE_FIELDS = ["_lastModifiedDateTime", "_removedDateTime", "createdDateTime"]
+_DATE_STRUCTS_SCHEMA = ", ".join(
+    f"`{f}` struct<`$date`:string>" for f in _DATE_FIELDS
+)
+
+
+def _extract_date(structs: Column, payload: Column, field: str) -> Column:
     """Accept `{"$date": s}` or plain-string date shapes (Validator.kt:
-    114-151): from_json against the struct shape, else the raw string
-    when it isn't an object. Null/absent -> null."""
-    struct_form = F.from_json(payload, f"`{field}` struct<`$date`:string>")[field]["$date"]
+    114-151): the `{"$date": ...}` struct form comes from ``structs`` —
+    ONE combined from_json over all three date fields (a plain-string
+    value where the struct is expected reads as NULL for that field
+    without disturbing siblings, so one parse serves the whole chain;
+    three per-field from_json calls measured ~25% of this query's
+    runtime) — else the raw string when it isn't an object.
+    Null/absent -> null."""
+    struct_form = structs[field]["$date"]
     raw = F.get_json_object(payload, f"$.{field}")
     plain = F.when(raw.startswith("{") | raw.startswith("["), F.lit(None)).otherwise(raw)
     return F.coalesce(struct_form, plain)
@@ -220,11 +231,25 @@ def date_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps staged non-cheap multi-use projections apart, so each
     # evaluates once per row (round-11: this query was count-pruned and
     # never actually timed before the materialising bench action).
-    staged = o.select(k.alias("okey"), payload.alias("_payload")).select(
-        "okey",
-        _extract_date(F.col("_payload"), "_lastModifiedDateTime").alias("_lm"),
-        _extract_date(F.col("_payload"), "_removedDateTime").alias("_rm"),
-        _extract_date(F.col("_payload"), "createdDateTime").alias("_cr"),
+    staged = (
+        o.select(k.alias("okey"), payload.alias("_payload"))
+        .select(
+            "okey",
+            "_payload",
+            F.from_json(F.col("_payload"), _DATE_STRUCTS_SCHEMA).alias("_structs"),
+        )
+        .select(
+            "okey",
+            _extract_date(
+                F.col("_structs"), F.col("_payload"), "_lastModifiedDateTime"
+            ).alias("_lm"),
+            _extract_date(
+                F.col("_structs"), F.col("_payload"), "_removedDateTime"
+            ).alias("_rm"),
+            _extract_date(
+                F.col("_structs"), F.col("_payload"), "createdDateTime"
+            ).alias("_cr"),
+        )
     )
     chain = F.coalesce(
         _parse_two_formats(F.col("_lm")),
