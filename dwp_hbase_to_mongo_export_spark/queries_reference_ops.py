@@ -506,3 +506,36 @@ def streaming_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming.histogram_sketch_stream(spark, sf_dir)
     )
     return sketches.hist_quantiles(hist, [0.25, 0.5, 0.9, 0.99])
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) source/sink roundtrip: the
+    documents table written as JSONL and read back with an explicit
+    schema must be byte-identical to the parquet original — gating the
+    format every LLM-data interchange actually uses (crawl dumps,
+    corpus releases) with the SAME oracle as the source table, so the
+    gate pins writer escaping + reader unescaping as an identity
+    (newlines, quotes, unicode in `text` included).
+
+    Scale notes: the write is a distributed df.write.json (one file
+    per partition — at 100 TB this is the sharded-corpus layout, never
+    a driver collect); the read supplies the schema EXPLICITLY —
+    schema inference over JSONL is a full extra pass at corpus scale
+    and type-unstable (a column that happens to look integral in one
+    shard infers differently in another), the round-11 session's
+    format-IO counterpart of the TESTDATA ntz lesson. The rewrite per
+    invocation is the honest cost of gating a sink; readers of an
+    existing corpus pay only the read side."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_{os.path.basename(sf_dir)}"
+    )
+    docs.write.mode("overwrite").json(path)
+    return spark.read.schema(docs.schema).json(path)

@@ -326,3 +326,96 @@ def test_bottom_k_fold_global_matches_reference(rows, cuts, k):
         else sorted(int(r.hv) for r in state.itertuples())
     )
     assert got == sorted({hv for _, hv in rows})[:k]
+
+
+# --- HLL register math (pure-Python mirror of sketches.hll_rows) -------------
+
+
+def _hll_py(value: str) -> tuple[int, int]:
+    import hashlib
+
+    hx = hashlib.md5(value.encode()).hexdigest()
+    r = int(hx[:2], 16)
+    v = int(hx[2:14], 16)
+    return r, (49 if v == 0 else 49 - v.bit_length())
+
+
+@given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_associativity_and_bounds(values):
+    """Register-wise MAX over ANY partition of the values equals the
+    registers over all values (associative/commutative/idempotent merge
+    — the property that makes the sketch shardable), and every rho is
+    in [1, 49]."""
+    full: dict[int, int] = {}
+    for s in values:
+        r, rho = _hll_py(s)
+        assert 1 <= rho <= 49 and 0 <= r < 256
+        full[r] = max(full.get(r, 0), rho)
+    # split at an arbitrary point and merge
+    mid = len(values) // 2
+    merged: dict[int, int] = {}
+    for part in (values[:mid], values[mid:]):
+        regs: dict[int, int] = {}
+        for s in part:
+            r, rho = _hll_py(s)
+            regs[r] = max(regs.get(r, 0), rho)
+        for r, m in regs.items():
+            merged[r] = max(merged.get(r, 0), m)
+    assert merged == full
+
+
+@given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_hll_multiplicity_invariance(values):
+    """Duplicating any value never changes the register relation —
+    distinct-count sketches must ignore multiplicity."""
+    once: dict[int, int] = {}
+    for s in values:
+        r, rho = _hll_py(s)
+        once[r] = max(once.get(r, 0), rho)
+    tripled: dict[int, int] = {}
+    for s in values * 3:
+        r, rho = _hll_py(s)
+        tripled[r] = max(tripled.get(r, 0), rho)
+    assert tripled == once
+
+
+# --- DSIR bucket-count mergeability ------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=8), st.booleans()),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_dsir_counts_merge_by_sum(token_flags):
+    """Per-shard (bucket -> ct, cr) statistics summed bucket-wise equal
+    the whole-corpus statistics — the mergeability streaming_dsir_weights
+    relies on (counts fold like the CMS sketch)."""
+    import hashlib
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(f"dsir:{t}".encode()).hexdigest()[:8], 16) % 1024
+
+    def counts(rows):
+        out: dict[int, list[int]] = {}
+        for t, is_t in rows:
+            b = bucket(t)
+            cur = out.setdefault(b, [0, 0])
+            cur[0] += int(is_t)
+            cur[1] += 1
+        return out
+
+    full = counts(token_flags)
+    mid = len(token_flags) // 2
+    merged: dict[int, list[int]] = {}
+    for part in (token_flags[:mid], token_flags[mid:]):
+        for b, (ct, cr) in counts(part).items():
+            cur = merged.setdefault(b, [0, 0])
+            cur[0] += ct
+            cur[1] += cr
+    assert merged == full
