@@ -693,9 +693,9 @@ def query_ivf(
     CALLER's dial, not hidden magic: probing still visits nprobe
     clusters chosen by geometry alone, so a highly selective filter
     wants a larger nprobe to keep recall (the ann_recall_filtered
-    governance query measures exactly this trade — at the fixture's
-    50% selectivity it reads recall@5 0.52 at sf0.01 falling to 0.26
-    at sf0.1 with nprobe=2 fixed)."""
+    governance query measures the dial at two settings — at the
+    fixture's 50% selectivity, recall@5 reads 0.52/0.76 at sf0.01 and
+    0.26/0.44 at sf0.1 for nprobe 2/4)."""
     probes = _nearest_centroids(queries, cents, nprobe, vec_col, "cluster").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster"
     )

@@ -306,9 +306,11 @@ _IVF_COS = (
 # discipline).
 
 
-def _ivf_oracle_sql(cand_filter: str = "") -> str:
+def _ivf_oracle_sql(cand_filter: str = "", nprobe: int = 2) -> str:
     """The IVF probe oracle; ``cand_filter`` is an extra AND clause on
-    the candidate set (e.g. an allowed-id metadata predicate)."""
+    the candidate set (e.g. an allowed-id metadata predicate) and
+    ``nprobe`` the probed-cluster count (the recall dial
+    ann_recall_filtered measures at two settings)."""
     return f"""
     WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 2000),
     cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM corpus WHERE vec_id % 100 = 0),
@@ -326,7 +328,7 @@ def _ivf_oracle_sql(cand_filter: str = "") -> str:
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC, c.cent_id) AS rn
         FROM corpus e CROSS JOIN cents c WHERE e.vec_id < 10
-      ) WHERE rn <= 2
+      ) WHERE rn <= {nprobe}
     ),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
@@ -344,10 +346,9 @@ def _ivf_oracle_sql(cand_filter: str = "") -> str:
 
 
 _IVF_ORACLE = _ivf_oracle_sql()
-_IVF_FILTERED_ORACLE = _ivf_oracle_sql(
-    cand_filter="""
+_ALLOWED_FILTER = """
         AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"""
-)
+_IVF_FILTERED_ORACLE = _ivf_oracle_sql(cand_filter=_ALLOWED_FILTER)
 
 
 @query("similarity_topk_ivf", oracle=_IVF_ORACLE)
@@ -478,17 +479,28 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE q.vec_id < 10
       ) WHERE rank <= 5
     ),
-    approx AS ({_IVF_FILTERED_ORACLE}),
-    inter AS (
-      SELECT b.query_id, count(*) AS hits
-      FROM approx a JOIN fbrute b USING (query_id, neighbor_id)
-      GROUP BY b.query_id
+    approx AS (
+      SELECT 2 AS nprobe, query_id, neighbor_id
+      FROM ({_IVF_FILTERED_ORACLE})
+      UNION ALL
+      SELECT 4, query_id, neighbor_id
+      FROM ({_ivf_oracle_sql(cand_filter=_ALLOWED_FILTER, nprobe=4)})
     ),
-    qs AS (SELECT DISTINCT query_id FROM fbrute)
-    SELECT count(*) AS n_queries,
+    inter AS (
+      SELECT a.nprobe, b.query_id, count(*) AS hits
+      FROM approx a JOIN fbrute b USING (query_id, neighbor_id)
+      GROUP BY a.nprobe, b.query_id
+    ),
+    qs AS (
+      SELECT np.nprobe, q.query_id
+      FROM (SELECT DISTINCT query_id FROM fbrute) q
+      CROSS JOIN (SELECT unnest([2, 4]) AS nprobe) np
+    )
+    SELECT q.nprobe, count(*) AS n_queries,
            floor(avg(coalesce(i.hits, 0) / 5.0) * 1000.0 + 0.5) / 1000.0
              AS mean_recall
-    FROM qs q LEFT JOIN inter i USING (query_id)
+    FROM qs q LEFT JOIN inter i ON i.nprobe = q.nprobe AND i.query_id = q.query_id
+    GROUP BY q.nprobe
     """,
 )
 def ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,12 +510,16 @@ def ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME allowed set (label % 2 = 0) — the number an operator watches
     when tightening a metadata filter, because the probe's nprobe
     clusters are chosen by geometry alone and a selective filter can
-    empty them. Complements ann_recall_report (unfiltered LSH/IVF/PQ
-    recall); queries with no approximate hits still count as recall 0.
+    empty them. The dial is measured at TWO settings (nprobe 2 and 4)
+    so the report shows not just the degradation but the recovery —
+    one row per setting, (nprobe, n_queries, mean_recall). Complements
+    ann_recall_report (unfiltered LSH/IVF/PQ recall); queries with no
+    approximate hits still count as recall 0.
 
     Scale: exact ground truth only for the bounded query sample
-    (broadcast side x the filtered corpus); everything after the probes
-    is sample-sized."""
+    (broadcast side x the filtered corpus); the index is built ONCE and
+    probed at both settings; everything after the probes is
+    sample-sized."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     allowed = emb.filter(F.col("label") % 2 == 0).select("vec_id")
     q = emb.filter(F.col("vec_id") < 10)
@@ -534,22 +550,33 @@ def ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     index, cents = similarity.build_ivf_index(emb, centroid_stride=100)
-    approx = similarity.query_ivf(
-        index, cents, q, nprobe=2, k=5, candidate_ids=allowed
-    )
+
+    def probe(nprobe: int) -> DataFrame:
+        return similarity.query_ivf(
+            index, cents, q, nprobe=nprobe, k=5, candidate_ids=allowed
+        ).select(F.lit(nprobe).alias("nprobe"), "query_id", "neighbor_id")
+
+    approx = probe(2).unionAll(probe(4))
     inter = (
         approx.join(fbrute, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
+        .groupBy("nprobe", "query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    grid = fbrute.select("query_id").distinct()
+    qids = fbrute.select("query_id").distinct()
+    grid = qids.select(F.lit(2).alias("nprobe"), "query_id").unionAll(
+        qids.select(F.lit(4).alias("nprobe"), "query_id")
+    )
     from .functions.portable import round_portable
 
-    return grid.join(inter, "query_id", "left").agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        round_portable(
-            F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0)), 3
-        ).alias("mean_recall"),
+    return (
+        grid.join(inter, ["nprobe", "query_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            round_portable(
+                F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0)), 3
+            ).alias("mean_recall"),
+        )
     )
 
 
