@@ -1303,9 +1303,10 @@ _HLL_EST = """
 """
 
 
-@query(
-    "distinct_users_hll",
-    oracle=f"""
+# shared by distinct_users_hll (in-session build) and
+# distinct_users_hll_indexed (durable-store build/append/load) — two
+# plans, ONE oracle (the _BM25_ORACLE discipline)
+_HLL_GLOBAL_ORACLE = f"""
     WITH rws AS ({_HLL_ROWS.format(extra="", extra_src="")}),
     regs AS (SELECT r, max({_HLL_RHO}) AS mr FROM rws GROUP BY r),
     est AS ({_HLL_EST.format(g="", regs="regs", group_by="")}),
@@ -1314,8 +1315,10 @@ _HLL_EST = """
            round((est_distinct - exact_distinct) / exact_distinct * 100.0, 2)
              AS rel_err_pct
     FROM est CROSS JOIN x
-    """,
-)
+    """
+
+
+@query("distinct_users_hll", oracle=_HLL_GLOBAL_ORACLE)
 def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count estimate over events.user_id, m=256
     md5-derived registers — the third distinct sketch next to KMV
@@ -1435,6 +1438,57 @@ def distinct_users_hll_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["day"],
     )
     return sketches.hll_estimate(regs, ["day"])
+
+
+@query("distinct_users_hll_indexed", oracle=_HLL_GLOBAL_ORACLE)
+def distinct_users_hll_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-store form of distinct_users_hll (operators/
+    hllstore.py — the sixth persisted artifact, and the one whose
+    append protocol is deliberately minimal because register MAX-merge
+    is IDEMPOTENT; the module docstring has the contrast with the five
+    row stores): registers of the first 24 days are SAVED, the rest of
+    the month APPENDS by merge, and the estimate is taken from the
+    loaded store — exercising save/append/load end-to-end and pinning,
+    against the SAME oracle as the in-session build, that the persisted
+    artifact answers identically to a from-scratch sketch. The store is
+    O(256 small ints) per key-domain: the shape a 100 TB pipeline keeps
+    per metric instead of rescanning history.
+
+    The save+append runs per invocation (honest store cost — it's two
+    sub-second writes of <= 256 rows); a deployment would append only
+    each new day."""
+    import os
+    import tempfile
+
+    from .operators import hllstore, sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.dayofmonth("ts") <= 24)
+    new = ev.filter(F.dayofmonth("ts") > 24)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hllstore_{os.path.basename(sf_dir)}",
+    )
+    hllstore.save_hll_registers(
+        sketches.hll_registers(old, F.col("user_id")), path
+    )
+    hllstore.append_to_hll_registers(
+        sketches.hll_registers(new, F.col("user_id")), path
+    )
+    regs = hllstore.load_hll_registers(spark, path)
+    est = sketches.hll_estimate(regs)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(F.broadcast(exact)).select(
+        "n_registers_used",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * F.lit(100.0),
+            2,
+        ).alias("rel_err_pct"),
+    )
 
 
 @query(

@@ -482,3 +482,81 @@ def test_hll_streaming_registers_equal_batch(spark, sf_dir):
     assert {(r["r"], r["mr"]) for r in got.collect()} == {
         (r["r"], r["mr"]) for r in want.collect()
     }
+
+
+# --- durable HLL register store (operators/hllstore.py) ----------------------
+
+
+def test_hll_store_roundtrip_and_idempotent_append(spark, tmp_path):
+    """save -> append -> load equals the all-data registers, and
+    REPLAYING the same append verbatim changes nothing — max-merge is
+    idempotent, the property that lets this store skip the five row
+    stores' marker/batch-id protocol (module docstring)."""
+    from dwp_hbase_to_mongo_export_spark.operators import hllstore
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(200)], "k string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(150, 400)], "k string")
+    both = a.unionAll(b)
+    path = str(tmp_path / "hll")
+    hllstore.save_hll_registers(sketches.hll_registers(a, F.col("k")), path)
+    delta = sketches.hll_registers(b, F.col("k"))
+    hllstore.append_to_hll_registers(delta, path)
+    want = {
+        (r["r"], r["mr"])
+        for r in sketches.hll_registers(both, F.col("k")).collect()
+    }
+    got = {
+        (r["r"], r["mr"])
+        for r in hllstore.load_hll_registers(spark, path).collect()
+    }
+    assert got == want
+    # replay the SAME append — a retry after a crash — and nothing moves
+    hllstore.append_to_hll_registers(delta, path)
+    again = {
+        (r["r"], r["mr"])
+        for r in hllstore.load_hll_registers(spark, path).collect()
+    }
+    assert again == want
+
+
+def test_hll_store_recovers_torn_swap(spark, tmp_path):
+    """A crash between _swap_write's two renames leaves the backup dir;
+    load recovers it and answers from the pre-crash registers."""
+    import os
+    import shutil
+
+    from dwp_hbase_to_mongo_export_spark.operators import hllstore
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(100)], "k string")
+    path = str(tmp_path / "hll")
+    hllstore.save_hll_registers(sketches.hll_registers(a, F.col("k")), path)
+    want = {
+        (r["r"], r["mr"])
+        for r in hllstore.load_hll_registers(spark, path).collect()
+    }
+    # stage the torn state: registers renamed out, replacement missing
+    reg = os.path.join(path, "registers")
+    os.rename(reg, reg + ".swap-old")
+    got = {
+        (r["r"], r["mr"])
+        for r in hllstore.load_hll_registers(spark, path).collect()
+    }
+    assert got == want
+    shutil.rmtree(path)
+
+
+def test_hll_store_geometry_mismatch_refuses(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from dwp_hbase_to_mongo_export_spark.operators import hllstore
+
+    a = spark.createDataFrame([("u1",)], "k string")
+    path = str(tmp_path / "hll")
+    hllstore.save_hll_registers(sketches.hll_registers(a, F.col("k")), path)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"m": 64, "w": 48}, f)
+    with pytest.raises(ValueError, match="geometry"):
+        hllstore.load_hll_registers(spark, path)

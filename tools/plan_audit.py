@@ -88,6 +88,7 @@ NESTED_LOOP_ALLOWED = {
     # HLL estimate vs exact: the cross is the ONE-row register
     # aggregate x the ONE-row exact-count scalar — scalar x scalar
     "distinct_users_hll",
+    "distinct_users_hll_indexed",  # same shape, registers from the store
     # DSIR bucket models: the cross is the broadcast ONE-row
     # (target-total, raw-total) scalar against the <=1024-row bucket
     # relation — the text_unigram_logprob total-count shape
