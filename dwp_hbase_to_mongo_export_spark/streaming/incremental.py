@@ -835,3 +835,41 @@ def gram_index_stream_ingest(
         timeout_sec=timeout_sec,
         maintenance=maintenance,
     )
+
+
+def hll_store_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    store_path: str,
+    value_col: str = "user_id",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+) -> dict:
+    """index_stream_ingest bound to the durable HLL register store
+    (operators/hllstore.py): each micro-batch's rows fold to their
+    register relation and MAX-merge into the store. Unlike the five
+    row stores, exactly-once here comes from ALGEBRA, not bookkeeping —
+    a replayed epoch re-appends the same registers and max-merge makes
+    that a no-op by value, so no batch-id sidecar participates and the
+    returned ``skipped`` count stays 0 even under replay (the
+    hllstore module docstring's contrast, now live in the ingest
+    loop). No compaction maintenance either: the artifact is <= m rows
+    and every append rewrites it whole."""
+    from ..operators import hllstore
+    from ..operators.sketches import hll_registers
+
+    def _append(batch_df: DataFrame, _batch_id: str) -> dict:
+        hllstore.append_to_hll_registers(
+            hll_registers(batch_df, F.col(value_col)), store_path
+        )
+        return {"skipped_duplicate_batch": False}
+
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        _append,
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+    )

@@ -560,3 +560,44 @@ def test_hll_store_geometry_mismatch_refuses(spark, tmp_path):
         json.dump({"m": 64, "w": 48}, f)
     with pytest.raises(ValueError, match="geometry"):
         hllstore.load_hll_registers(spark, path)
+
+
+def test_hll_store_stream_ingest_matches_batch_and_replays_harmlessly(
+    spark, sf_dir, tmp_path
+):
+    """Micro-batch ingest into the register store equals the one-shot
+    batch build, and replaying the last epoch's append verbatim — the
+    crash-retry case — changes nothing, BY ALGEBRA rather than by the
+    row stores' batch-id sidecar."""
+    from dwp_hbase_to_mongo_export_spark.operators import hllstore
+    from dwp_hbase_to_mongo_export_spark.sources.parquet import load_table
+    from dwp_hbase_to_mongo_export_spark.streaming import incremental as st
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    delta = str(tmp_path / "delta")
+    ev.repartition(3).write.parquet(delta)
+    store = str(tmp_path / "hll")
+    hllstore.save_hll_registers(
+        sketches.hll_registers(spark.range(0), F.col("id").cast("string")),
+        store,
+    )
+    res = st.hll_store_stream_ingest(spark, delta, store)
+    assert res["epochs"] == 3 and res["skipped"] == 0
+    want = {
+        (r["r"], r["mr"])
+        for r in sketches.hll_registers(ev, F.col("user_id")).collect()
+    }
+    got = {
+        (r["r"], r["mr"])
+        for r in hllstore.load_hll_registers(spark, store).collect()
+    }
+    assert got == want
+    # replay one epoch's rows verbatim — idempotent by value
+    one = spark.read.parquet(delta).limit(500)
+    hllstore.append_to_hll_registers(
+        sketches.hll_registers(one, F.col("user_id")), store
+    )
+    assert {
+        (r["r"], r["mr"])
+        for r in hllstore.load_hll_registers(spark, store).collect()
+    } == want
