@@ -450,6 +450,7 @@ DRIVER_WINDOW = [
     "ann_recall_filtered",
     "corpus_epoch_plan",
     "dedup_embedding_incremental",
+    "dedup_jaccard_prefix",
     "dedup_spans_fixpoint",
     "dedup_spans_indexed_normalised",
     "dedup_spans_normalised",
@@ -499,15 +500,15 @@ DRIVER_WINDOW = [
     "multimodal_audio_segments",
     "multimodal_frame_sample",
     "multimodal_meta",
-    "pivot_event_counts",
-    # (14 r8-cohort names trimmed from this fill when the session-2 round-11
+    # (15 r8-cohort names trimmed from this fill when the session-2 round-11
     # queries — HLL family incl. its streaming member, DSIR batch +
     # streaming-maintained forms, filtered ANN, epoch planning, the
     # IVF-served incremental embedding dedup, filtered-probe recall
     # governance, the JSONL roundtrip, the durable HLL register store —
     # took the unchecked tier, keeping the window at 50; they rotate
     # back in next round:
-    # q10_returned_items q13_order_distribution q14_promo_share q15_top_supplier
+    # pivot_event_counts q10_returned_items q13_order_distribution
+    # q14_promo_share q15_top_supplier
     # q16_supplier_variety q17_small_qty_revenue q18_large_orders
     # q19_disjunctive_pred q22_idle_customers q7_nation_volume
     # q9_profit_by_nation_year quantiles_by_type_hist

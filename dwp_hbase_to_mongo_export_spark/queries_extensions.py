@@ -147,9 +147,11 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Shared by dedup_ngram_jaccard (the quadratic exact baseline) and
+# dedup_jaccard_prefix (prefix-filter pruning): the prefix filter is
+# LOSSLESS by theorem, so both plans pin against the identical exact
+# all-pairs SQL — the gate proves the pruned plan exact.
+_NGRAM_JACCARD_ORACLE = f"""
     WITH {_SHINGLES},
     bounded AS (SELECT * FROM sh WHERE doc_id < 200),
     inter AS (
@@ -161,11 +163,27 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     out = dedup.ngram_jaccard_pairs(docs, threshold=0.25)
+    return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
+
+
+@query("dedup_jaccard_prefix", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT jaccard pairs with prefix-filter pruning
+    (dedup.jaccard_prefix_filter_pairs — Chaudhuri et al. 2006 / PPJoin
+    family): same results as the quadratic baseline BY THEOREM (shared
+    oracle pins it), but candidates come from an equi-join on each
+    document's rare-first PREFIX shingles only, so the all-sharing-pairs
+    blow-up on common shingles never happens — the exact-threshold
+    alternative to MinHash-LSH when false negatives are unacceptable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = dedup.jaccard_prefix_filter_pairs(docs, threshold=0.25)
     return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
 
 

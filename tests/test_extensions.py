@@ -718,3 +718,51 @@ def test_ivf_near_dup_contract(spark, emb):
     }
     sym = exact | {(b, a) for a, b in exact}
     assert all((r.batch_id, r.corpus_id) in sym for r in got)
+
+
+def test_prefix_filter_exact_and_pruning(spark, docs):
+    """The prefix-filter join returns EXACTLY the quadratic baseline's
+    pairs (lossless by theorem — shared oracle pins it corpus-wide;
+    this pins it in-suite too) while generating strictly fewer
+    candidates than the all-sharing-pairs join it replaces."""
+    sample = docs.filter(F.col("doc_id") < 150)
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(sample, threshold=0.3).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_prefix_filter_pairs(sample, threshold=0.3).collect()
+    }
+    assert pref == base and base
+
+    from dwp_hbase_to_mongo_export_spark.functions.text import char_shingles
+
+    sh = char_shingles(sample, "text", "doc_id")
+    all_sharing = (
+        sh.select(F.col("doc_id").alias("id_a"), "g")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window as _W
+
+    ranked = sh.join(dfreq, "g").withColumn(
+        "_rk",
+        F.row_number().over(_W.partitionBy("doc_id").orderBy("df", "g")),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    p = (F.col("n") - F.ceil(F.lit(0.3) * F.col("n")) + 1).cast("int")
+    prefix = ranked.join(sizes, "doc_id").filter(F.col("_rk") <= p)
+    pruned = (
+        prefix.select(F.col("doc_id").alias("id_a"), "g")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert pruned < all_sharing, (pruned, all_sharing)
