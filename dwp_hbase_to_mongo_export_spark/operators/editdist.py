@@ -1,0 +1,330 @@
+"""Bounded edit-distance (fuzzy) dedup: EXACT all-pairs
+``levenshtein(a, b) <= k`` over a document corpus WITHOUT the all-pairs
+blow-up — the edit-distance member of the dedup family, between exact
+hash dedup (distance 0) and the jaccard/minhash families (set
+similarity, no positional guarantee).
+
+Algorithm (public literature): q-gram prefix filtering for edit
+distance — Gravano et al. 2001 ("Approximate string joins in a
+database (almost) for free", VLDB) for the q-gram count bound, Xiao
+et al. 2008 (Ed-Join, VLDB) for the prefix-filter formulation, and
+Chaudhuri/Ganti/Kaushik 2006 for the prefix-filter principle itself.
+
+The lossless candidate argument, as implemented here (set semantics —
+the conservative variant whose prefix theorem is the same one
+jaccard_prefix_filter_pairs already relies on):
+
+* One edit operation touches at most ``q`` of a string's q-grams, so
+  ``ed(s, t) <= k`` destroys at most ``q*k`` gram OCCURRENCES per
+  side; every surviving occurrence of ``s`` appears verbatim in
+  ``t`` (and vice versa). Hence, per side, the DISTINCT-gram overlap
+  satisfies ``|set(s) ∩ set(t)| >= |set(side)| - q*k``.
+* Prefix filter (overlap form): order every document's distinct grams
+  by one global total order (document-frequency ASC, gram — rare
+  first) and keep the first ``min(q*k + 1, |set|)`` as its PREFIX.
+  With required overlap ``o = max(|set(s)|, |set(t)|) - q*k``, the
+  needed prefix length on each side is ``|set| - o + 1 <= q*k + 1``,
+  so whenever ``o >= 1`` a qualifying pair MUST share a prefix gram.
+* The one hole: a pair where BOTH sides have ``<= q*k`` distinct
+  grams has ``o <= 0`` and no shared-gram guarantee at all. Those
+  SHORT documents are routed through a length-bucket all-pairs path
+  (bucket width ``k``; a qualifying pair differs by at most ``k``
+  characters of length, so it lands in the same or adjacent bucket).
+  On real corpora this pool is empty or tiny — it exists for
+  correctness, not throughput — and its cost is quadratic only
+  WITHIN the short pool.
+
+Every candidate from either path is then verified with Spark's
+BANDED levenshtein (``F.levenshtein(a, b, threshold)`` — O(k*n) per
+pair, JVM-side), so false positives cost a bounded verify and false
+negatives cannot exist by the theorem + the short-pool fallback.
+
+Spark shape, 100 TB honest: the document-frequency table is
+vocabulary-sized (one groupBy over the gram stream); per-doc prefix
+selection is a window PARTITIONED BY DOCUMENT (never a global sort);
+the candidate join is an equi-join on prefix grams only, with the
+length predicate applied inside the join; verification is
+candidate-sized. No all-pairs anywhere outside the (by-construction
+tiny) short pool, and no Python in any hot path.
+
+Reference parity note: the reference engine
+(uk-gov-mirror/dwp.hbase-to-mongo-export) has no fuzzy matching — this
+module is part of the training-data-pipeline extension surface, like
+operators/dedup.py and operators/spandedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# The second LOSSLESS prefilter, shared with the DuckDB oracle: one
+# edit operation changes any single character's count by at most 1 (a
+# substitution changes two characters' counts by 1 each), so for ANY
+# fixed character subset the L1 distance of the per-character counts is
+# <= 2k whenever ed <= k. The subset below is corpus-agnostic (common
+# English characters); the bound holds for any text distribution — a
+# poorly-matched subset only prunes less, never wrongly.
+_HIST_CHARS = (" ", "a", "e", "t", "s", "r", "l", "n", "o", "k", "w", "h")
+
+
+def _hist(text: Column) -> Column:
+    return F.array(
+        *[
+            (F.length(text) - F.length(F.replace(text, F.lit(c)))).cast("int")
+            for c in _HIST_CHARS
+        ]
+    )
+
+
+def _hist_band(ha: str, hb: str, k: int) -> Column:
+    return (
+        F.expr(
+            f"aggregate(zip_with({ha}, {hb}, (x, y) -> abs(x - y)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        <= 2 * k
+    )
+
+
+def _staged(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+        _hist(F.col(text_col)).alias("_hist"),
+    )
+
+
+def _gram_stream(staged: DataFrame, q: int) -> DataFrame:
+    """Distinct character q-grams per document, NARROW on purpose —
+    just (_id, g): the per-doc features (_len, _hist) are joined back
+    onto the (much smaller) prefix stream after filtering, so they do
+    not ride the explode/distinct/window shuffles.
+
+    Documents shorter than ``q`` contribute no grams (they are always
+    SHORT-pool documents)."""
+    return staged.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(_len - {q - 1}, 0)), "
+                f"i -> substring(_t, i, {q}))"
+            )
+        ).alias("g"),
+    ).distinct()
+
+
+def _qgrams(docs: DataFrame, text_col: str, id_col: str, q: int) -> DataFrame:
+    """Distinct character q-grams per document: (id, g, len)."""
+    staged = _staged(docs, text_col, id_col)
+    return (
+        _gram_stream(staged, q)
+        .join(staged.select("_id", "_len"), "_id")
+        .select(F.col("_id").alias(id_col), "g", "_len")
+    )
+
+
+def _banded_distance(a: Column, b: Column, k: int) -> Column:
+    """Thresholded levenshtein: the distance when <= k, else NULL.
+
+    Spark's 3-arg levenshtein runs the banded O(k*n) algorithm and
+    returns -1 above the threshold — mapped to NULL here so callers
+    filter with a plain isNotNull.
+    """
+    d = F.levenshtein(a, b, k)
+    return F.when(d >= 0, d)
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    q: int = 4,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(text_a, text_b) <= k.
+
+    Returns (id_a, id_b, dist) — exact, by prefix-filter theorem plus
+    the short-pool fallback (module docstring). ``q*k`` must stay
+    small relative to typical document length for the filter to bite;
+    the results are exact regardless.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if q < 2:
+        raise ValueError("q must be >= 2 (q=1 grams carry no position signal)")
+
+    base = _staged(docs, text_col, id_col)
+    grams = _gram_stream(base, q)
+
+    # one pass computes BOTH the per-doc rare-first rank and the per-doc
+    # distinct-gram count (same partition key — one shuffle, two window
+    # nodes). Only the FILTERED emission stream is persisted
+    # (operator-scoped slot): it is ~q*k+1 rows per doc instead of the
+    # full gram stream, and it feeds both sides of the candidate
+    # self-join plus the short-pool id derivation — recomputing the
+    # explode+distinct+window per consumer is what made the first cut
+    # slow, not the joins
+    from ._cache import swap_cache
+
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    byid = Window.partitionBy("_id")
+    ranked = (
+        grams.join(dfreq, "g")
+        .withColumn(
+            "_rk",
+            F.row_number().over(byid.orderBy(F.asc("_df"), F.asc("g"))),
+        )
+        .withColumn("_nset", F.count(F.lit(1)).over(byid))
+    )
+
+    # ONE emission stream serves every gram-path pair shape: long docs
+    # (> q*k distinct grams) emit their q*k+1 rare-first PREFIX, short
+    # docs emit their FULL gram set (|set| <= q*k < q*k + 1, so the full
+    # set IS the needed prefix). A single self-join then covers
+    # long-long (prefix x prefix), mixed (full set x prefix), and —
+    # redundantly but harmlessly — short-short pairs that share a gram.
+    # The per-doc features join AFTER the prefix filter so the verify
+    # attributes ride only prefix-sized rows (docs-sized join — AQE
+    # broadcasts it at test scale, shuffles on id beyond that).
+    emit = (
+        ranked.filter((F.col("_nset") <= q * k) | (F.col("_rk") <= q * k + 1))
+        .select("_id", "g", "_nset")
+        .join(base.select("_id", "_len", "_hist"), "_id")
+    )
+    emit = swap_cache("editdist.emit", emit)
+
+    def _side(g: DataFrame, tag: str) -> DataFrame:
+        return g.select(
+            F.col("_id").alias(f"id_{tag}"),
+            "g",
+            F.col("_len").alias(f"_len_{tag}"),
+            F.col("_hist").alias(f"_hist_{tag}"),
+        )
+
+    # every candidate path applies BOTH lossless bands inside the join,
+    # BEFORE the distinct — on low-entropy corpora even rare-first
+    # prefix grams are common, and the histogram band is what keeps the
+    # distinct (and the verify) candidate-sized rather than
+    # shared-gram-sized
+    pair_pred = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("_len_a") - F.col("_len_b")) <= k)
+        & _hist_band("_hist_a", "_hist_b", k)
+    )
+    cand_gram = (
+        _side(emit, "a").join(_side(emit, "b"), "g")
+        .filter(pair_pred)
+        .select("id_a", "id_b")
+    )
+
+    # -- short-short path: length-bucket all-pairs — needed because two
+    # docs BOTH at <= q*k distinct grams can be within distance k while
+    # sharing no gram at all (every occurrence edited). Docs shorter
+    # than q have no gram rows and belong to this pool too. Short docs
+    # emit their FULL gram set, so the persisted emit stream (not the
+    # full ranked stream) is enough to identify them.
+    short_ids = (
+        emit.filter(F.col("_nset") <= q * k)
+        .select("_id")
+        .distinct()
+        .unionByName(base.filter(F.col("_len") < q).select("_id"))
+    )
+    shorts = base.join(short_ids, "_id", "left_semi").select(
+        "_id",
+        "_len",
+        "_hist",
+        F.floor(F.col("_len") / (k + 1)).alias("_bkt"),
+    )
+    # a qualifying pair has |len_a - len_b| <= k, so with bucket width
+    # k+1 it sits in the same or an ADJACENT bucket — and the id order
+    # (id_a < id_b) says nothing about which side's bucket is smaller,
+    # so the probe side must emit all three neighbours; the duplicate
+    # candidates this generates collapse in the distinct() below.
+    sh_a = shorts.select(
+        F.col("_id").alias("id_a"),
+        F.col("_len").alias("_len_a"),
+        F.col("_hist").alias("_hist_a"),
+        "_bkt",
+    )
+    sh_b = shorts.select(
+        F.col("_id").alias("id_b"),
+        F.col("_len").alias("_len_b"),
+        F.col("_hist").alias("_hist_b"),
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_bkt"),
+    )
+    cand_short = sh_a.join(sh_b, "_bkt").filter(pair_pred).select("id_a", "id_b")
+
+    cand = cand_gram.unionByName(cand_short).distinct()
+
+    ta = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", _banded_distance(F.col("_ta"), F.col("_tb"), k))
+        .filter(F.col("dist").isNotNull())
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def edit_distance_keep_first(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    q: int = 4,
+) -> DataFrame:
+    """Single-pass near-dup removal: drop every document that has a
+    SMALLER-id neighbour within edit distance k (the standard keep-first
+    policy of LSH dedup pipelines — direct dominance, not transitive
+    closure; operators/components.py provides the closure when cluster
+    semantics are wanted)."""
+    pairs = edit_distance_pairs(docs, text_col, id_col, k=k, q=q)
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(doomed, id_col, "left_anti")
+
+
+def edit_distance_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 8,
+    q: int = 4,
+) -> DataFrame:
+    """Per-(source_a, source_b) near-dup monitoring: pair counts and
+    distance stats, the governance surface for the edit-distance family
+    (span_dedup_report's sibling). Source pairs are reported with
+    source_a <= source_b so cross-source duplication is counted once."""
+    pairs = edit_distance_pairs(docs, text_col, id_col, k=k, q=q)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    joined = (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "dist",
+        )
+    )
+    return joined.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").alias("min_dist"),
+        F.round(F.avg("dist"), 3).alias("avg_dist"),
+    )

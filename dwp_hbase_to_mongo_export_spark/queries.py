@@ -449,6 +449,8 @@ DRIVER_WINDOW = [
     # test_catalog_lint contract for the unchecked tier)
     "ann_recall_filtered",
     "corpus_epoch_plan",
+    "dedup_edit_apply",
+    "dedup_edit_distance",
     "dedup_embedding_incremental",
     "dedup_jaccard_prefix",
     "dedup_spans_fixpoint",
@@ -459,6 +461,7 @@ DRIVER_WINDOW = [
     "distinct_users_hll_indexed",
     "dsir_importance_weights",
     "dsir_resample",
+    "edit_distance_report",
     "hll_sketch_merge",
     "jsonl_roundtrip",
     "similarity_topk_filtered",
@@ -497,9 +500,11 @@ DRIVER_WINDOW = [
     "latest_per_key",
     "manifest_projection",
     "moving_avg_and_gaps",
-    "multimodal_audio_segments",
-    "multimodal_frame_sample",
-    "multimodal_meta",
+    # (multimodal_audio_segments / multimodal_frame_sample /
+    # multimodal_meta trimmed from this fill when the session-3
+    # edit-distance family — dedup_edit_distance, dedup_edit_apply,
+    # edit_distance_report — took the unchecked tier, keeping the
+    # window at 50; they rotate back next round)
     # (15 r8-cohort names trimmed from this fill when the session-2 round-11
     # queries — HLL family incl. its streaming member, DSIR batch +
     # streaming-maintained forms, filtered ANN, epoch planning, the

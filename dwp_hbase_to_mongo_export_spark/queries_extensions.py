@@ -187,6 +187,106 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
 
 
+# Edit-distance dedup family (operators/editdist.py): the oracle is the
+# brute-force levenshtein self-join made tractable by two LOSSLESS
+# prefilters — |len(a)-len(b)| <= k (an edit changes length by at most
+# 1) and a character-histogram band (an edit changes any single
+# character's count by at most 1, so the L1 distance of the counts of
+# ANY fixed character subset is <= 2k). Both are provable supersets of
+# the answer, so the filtered join returns EXACTLY the pairs with
+# levenshtein <= k, at a cost DuckDB can pay at sf0.1.
+_EDIT_K = 8
+_EDIT_CHARS = [" ", "a", "e", "t", "s", "r", "l", "n", "o", "k", "w", "h"]
+_EDIT_D_CTE = (
+    "d AS (SELECT doc_id, text, source, length(text) AS len, "
+    + ", ".join(
+        f"length(text)-length(replace(text,'{c}','')) AS c{i}"
+        for i, c in enumerate(_EDIT_CHARS)
+    )
+    + " FROM documents)"
+)
+_EDIT_HIST_PRED = (
+    "+".join(f"abs(a.c{i}-b.c{i})" for i in range(len(_EDIT_CHARS)))
+    + f" <= {2 * _EDIT_K}"
+)
+_EDIT_PAIRS_CTE = f"""
+    {_EDIT_D_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS source_x,
+             b.source AS source_y, levenshtein(a.text, b.text) AS dist
+      FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+         AND abs(a.len - b.len) <= {_EDIT_K}
+         AND {_EDIT_HIST_PRED}
+      WHERE levenshtein(a.text, b.text) <= {_EDIT_K}
+    )
+"""
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {_EDIT_PAIRS_CTE}
+    SELECT id_a, id_b, dist FROM pairs
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs levenshtein <= k via Ed-Join-style q-gram prefix
+    filtering (operators/editdist.py — Gravano et al. 2001 / Xiao et
+    al. 2008): the edit-distance member of the dedup family. Candidates
+    come from an equi-join on each document's rare-first PREFIX q-grams
+    (set form, q*k+1 per doc) plus a short-document length-bucket
+    fallback; every candidate is verified with Spark's BANDED
+    levenshtein (O(k*n), JVM-side). Exact by theorem — the oracle is
+    the brute-force join behind two provably lossless prefilters."""
+    from .operators import editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist.edit_distance_pairs(docs, k=_EDIT_K, q=4)
+
+
+@query(
+    "dedup_edit_apply",
+    oracle=f"""
+    WITH {_EDIT_PAIRS_CTE}
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dedup_edit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first near-dup removal at edit distance <= k: drop every
+    document with a SMALLER-id neighbour (direct dominance — the
+    standard single-pass LSH-dedup policy; operators/components.py owns
+    transitive-closure semantics when cluster identity is wanted)."""
+    from .operators import editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = editdist.edit_distance_keep_first(docs, k=_EDIT_K, q=4)
+    return kept.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "edit_distance_report",
+    oracle=f"""
+    WITH {_EDIT_PAIRS_CTE}
+    SELECT least(source_x, source_y) AS source_a,
+           greatest(source_x, source_y) AS source_b,
+           count(*) AS n_pairs,
+           min(dist) AS min_dist,
+           round(avg(dist), 3) AS avg_dist
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def edit_distance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, source) near-dup governance for the edit-distance
+    family — pair counts and distance stats with source pairs counted
+    once (source_a <= source_b), the span_dedup_report sibling."""
+    from .operators import editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist.edit_distance_report(docs, k=_EDIT_K, q=4)
+
+
 @query(
     "dedup_simhash",
     oracle=f"""

@@ -101,6 +101,14 @@ DISTINCT_SWEEP_QUERIES = [
                                # stripped corpus, so growth should track
                                # the single-pass row plus residual-sized
                                # extra passes
+    "dedup_edit_distance",     # Ed-Join prefix-filtered levenshtein
+                               # pairs (r11): explode+distinct+window
+                               # gram pass, prefix self-join behind the
+                               # length + char-histogram bands, banded
+                               # verify — per-replica character rotation
+                               # keeps cross-replica grams AND histograms
+                               # apart, so candidates stay within-replica
+                               # and growth measures the gram machinery
     "index_recovery_drill",    # torn-append recovery x5 stores (r10):
                                # staging is an absolute-constant batch
                                # (replica-0 ids only), recovery is one
