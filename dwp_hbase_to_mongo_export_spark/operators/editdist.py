@@ -273,6 +273,125 @@ def edit_distance_pairs(
     )
 
 
+def edit_screen_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    q: int = 4,
+) -> DataFrame:
+    """Incremental form: EXACT edit-distance screening of a NEW batch
+    against an accepted corpus — (batch_id, dup_of, dist) for every
+    cross pair within distance k. Ids must be disjoint across the two
+    inputs (the family's incremental contract, as in
+    dedupindex.query_dedup_index).
+
+    Same lossless machinery as edit_distance_pairs (one shared
+    rare-first gram order computed over the UNION — any single global
+    order is valid for the prefix theorem; sharing it lets one
+    window/join pass serve both sides), but the candidate join is
+    side-aware: batch-prefix x corpus-prefix only, so screening a small
+    batch never pays the corpus x corpus candidate (or verify) cost —
+    cross-pair work is what a nightly ingest actually buys.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if q < 2:
+        raise ValueError("q must be >= 2 (q=1 grams carry no position signal)")
+
+    tagged = _staged(corpus, text_col, id_col).withColumn(
+        "_probe", F.lit(False)
+    ).unionByName(
+        _staged(batch, text_col, id_col).withColumn("_probe", F.lit(True))
+    )
+    grams = _gram_stream(tagged, q)
+
+    from ._cache import swap_cache
+
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    byid = Window.partitionBy("_id")
+    ranked = (
+        grams.join(dfreq, "g")
+        .withColumn(
+            "_rk",
+            F.row_number().over(byid.orderBy(F.asc("_df"), F.asc("g"))),
+        )
+        .withColumn("_nset", F.count(F.lit(1)).over(byid))
+    )
+    emit = (
+        ranked.filter((F.col("_nset") <= q * k) | (F.col("_rk") <= q * k + 1))
+        .select("_id", "g", "_nset")
+        .join(tagged.select("_id", "_len", "_hist", "_probe"), "_id")
+    )
+    emit = swap_cache("editdist.screen", emit)
+
+    band_pred = (F.abs(F.col("_len_a") - F.col("_len_b")) <= k) & _hist_band(
+        "_hist_a", "_hist_b", k
+    )
+    ea = emit.filter(F.col("_probe")).select(
+        F.col("_id").alias("id_a"),
+        "g",
+        F.col("_len").alias("_len_a"),
+        F.col("_hist").alias("_hist_a"),
+    )
+    eb = emit.filter(~F.col("_probe")).select(
+        F.col("_id").alias("id_b"),
+        "g",
+        F.col("_len").alias("_len_b"),
+        F.col("_hist").alias("_hist_b"),
+    )
+    cand_gram = ea.join(eb, "g").filter(band_pred).select("id_a", "id_b")
+
+    short_ids = (
+        emit.filter(F.col("_nset") <= q * k)
+        .select("_id")
+        .distinct()
+        .unionByName(tagged.filter(F.col("_len") < q).select("_id"))
+    )
+    shorts = tagged.join(short_ids, "_id", "left_semi").select(
+        "_id",
+        "_len",
+        "_hist",
+        "_probe",
+        F.floor(F.col("_len") / (k + 1)).alias("_bkt"),
+    )
+    sh_a = shorts.filter(F.col("_probe")).select(
+        F.col("_id").alias("id_a"),
+        F.col("_len").alias("_len_a"),
+        F.col("_hist").alias("_hist_a"),
+        "_bkt",
+    )
+    sh_b = shorts.filter(~F.col("_probe")).select(
+        F.col("_id").alias("id_b"),
+        F.col("_len").alias("_len_b"),
+        F.col("_hist").alias("_hist_b"),
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_bkt"),
+    )
+    cand_short = sh_a.join(sh_b, "_bkt").filter(band_pred).select("id_a", "id_b")
+
+    cand = cand_gram.unionByName(cand_short).distinct()
+    ta = _staged(batch, text_col, id_col).select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
+    )
+    tb = _staged(corpus, text_col, id_col).select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("_tb")
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", _banded_distance(F.col("_ta"), F.col("_tb"), k))
+        .filter(F.col("dist").isNotNull())
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("dup_of"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 def edit_distance_keep_first(
     docs: DataFrame,
     text_col: str = "text",

@@ -288,6 +288,70 @@ def edit_distance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit_incremental",
+    oracle=f"""
+    WITH {_EDIT_D_CTE}
+    SELECT a.doc_id, b.doc_id AS dup_of, levenshtein(a.text, b.text) AS dist
+    FROM d a JOIN d b
+    ON a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+       AND abs(a.len - b.len) <= {_EDIT_K}
+       AND {_EDIT_HIST_PRED}
+    WHERE levenshtein(a.text, b.text) <= {_EDIT_K}
+    """,
+)
+def dedup_edit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental edit-distance screening of a NEW batch against the
+    accepted corpus (operators/editdist.py edit_screen_batch): the
+    family's nightly-ingest form — one shared rare-first gram order
+    over the union, but a SIDE-AWARE candidate join (batch prefixes x
+    corpus prefixes only), so a 1% batch pays cross-pair work, never
+    the corpus x corpus screen."""
+    from .operators import editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    return editdist.edit_screen_batch(corpus, batch, k=_EDIT_K, q=4)
+
+
+@query(
+    "dedup_edit_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_EDIT_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           (doc_id = component) AS is_keeper
+    FROM comp
+    """,
+)
+def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs -> dedup clusters via exact connected
+    components (operators/components.py): the transitive-closure
+    policy for the edit-distance family — direct dominance
+    (dedup_edit_apply) under-merges chains a < b < c where a and c are
+    individually beyond k but linked through b. Oracle recomputes the
+    fixpoint with a recursive CTE over the same verified pair set."""
+    from .operators import editdist
+    from .operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = editdist.edit_distance_pairs(docs, k=_EDIT_K, q=4)
+    return dedup_clusters(pairs)
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_NORM_FULL} AS s FROM documents),

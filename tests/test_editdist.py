@@ -114,6 +114,36 @@ def test_invalid_params_raise(spark):
         editdist.edit_distance_pairs(df, q=1)
 
 
+def test_screen_batch_cross_pairs_only(spark):
+    t = "north south east west up down left right in out " * 2
+    corpus_rows = [(0, t), (1, t + "zz"), (2, "totally different stuff here")]
+    batch_rows = [(10, t + "z"), (11, "also nothing like the corpus at all")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.dup_of, r.dist)
+        for r in editdist.edit_screen_batch(corpus, batch, k=3).collect()
+    }
+    # batch doc 10 matches corpus 0 (d=1) and 1 (d=1); corpus-corpus
+    # pair (0,1,d=2) and batch-batch pairs must NOT appear
+    assert got == {(10, 0, 1), (10, 1, 1)}
+
+
+def test_screen_batch_short_and_empty_docs(spark):
+    corpus = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "a completely ordinary long sentence here")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "b"), (11, "abc")], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.dup_of, r.dist)
+        for r in editdist.edit_screen_batch(corpus, batch, k=2).collect()
+    }
+    assert got == {(10, 0, 1), (10, 1, 1), (11, 1, 1)}
+
+
 # Tiny alphabet + short strings: most docs land in the SHORT pool
 # (<= q*k distinct grams), so bucket adjacency in both directions and
 # the mixed path run constantly; mutations plant true pairs at known
@@ -127,6 +157,26 @@ _corpus = st.lists(_doc, min_size=2, max_size=8)
 def test_matches_bruteforce_short_pool(spark, corpus_texts, k):
     texts = dict(enumerate(corpus_texts))
     assert _pairs(spark, texts, k=k, q=3) == _brute(texts, k)
+
+
+@given(_corpus, _corpus, st.integers(min_value=0, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_screen_matches_bruteforce_cross(spark, corpus_texts, batch_texts, k):
+    corpus = dict(enumerate(corpus_texts))
+    batch = {100 + i: t for i, t in enumerate(batch_texts)}
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id bigint, text string")
+    bdf = spark.createDataFrame(list(batch.items()), "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.dup_of, r.dist)
+        for r in editdist.edit_screen_batch(cdf, bdf, k=k, q=3).collect()
+    }
+    want = {
+        (b, c, _lev(bt, ct))
+        for b, bt in batch.items()
+        for c, ct in corpus.items()
+        if _lev(bt, ct) <= k
+    }
+    assert got == want
 
 
 _long_doc = st.lists(
