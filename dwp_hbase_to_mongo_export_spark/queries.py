@@ -453,6 +453,7 @@ DRIVER_WINDOW = [
     "dedup_edit_clusters",
     "dedup_edit_distance",
     "dedup_edit_incremental",
+    "dedup_edit_indexed",
     "dedup_embedding_incremental",
     "dedup_jaccard_prefix",
     "dedup_spans_fixpoint",
@@ -499,12 +500,11 @@ DRIVER_WINDOW = [
     "embedding_norms",
     "kmeans_clusters",
     "kmeans_purity",
-    "latest_per_key",
-    # (manifest_projection / moving_avg_and_gaps /
+    # (latest_per_key / manifest_projection / moving_avg_and_gaps /
     # multimodal_audio_segments / multimodal_frame_sample /
     # multimodal_meta trimmed from this fill when the session-3
     # edit-distance family — dedup_edit_distance, dedup_edit_apply,
-    # dedup_edit_incremental, dedup_edit_clusters,
+    # dedup_edit_incremental, dedup_edit_indexed, dedup_edit_clusters,
     # edit_distance_report — took the unchecked tier, keeping the
     # window at 50; they rotate back next round)
     # (15 r8-cohort names trimmed from this fill when the session-2 round-11

@@ -837,6 +837,49 @@ def gram_index_stream_ingest(
     )
 
 
+def edit_index_stream_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+    auto_compact: bool = True,
+    compact_max_files_per_leaf: int = 8,
+) -> dict:
+    """index_stream_ingest bound to the edit-distance prefix store
+    (operators/editindex.py), with between-epoch auto-compaction of
+    BOTH its partitioned dirs (prefix/ and docs/) when the
+    fragmentation verdict flags."""
+    from ..operators import editindex
+
+    maintenance = (
+        store_maintenance(
+            spark,
+            index_path,
+            [
+                os.path.join(index_path, "prefix"),
+                os.path.join(index_path, "docs"),
+            ],
+            lambda: editindex.compact_edit_index(spark, index_path),
+            max_files_per_leaf=compact_max_files_per_leaf,
+        )
+        if auto_compact
+        else None
+    )
+    return index_stream_ingest(
+        spark,
+        delta_dir,
+        lambda df, b: editindex.append_to_edit_index(
+            df, index_path, batch_id=b
+        ),
+        checkpoint_dir=checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        maintenance=maintenance,
+    )
+
+
 def hll_store_stream_ingest(
     spark: SparkSession,
     delta_dir: str,
