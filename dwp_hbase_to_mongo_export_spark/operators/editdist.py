@@ -89,12 +89,26 @@ def _hist_band(ha: str, hb: str, k: int) -> Column:
     )
 
 
-def _staged(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _staged(
+    docs: DataFrame, text_col: str, id_col: str, normalise: bool = False
+) -> DataFrame:
+    """``normalise=True`` measures distance between NORMALISED forms
+    (functions.text.normalize_text: lower, non-alnum to space, squeeze,
+    trim — the catalog's shared chain, oracle-mirrored by _NORM_FULL):
+    the edit-distance family's policy dial, matching the span family's
+    strict-vs-normalised matching (spandedup). Boilerplate differing
+    only in case/punctuation then reads as distance 0-ish instead of
+    punctuation-count."""
+    t = F.col(text_col)
+    if normalise:
+        from ..functions.text import normalize_text
+
+        t = normalize_text(t)
     return docs.select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).alias("_len"),
-        _hist(F.col(text_col)).alias("_hist"),
+        t.alias("_t"),
+        F.length(t).alias("_len"),
+        _hist(t).alias("_hist"),
     )
 
 
@@ -144,8 +158,11 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     k: int = 8,
     q: int = 4,
+    normalise: bool = False,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with levenshtein(text_a, text_b) <= k.
+    """All pairs (id_a < id_b) with levenshtein(text_a, text_b) <= k
+    (``normalise=True``: distance between the normalised forms — the
+    family's policy dial, see _staged).
 
     Returns (id_a, id_b, dist) — exact, by prefix-filter theorem plus
     the short-pool fallback (module docstring). ``q*k`` must stay
@@ -157,7 +174,7 @@ def edit_distance_pairs(
     if q < 2:
         raise ValueError("q must be >= 2 (q=1 grams carry no position signal)")
 
-    base = _staged(docs, text_col, id_col)
+    base = _staged(docs, text_col, id_col, normalise=normalise)
     grams = _gram_stream(base, q)
 
     # one pass computes BOTH the per-doc rare-first rank and the per-doc

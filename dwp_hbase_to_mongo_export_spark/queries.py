@@ -454,6 +454,7 @@ DRIVER_WINDOW = [
     "dedup_edit_distance",
     "dedup_edit_incremental",
     "dedup_edit_indexed",
+    "dedup_edit_normalised",
     "dedup_embedding_incremental",
     "dedup_jaccard_prefix",
     "dedup_spans_fixpoint",
@@ -469,6 +470,8 @@ DRIVER_WINDOW = [
     "jsonl_roundtrip",
     "similarity_topk_filtered",
     "similarity_topk_ivf_filtered",
+    "source_quota_cap",
+    "source_token_budget_cap",
     "span_dedup_policy_report",
     "span_dedup_residual",
     "streaming_distinct_hll",
@@ -497,16 +500,16 @@ DRIVER_WINDOW = [
     "dedup_embedding_cosine_lsh",
     "dedup_simhash",
     "dedup_simhash_near",
-    "embedding_norms",
-    "kmeans_clusters",
-    "kmeans_purity",
-    # (latest_per_key / manifest_projection / moving_avg_and_gaps /
-    # multimodal_audio_segments / multimodal_frame_sample /
-    # multimodal_meta trimmed from this fill when the session-3
-    # edit-distance family — dedup_edit_distance, dedup_edit_apply,
-    # dedup_edit_incremental, dedup_edit_indexed, dedup_edit_clusters,
-    # edit_distance_report — took the unchecked tier, keeping the
-    # window at 50; they rotate back next round)
+    # (embedding_norms / kmeans_clusters /
+    # kmeans_purity / latest_per_key / manifest_projection /
+    # moving_avg_and_gaps / multimodal_audio_segments /
+    # multimodal_frame_sample / multimodal_meta trimmed from this fill
+    # when the session-3 queries — the edit-distance family
+    # (dedup_edit_distance, dedup_edit_apply, dedup_edit_incremental,
+    # dedup_edit_indexed, dedup_edit_normalised, dedup_edit_clusters,
+    # edit_distance_report) and the per-source quotas
+    # (source_quota_cap, source_token_budget_cap) — took the unchecked
+    # tier, keeping the window at 50; they rotate back next round)
     # (15 r8-cohort names trimmed from this fill when the session-2 round-11
     # queries — HLL family incl. its streaming member, DSIR batch +
     # streaming-maintained forms, filtered ANN, epoch planning, the

@@ -197,14 +197,24 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # levenshtein <= k, at a cost DuckDB can pay at sf0.1.
 _EDIT_K = 8
 _EDIT_CHARS = [" ", "a", "e", "t", "s", "r", "l", "n", "o", "k", "w", "h"]
-_EDIT_D_CTE = (
-    "d AS (SELECT doc_id, text, source, length(text) AS len, "
-    + ", ".join(
-        f"length(text)-length(replace(text,'{c}','')) AS c{i}"
-        for i, c in enumerate(_EDIT_CHARS)
+
+
+def _edit_d_cte(text_expr: str = "text") -> str:
+    """The oracle's per-doc feature CTE over an arbitrary text
+    expression (``text`` for strict matching, the _NORM_FULL chain for
+    the normalised policy)."""
+    return (
+        f"d AS (SELECT doc_id, {text_expr} AS text, source, "
+        f"length({text_expr}) AS len, "
+        + ", ".join(
+            f"length({text_expr})-length(replace({text_expr},'{c}','')) AS c{i}"
+            for i, c in enumerate(_EDIT_CHARS)
+        )
+        + " FROM documents)"
     )
-    + " FROM documents)"
-)
+
+
+_EDIT_D_CTE = _edit_d_cte()
 _EDIT_HIST_PRED = (
     "+".join(f"abs(a.c{i}-b.c{i})" for i in range(len(_EDIT_CHARS)))
     + f" <= {2 * _EDIT_K}"
@@ -312,6 +322,38 @@ def dedup_edit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
     return editdist.edit_screen_batch(corpus, batch, k=_EDIT_K, q=4)
+
+
+@query(
+    "dedup_edit_normalised",
+    oracle=f"""
+    WITH {_edit_d_cte(_NORM_FULL)},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.text, b.text) AS dist
+      FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+         AND abs(a.len - b.len) <= {_EDIT_K}
+         AND {_EDIT_HIST_PRED}
+      WHERE levenshtein(a.text, b.text) <= {_EDIT_K}
+    )
+    SELECT id_a, id_b, dist FROM pairs
+    """,
+)
+def dedup_edit_normalised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs under the NORMALISED matching policy
+    (functions.text.normalize_text before the distance — the span
+    family's strict-vs-normalised dial applied to fuzzy matching):
+    boilerplate differing only in case/punctuation/whitespace measures
+    distance ~0 instead of punctuation-count. The oracle applies the
+    identical normalisation chain, so a Spark/SQL divergence in the
+    normaliser itself would hash-mismatch; the policy's differentiating
+    cases (where normalised != strict answers) are pinned on hand-built
+    corpora in tests/test_editdist.py."""
+    from .operators import editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist.edit_distance_pairs(docs, k=_EDIT_K, q=4, normalise=True)
 
 
 def _cached_edit_index(spark: SparkSession, sf_dir: str) -> str:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .queries import query
 from .sources.parquet import load_table
@@ -148,6 +149,83 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit("books").alias("source"))
     )
     return web.unionAll(books)
+
+
+@query(
+    "source_quota_cap",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source
+      ORDER BY {_GATE_SQL.format(salt='quota:')}, doc_id
+    ) <= 15
+    """,
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the web-pipeline "cap each domain at
+    N pages" rule): keep at most 15 docs per source, chosen by a
+    DETERMINISTIC md5-hash order — partition layout, retries, and
+    cluster size never change the kept set, unlike rand()-ordered
+    caps.
+
+    Scale: rank <= N over a window lets Spark's WindowGroupLimit
+    (rank-limit pushdown) keep only N rows per source PER MAP PARTITION
+    before the shuffle, so the exchange carries sources x N rows, not
+    the corpus — check the plan for WindowGroupLimit, not a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_gate("quota:"), F.col("doc_id"))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 15)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "source_token_budget_cap",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(sum(len(string_split(text, ' '))) OVER (
+             PARTITION BY source
+             ORDER BY {_GATE_SQL.format(salt='budget:')}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM documents
+    QUALIFY cum_tokens <= 600
+    """,
+)
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget (the mixture-building "take ~B tokens
+    from each source" rule): walk each source in deterministic md5-hash
+    order and keep documents while the running token total stays within
+    the budget (600 whitespace tokens here). Unlike the doc-count
+    quota, the kept set adapts to document length — a source of long
+    documents contributes fewer of them.
+
+    Scale: one shuffle on source + a running-sum window; the survivor
+    set is ~budget/avg_len docs per source, but the cumulative sum
+    itself walks the full source partition — for a pathologically hot
+    source, pre-gate with a rate filter (stratified_sample's discipline)
+    sized so the surviving stream still overshoots the budget, then
+    budget-cap exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_gate("budget:"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            ntok.alias("n_tokens"),
+            F.sum(ntok).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 600)
+    )
 
 
 @query(

@@ -114,6 +114,25 @@ def test_invalid_params_raise(spark):
         editdist.edit_distance_pairs(df, q=1)
 
 
+def test_normalised_policy_differentiates(spark):
+    # same words, different case/punctuation: strict distance is large
+    # (punctuation-count), normalised distance is 0
+    a = "The quick brown fox, jumps over the lazy dog -- again and again!"
+    b = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {0: a, 1: b, 2: "unrelated other content entirely different"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    strict = {
+        (r.id_a, r.id_b): r.dist
+        for r in editdist.edit_distance_pairs(df, k=3).collect()
+    }
+    norm = {
+        (r.id_a, r.id_b): r.dist
+        for r in editdist.edit_distance_pairs(df, k=3, normalise=True).collect()
+    }
+    assert (0, 1) not in strict  # 5 edits apart strictly
+    assert norm[(0, 1)] == 0
+
+
 def test_screen_batch_cross_pairs_only(spark):
     t = "north south east west up down left right in out " * 2
     corpus_rows = [(0, t), (1, t + "zz"), (2, "totally different stuff here")]

@@ -224,6 +224,39 @@ def test_build_pending_refused_and_fingerprint_none(spark, docs, tmp_path):
     assert editindex.stored_fingerprint(spark, path) is None
 
 
+def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
+    """The store-family race pin, applied to the sixth store: two
+    appends racing on one edit index must queue on the _append.lock —
+    both commit, doc rows ≡ clean build over old ∪ d1 ∪ d2, and the
+    query answers match the index-free screen (prefix rows rank under
+    the frozen order either way)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    corpus, batch = _split(docs)
+    old = corpus.filter(F.col("doc_id") < 300)
+    d1 = corpus.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    d2 = corpus.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 400))
+    path = str(tmp_path / "ex")
+    editindex.build_edit_index(old, path, k=8, q=4)
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(editindex.append_to_edit_index, d, path, batch_id=b)
+            for d, b in ((d1, "b1"), (d2, "b2"))
+        ]
+        results = [f.result() for f in futs]
+    assert all(r["committed"] for r in results)
+
+    merged = corpus.filter(F.col("doc_id") < 400)
+    full = str(tmp_path / "full")
+    editindex.build_edit_index(merged, full, k=8, q=4)
+    assert _store_ids(spark, path) == _store_ids(spark, full)
+    assert _meta(spark, path)[0] == _meta(spark, full)[0]
+    assert _rows(editindex.query_edit_index(spark, path, batch)) == _rows(
+        editdist.edit_screen_batch(merged, batch, k=8, q=4)
+    )
+
+
 def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
     from dwp_hbase_to_mongo_export_spark.streaming import incremental
 

@@ -62,6 +62,20 @@ def test_topk_per_group_has_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_source_quota_cap_has_window_group_limit(spark, sf_dir):
+    # the per-source quota must ride the rank-limit pushdown (N rows per
+    # source per map partition cross the exchange, not the corpus)
+    plan = _plan(catalog.QUERIES["source_quota_cap"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_source_token_budget_single_exchange(spark, sf_dir):
+    # running-sum budget: one shuffle on source, no join, no Python
+    plan = _plan(catalog.QUERIES["source_token_budget_cap"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_q1_two_phase_aggregation(spark, sf_dir):
     plan = _plan(catalog.QUERIES["q1_pricing_summary"](spark, sf_dir))
     # two-phase aggregation: map-side partial aggregates shrink the
