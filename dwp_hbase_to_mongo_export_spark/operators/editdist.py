@@ -297,6 +297,7 @@ def edit_screen_batch(
     id_col: str = "doc_id",
     k: int = 8,
     q: int = 4,
+    normalise: bool = False,
 ) -> DataFrame:
     """Incremental form: EXACT edit-distance screening of a NEW batch
     against an accepted corpus — (batch_id, dup_of, dist) for every
@@ -317,10 +318,12 @@ def edit_screen_batch(
     if q < 2:
         raise ValueError("q must be >= 2 (q=1 grams carry no position signal)")
 
-    tagged = _staged(corpus, text_col, id_col).withColumn(
+    tagged = _staged(corpus, text_col, id_col, normalise=normalise).withColumn(
         "_probe", F.lit(False)
     ).unionByName(
-        _staged(batch, text_col, id_col).withColumn("_probe", F.lit(True))
+        _staged(batch, text_col, id_col, normalise=normalise).withColumn(
+            "_probe", F.lit(True)
+        )
     )
     grams = _gram_stream(tagged, q)
 
@@ -390,10 +393,10 @@ def edit_screen_batch(
     cand_short = sh_a.join(sh_b, "_bkt").filter(band_pred).select("id_a", "id_b")
 
     cand = cand_gram.unionByName(cand_short).distinct()
-    ta = _staged(batch, text_col, id_col).select(
+    ta = _staged(batch, text_col, id_col, normalise=normalise).select(
         F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
     )
-    tb = _staged(corpus, text_col, id_col).select(
+    tb = _staged(corpus, text_col, id_col, normalise=normalise).select(
         F.col("_id").alias("id_b"), F.col("_t").alias("_tb")
     )
     return (

@@ -41,7 +41,8 @@ Artifact layout at ``path/``:
               DPP-pruned verify read (broadcast candidate list on
               (bucket, id) — the dedupindex sets/ discipline) and the
               short-pool length-bucket probe (lbkt = floor(len/(k+1))).
-- ``meta/``   one row: n_docs, k, q, fingerprint. Written LAST on
+- ``meta/``   one row: n_docs, k, q, matching policy (normalise),
+              fingerprint. Written LAST on
               first build (the commit record), swap-rewritten on
               append.
 
@@ -116,15 +117,18 @@ def _emit_rows(
     frozen_df: DataFrame,
     k: int,
     q: int,
+    normalise: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(emit, doc_rows) for ``docs`` under the FROZEN gram order.
 
     emit:     (g, id, len, hist) — prefix rows for long docs, full
               distinct-gram set for short ones (editdist.py semantics).
     doc_rows: (id, text, len, hist, lbkt, is_short) — verify + short
-              pool attributes.
+              pool attributes; ``text`` is the MATCHING form (normalised
+              when the store's policy says so), which is exactly what
+              the verify distance must run over.
     """
-    staged = _staged(docs, "text", "doc_id")
+    staged = _staged(docs, "text", "doc_id", normalise=normalise)
     grams = _gram_stream(staged, q)
     ranked = (
         grams.join(frozen_df, "g", "left")
@@ -171,10 +175,11 @@ def _write_meta(
     q: int,
     fingerprint: str,
     first: bool,
+    normalise: bool = False,
 ) -> None:
     meta = spark.createDataFrame(
-        [(n_docs, k, q, fingerprint)],
-        "n_docs bigint, k int, q int, fingerprint string",
+        [(n_docs, k, q, fingerprint, bool(normalise))],
+        "n_docs bigint, k int, q int, fingerprint string, normalise boolean",
     )
     target = os.path.join(path, "meta")
     if first:
@@ -187,26 +192,40 @@ def _read_meta(spark: SparkSession, path: str):
     return spark.read.parquet(os.path.join(path, "meta")).head()
 
 
+def _meta_normalise(meta) -> bool:
+    """The store's matching policy; absent (pre-policy store) reads as
+    strict — the gramindex discipline."""
+    return bool(meta.asDict().get("normalise", False))
+
+
 def build_edit_index(
     corpus: DataFrame,
     path: str,
     k: int = 8,
     q: int = 4,
     fingerprint: str | None = None,
+    normalise: bool = False,
 ) -> None:
     """ONE corpus-scale gram/df/prefix pass into the bucketed store.
     First-build commit record is meta-written-last; an in-place rebuild
     is bracketed by ``_build-pending`` (readers refuse) and holds the
     mutation lock like every append. ``k`` and ``q`` are stamped into
     meta — probes read them from there, so a caller can never probe
-    with mismatched parameters."""
+    with mismatched parameters; so is the matching policy
+    (``normalise`` — editdist._staged's dial), so strict and
+    normalised data can never mix in one store."""
     os.makedirs(path, exist_ok=True)
     with _append_lock(path):
-        _build_edit_index_locked(corpus, path, k, q, fingerprint)
+        _build_edit_index_locked(corpus, path, k, q, fingerprint, normalise)
 
 
 def _build_edit_index_locked(
-    corpus: DataFrame, path: str, k: int, q: int, fingerprint: str | None
+    corpus: DataFrame,
+    path: str,
+    k: int,
+    q: int,
+    fingerprint: str | None,
+    normalise: bool = False,
 ) -> None:
     spark = corpus.sparkSession
     rebuild = any(
@@ -225,12 +244,12 @@ def _build_edit_index_locked(
     last = os.path.join(path, _LAST_APPEND)
     if os.path.exists(last):
         os.remove(last)
-    staged = _staged(corpus, "text", "doc_id")
+    staged = _staged(corpus, "text", "doc_id", normalise=normalise)
     grams = _gram_stream(staged, q)
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     dfreq.write.mode("overwrite").parquet(os.path.join(path, "df"))
     frozen = spark.read.parquet(os.path.join(path, "df"))
-    emit, doc_rows = _emit_rows(corpus, frozen, k, q)
+    emit, doc_rows = _emit_rows(corpus, frozen, k, q, normalise=normalise)
     emit.withColumn("gbucket", _gbucket(F.col("g"))).write.mode(
         "overwrite"
     ).partitionBy("gbucket").parquet(os.path.join(path, "prefix"))
@@ -238,7 +257,16 @@ def _build_edit_index_locked(
         "overwrite"
     ).partitionBy("bucket").parquet(os.path.join(path, "docs"))
     n_docs = spark.read.parquet(os.path.join(path, "docs")).count()
-    _write_meta(spark, path, n_docs, k, q, fingerprint or "", first=True)
+    _write_meta(
+        spark,
+        path,
+        n_docs,
+        k,
+        q,
+        fingerprint or "",
+        first=True,
+        normalise=normalise,
+    )
     if os.path.exists(build_marker):
         os.remove(build_marker)
 
@@ -287,6 +315,7 @@ def _append_to_edit_index_impl(
     _recover_swap(os.path.join(path, "meta"))
     old = _read_meta(spark, path)
     k, q = int(old["k"]), int(old["q"])
+    normalise = _meta_normalise(old)
     pending = os.path.join(path, _PENDING)
     with open(pending, "w", encoding="utf-8") as f:
         f.write(
@@ -296,6 +325,7 @@ def _append_to_edit_index_impl(
                     "n_docs": int(old["n_docs"]),
                     "k": k,
                     "q": q,
+                    "normalise": normalise,
                     "fingerprint": old["fingerprint"],
                     "last_append": read_last_append(path),
                 }
@@ -306,7 +336,7 @@ def _append_to_edit_index_impl(
         "overwrite"
     ).parquet(pids)
     frozen = spark.read.parquet(os.path.join(path, "df"))
-    emit, doc_rows = _emit_rows(delta, frozen, k, q)
+    emit, doc_rows = _emit_rows(delta, frozen, k, q, normalise=normalise)
     emit.withColumn("gbucket", _gbucket(F.col("g"))).write.mode(
         "append"
     ).partitionBy("gbucket").parquet(os.path.join(path, "prefix"))
@@ -322,6 +352,7 @@ def _append_to_edit_index_impl(
         q,
         fingerprint or str(old["fingerprint"]),
         first=False,
+        normalise=normalise,
     )
     if batch_id is not None:
         _write_last_append(path, batch_id)
@@ -360,6 +391,7 @@ def _recover_edit_index_append_impl(spark: SparkSession, path: str) -> dict:
             "n_docs": int(state["n_docs"]),
             "k": int(state["k"]),
             "q": int(state["q"]),
+            "normalise": bool(state.get("normalise", False)),
             "fingerprint": str(state.get("fingerprint") or ""),
         }
         protocol = int(state.get("protocol") or 1)
@@ -409,6 +441,7 @@ def _recover_edit_index_append_impl(spark: SparkSession, path: str) -> dict:
         old["q"],
         old["fingerprint"],
         first=not os.path.isdir(os.path.join(path, "meta")),
+        normalise=old["normalise"],
     )
     _restore_last_append(path, old_last)
     os.remove(pending)
@@ -439,13 +472,20 @@ def query_edit_index(
     _check_markers(path)
     meta = _read_meta(spark, path)
     k, q = int(meta["k"]), int(meta["q"])
+    normalise = _meta_normalise(meta)
     frozen = spark.read.parquet(os.path.join(path, "df"))
 
     from ._cache import swap_cache
 
-    bemit, bdocs = _emit_rows(batch.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ), frozen, k, q)
+    bemit, bdocs = _emit_rows(
+        batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ),
+        frozen,
+        k,
+        q,
+        normalise=normalise,
+    )
     bemit = swap_cache("editindex.bemit", bemit)
 
     band_pred = (F.abs(F.col("_len_a") - F.col("_len_b")) <= k) & _hist_band(
@@ -503,8 +543,11 @@ def query_edit_index(
     corpus_texts = store_docs.join(
         F.broadcast(probe), ["bucket", "id"], "left_semi"
     ).select(F.col("id").alias("id_b"), F.col("text").alias("_tb"))
-    batch_texts = batch.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    # the verify distance runs over the MATCHING form on both sides:
+    # docs/ stores the policy-applied text, so the batch side stages
+    # under the same policy
+    batch_texts = _staged(batch, text_col, id_col, normalise=normalise).select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
     )
     return (
         cand.join(batch_texts, "id_a")

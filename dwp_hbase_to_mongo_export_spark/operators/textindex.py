@@ -183,7 +183,7 @@ def _restore_last_append(path: str, old) -> None:
 
 
 def _clear_stale_ids_record(path: str, ids_name: str) -> dict:
-    """No-marker recovery tail, shared by all five durable stores: a
+    """No-marker recovery tail, shared by all the durable stores: a
     marker-LESS ids record is inert junk from a crash between the
     commit point (marker removal) and the ids-record delete — but it
     must not survive into the NEXT append, which writes its own marker

@@ -295,6 +295,73 @@ def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
     assert _rows(editindex.query_edit_index(spark, path, probe)) == want
 
 
+# ------------------------------------------------------- normalised policy
+
+
+def test_normalised_store_equals_index_free_normalised(spark, tmp_path):
+    base = "The quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(0, base + "!!"), (2, "Entirely other corpus content here folks")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(11, base.upper() + " ...")], "doc_id bigint, text string"
+    )
+    strict_path = str(tmp_path / "strict")
+    norm_path = str(tmp_path / "norm")
+    editindex.build_edit_index(corpus, strict_path, k=3, q=4)
+    editindex.build_edit_index(corpus, norm_path, k=3, q=4, normalise=True)
+    # strict: upper-case + punctuation put the pair far beyond k=3
+    assert _rows(editindex.query_edit_index(spark, strict_path, batch)) == []
+    got = _rows(editindex.query_edit_index(spark, norm_path, batch))
+    assert got == [(11, 0, 0)]
+    assert got == _rows(
+        editdist.edit_screen_batch(corpus, batch, k=3, q=4, normalise=True)
+    )
+
+
+def test_normalised_policy_survives_append_and_recovery(
+    spark, tmp_path, monkeypatch
+):
+    base = "Some shared boilerplate sentence that repeats all over the web"
+    corpus = spark.createDataFrame(
+        [(0, "filler content unrelated to anything else at all")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(2, base + "?!")], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(11, base.upper())], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "norm")
+    editindex.build_edit_index(corpus, path, k=2, q=4, normalise=True)
+    editindex.append_to_edit_index(delta, path, batch_id="b1")
+    assert editindex._meta_normalise(editindex._read_meta(spark, path))
+    assert _rows(editindex.query_edit_index(spark, path, batch)) == [(11, 2, 0)]
+
+    # torn append (crash before meta merge) then recovery must RESTORE
+    # the policy bit, not silently fall back to strict
+    delta2 = spark.createDataFrame(
+        [(4, "yet more unrelated filler words here")],
+        "doc_id bigint, text string",
+    )
+    real = editindex._swap_write
+
+    def boom(df, target, partition_by=None):
+        if target.endswith("meta"):
+            raise RuntimeError("crash before meta merge")
+        return real(df, target, partition_by)
+
+    monkeypatch.setattr(editindex, "_swap_write", boom)
+    with pytest.raises(RuntimeError, match="before meta merge"):
+        editindex.append_to_edit_index(delta2, path, batch_id="b2")
+    monkeypatch.undo()
+    editindex.recover_edit_index_append(spark, path)
+    assert editindex._meta_normalise(editindex._read_meta(spark, path))
+    assert _rows(editindex.query_edit_index(spark, path, batch)) == [(11, 2, 0)]
+
+
 # ------------------------------------------------------------ governance
 
 
