@@ -32,12 +32,18 @@ DRILL = os.path.join(REPO, "tools", "spill_drill.py")
 # fingerprint-gated artifact must hash-match across constrained and
 # unconstrained sessions. dedup_spans_indexed joined in round 10: the
 # gram store's corpus distinct + bucketed write and the batch probe's
-# gram agg must likewise spill-and-match.
+# gram agg must likewise spill-and-match. The edit-distance family
+# joined in round 11 session 3: its persisted emission stream
+# (MEMORY_AND_DISK via the operator cache slot), the prefix self-join,
+# and the frozen-order store probe must complete under the starved pool
+# with hashes identical to the unconstrained session.
 QUERIES = [
     "dedup_minhash_lsh",
     "winnowing_overlap",
     "dedup_incremental_indexed",
     "dedup_spans_indexed",
+    "dedup_edit_distance",
+    "dedup_edit_indexed",
 ]
 
 
