@@ -798,3 +798,82 @@ def jaccard_prefix_filter_pairs(
     return jaccard_of_sets(sets, cand, id_col, min_jaccard=threshold).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 5,
+    max_chars: int = 256,
+) -> DataFrame:
+    """EXACT all-pairs shingle CONTAINMENT |A∩B| / |A| >= threshold —
+    the ASYMMETRIC member of the jaccard family (Broder's containment;
+    the excerpt/quotation detector): a short document lifted mostly
+    verbatim into a long one scores near 1 here while its symmetric
+    jaccard stays near |A|/|B|, far below any usable threshold.
+
+    Candidate generation is the ONE-SIDED prefix filter — simpler and
+    strictly easier to prove than the two-sided jaccard form:
+    containment >= t forces |A∩B| >= ceil(t*|A|) = o, so if none of
+    A's first |A| - o + 1 rare-first shingles occurs in B at all, then
+    A∩B fits inside A's remaining o - 1 shingles — too few. Hence
+    joining ONLY the contained-side prefix against the full shingle
+    inventory (the container side must index everything: containment
+    is unbounded in |B|, so no prefix can be taken on that side) is a
+    LOSSLESS candidate generator. A size predicate (|B| >= ceil(t*|A|),
+    since |A∩B| <= |B|) prunes inside the join.
+
+    Verification stays JVM-side: candidates join the two shingle
+    streams on (pair, g) and a groupBy counts the exact intersection —
+    shuffle volume is candidates x A-side shingles, never all-pairs.
+
+    Returns (id_a, id_b, containment) with id_a the CONTAINED document
+    (both orientations of a pair can appear, each with its own score).
+    """
+    sh = char_shingles(docs, text_col, id_col, k=k, max_chars=max_chars)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "g").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("g"))
+        ),
+    )
+    o = F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(F.col("_rk") <= F.col("_n") - o + 1)
+        .select(F.col(id_col).alias("id_a"), "g", F.col("_n").alias("_na"))
+    )
+    full = sh.join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"), "g", F.col("_n").alias("_nb")
+    )
+    cand = (
+        prefix.join(full, "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.col("_nb")
+                >= F.ceil(F.lit(threshold) * F.col("_na")).cast("int")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "g")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    return (
+        inter.join(na, "id_a")
+        .withColumn("containment", F.col("_i") / F.col("_na"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -449,6 +449,7 @@ DRIVER_WINDOW = [
     # test_catalog_lint contract for the unchecked tier)
     "ann_recall_filtered",
     "corpus_epoch_plan",
+    "dedup_containment",
     "dedup_edit_apply",
     "dedup_edit_clusters",
     "dedup_edit_distance",
@@ -499,7 +500,8 @@ DRIVER_WINDOW = [
     "dedup_clusters_alternating",
     "dedup_embedding_cosine_lsh",
     "dedup_simhash",
-    "dedup_simhash_near",
+    # (dedup_simhash_near trimmed when dedup_containment — the
+    # asymmetric containment join, session 3 — took the unchecked tier)
     # (embedding_norms / kmeans_clusters /
     # kmeans_purity / latest_per_key / manifest_projection /
     # moving_avg_and_gaps / multimodal_audio_segments /

@@ -187,6 +187,37 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bounded AS (SELECT * FROM sh WHERE doc_id < 200),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM bounded GROUP BY doc_id)
+    SELECT id_a, id_b, round(i * 1.0 / sa.n, 3) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE i * 1.0 / sa.n >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle containment |A∩B|/|A| >= 0.5 with ONE-SIDED
+    prefix-filter pruning (dedup.containment_pairs — Broder's
+    containment, the asymmetric excerpt/quotation detector the
+    symmetric jaccard threshold cannot see): contained-side prefixes
+    join the full inventory, a size predicate prunes in-join, and the
+    JVM-side (pair, g) groupBy verifies exactly — same brute-force SQL
+    as the jaccard siblings, containment formula."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = dedup.containment_pairs(docs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("containment", 3).alias("containment")
+    )
+
+
 # Edit-distance dedup family (operators/editdist.py): the oracle is the
 # brute-force levenshtein self-join made tractable by two LOSSLESS
 # prefilters — |len(a)-len(b)| <= k (an edit changes length by at most

@@ -766,3 +766,61 @@ def test_prefix_filter_exact_and_pruning(spark, docs):
         .count()
     )
     assert pruned < all_sharing, (pruned, all_sharing)
+
+
+def test_containment_detects_excerpt_jaccard_cannot(spark):
+    """The asymmetric contract: a short doc lifted verbatim into a much
+    longer one scores containment ~1 (contained side) while its
+    symmetric jaccard stays ~|A|/|B|, below any usable threshold —
+    and the orientation must put the CONTAINED doc in id_a."""
+    excerpt = "the quarterly figures show a steady rise in claims volume"
+    filler = (
+        "unrelated narrative padding sentence with many different words "
+        "covering completely separate topics and phrasing entirely " * 3
+    )
+    rows = [
+        (0, excerpt),
+        (1, filler + " " + excerpt + " " + filler),
+        (2, "an entirely different document about nothing in particular"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.containment, 3)
+        for r in dedup.containment_pairs(df, threshold=0.5, max_chars=4096).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.9
+    assert (1, 0) not in got  # the long doc is NOT contained in the excerpt
+    assert not any(2 in pair for pair in got)
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_prefix_filter_pairs(
+            df, threshold=0.5, max_chars=4096
+        ).collect()
+    }
+    assert (0, 1) not in jac  # symmetric jaccard misses the excerpt
+
+
+def test_containment_matches_bruteforce(spark, docs):
+    """Lossless pruning pin: the one-sided prefix join returns exactly
+    the brute-force containment pairs on the fixture slice."""
+    sample = docs.filter(F.col("doc_id") < 120)
+    from dwp_hbase_to_mongo_export_spark.functions.text import char_shingles
+
+    sh = char_shingles(sample, "text", "doc_id")
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    gs = {}
+    for r in sh.collect():
+        gs.setdefault(r.doc_id, set()).add(r.g)
+    want = set()
+    for a in gs:
+        for b in gs:
+            if a == b:
+                continue
+            c = len(gs[a] & gs[b]) / sizes[a]
+            if c >= 0.5:
+                want.add((a, b, round(c, 6)))
+    got = {
+        (r.id_a, r.id_b, round(r.containment, 6))
+        for r in dedup.containment_pairs(sample, threshold=0.5).collect()
+    }
+    assert got == want and want
