@@ -877,3 +877,86 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def containment_screen(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 5,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Incremental form of ``containment_pairs``: for each NEW batch
+    document, the corpus documents it is mostly an excerpt OF
+    (|batch∩corpus| / |batch| >= threshold) — the ingest-time
+    "is this new page just a copy of something we already hold"
+    screen, the containment complement of winnowing decontamination
+    (which needs contiguous fingerprint runs; containment sees
+    scattered reuse too).
+
+    Same one-sided prefix filter, probe-sided: only the BATCH side
+    takes prefixes (it is the contained side whose |A| bounds the
+    needed overlap), joined against the corpus's full shingle
+    inventory — so a small batch pays batch-prefix x posting work,
+    never a corpus self-join. Ids must be disjoint across the inputs
+    (the family's incremental contract).
+
+    Returns (id of the batch doc in ``id_col``, dup_of, containment).
+    """
+    sh_c = char_shingles(corpus, text_col, id_col, k=k, max_chars=max_chars)
+    sh_b = char_shingles(batch, text_col, id_col, k=k, max_chars=max_chars)
+    sizes_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    # the rare-first order comes from the CORPUS inventory (what the
+    # probe joins against); batch grams unseen there rank rarest —
+    # any single total order keeps the one-sided argument valid, since
+    # only the batch side takes a prefix at all
+    dfreq = sh_c.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh_b.join(dfreq, "g", "left")
+        .withColumn("_dfo", F.coalesce("_df", F.lit(0)))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("_dfo"), F.asc("g"))
+            ),
+        )
+    )
+    o = F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
+    prefix = (
+        ranked.join(sizes_b, id_col)
+        .filter(F.col("_rk") <= F.col("_n") - o + 1)
+        .select(F.col(id_col).alias("id_a"), "g", F.col("_n").alias("_na"))
+    )
+    full = sh_c.join(sizes_c, id_col).select(
+        F.col(id_col).alias("id_b"), "g", F.col("_n").alias("_nb")
+    )
+    cand = (
+        prefix.join(full, "g")
+        .filter(
+            F.col("_nb") >= F.ceil(F.lit(threshold) * F.col("_na")).cast("int")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ba = sh_b.select(F.col(id_col).alias("id_a"), "g")
+    cb = sh_c.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        cand.join(ba, "id_a")
+        .join(cb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    na = sizes_b.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    return (
+        inter.join(na, "id_a")
+        .withColumn("containment", F.col("_i") / F.col("_na"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("dup_of"),
+            "containment",
+        )
+    )

@@ -448,6 +448,7 @@ DRIVER_WINDOW = [
     # never driver-checked (registered this round; sorted — the
     # test_catalog_lint contract for the unchecked tier)
     "ann_recall_filtered",
+    "containment_screen",
     "corpus_epoch_plan",
     "dedup_containment",
     "dedup_edit_apply",
@@ -499,9 +500,9 @@ DRIVER_WINDOW = [
     "dedup_clusters",
     "dedup_clusters_alternating",
     "dedup_embedding_cosine_lsh",
-    "dedup_simhash",
-    # (dedup_simhash_near trimmed when dedup_containment — the
-    # asymmetric containment join, session 3 — took the unchecked tier)
+    # (dedup_simhash / dedup_simhash_near trimmed when the containment
+    # family — dedup_containment, containment_screen, session 3 — took
+    # the unchecked tier)
     # (embedding_norms / kmeans_clusters /
     # kmeans_purity / latest_per_key / manifest_projection /
     # moving_avg_and_gaps / multimodal_audio_segments /

@@ -218,6 +218,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "containment_screen",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bounded AS (SELECT * FROM sh WHERE doc_id < 200),
+    inter AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS i
+      FROM bounded a JOIN bounded b
+      ON a.g = b.g AND a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM bounded GROUP BY doc_id)
+    SELECT i.doc_id, i.dup_of, round(i.i * 1.0 / sa.n, 3) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
+    WHERE i.i * 1.0 / sa.n >= 0.5
+    """,
+)
+def containment_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment screen (dedup.containment_screen): for
+    each NEW batch document, the corpus documents it is mostly an
+    excerpt of — the ingest-time complement of winnowing
+    decontamination (scattered reuse counts here, not just contiguous
+    runs). Probe-sided one-sided prefix filter: only the batch takes
+    prefixes (rare-first under the CORPUS inventory — any order of the
+    contained side is valid for the one-sided theorem), so a small
+    batch pays batch-prefix x posting work, never a corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    out = dedup.containment_screen(corpus, batch, threshold=0.5)
+    return out.select(
+        "doc_id", "dup_of", F.round("containment", 3).alias("containment")
+    )
+
+
 # Edit-distance dedup family (operators/editdist.py): the oracle is the
 # brute-force levenshtein self-join made tractable by two LOSSLESS
 # prefilters — |len(a)-len(b)| <= k (an edit changes length by at most

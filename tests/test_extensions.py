@@ -824,3 +824,23 @@ def test_containment_matches_bruteforce(spark, docs):
         for r in dedup.containment_pairs(sample, threshold=0.5).collect()
     }
     assert got == want and want
+
+
+def test_containment_screen_cross_only_and_matches_pairs(spark, docs):
+    """The incremental screen returns exactly the batch-side rows of
+    the one-shot containment over the union — cross pairs only, never
+    corpus-corpus or batch-batch — despite ranking the batch prefixes
+    under the corpus-only inventory."""
+    sample = docs.filter(F.col("doc_id") < 120)
+    batch = sample.filter(F.col("doc_id") % 10 == 9)
+    corpus = sample.filter(F.col("doc_id") % 10 != 9)
+    got = {
+        (r.doc_id, r.dup_of, round(r.containment, 6))
+        for r in dedup.containment_screen(corpus, batch, threshold=0.5).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.containment, 6))
+        for r in dedup.containment_pairs(sample, threshold=0.5).collect()
+        if r.id_a % 10 == 9 and r.id_b % 10 != 9
+    }
+    assert got == want and want
