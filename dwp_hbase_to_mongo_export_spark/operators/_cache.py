@@ -79,6 +79,15 @@ def swap_cache(slot: str, df: DataFrame) -> DataFrame:
         hit = _SLOTS.pop(key, None)
         if hit is not None and _same_result(hit, df):
             _SLOTS[key] = hit  # refresh insertion order (LRU-ish)
+            # an external spark.catalog.clearCache() (the bench between
+            # its best-of-N reps, a test teardown) unpersists the frame
+            # BEHIND the registry; a hit must come back persisted or
+            # every consumer silently recomputes the whole subtree
+            try:
+                if hit.storageLevel == StorageLevel.NONE:
+                    hit.persist(StorageLevel.MEMORY_AND_DISK)
+            except Exception:
+                pass  # Connect or stopped session: hand back as-is
             return hit
         if hit is not None:
             # 32-bit hash collision between different inputs: keep the

@@ -57,7 +57,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 # The second LOSSLESS prefilter, shared with the DuckDB oracle: one
@@ -90,7 +89,11 @@ def _hist_band(ha: str, hb: str, k: int) -> Column:
 
 
 def _staged(
-    docs: DataFrame, text_col: str, id_col: str, normalise: bool = False
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalise: bool = False,
+    q: int | None = None,
 ) -> DataFrame:
     """``normalise=True`` measures distance between NORMALISED forms
     (functions.text.normalize_text: lower, non-alnum to space, squeeze,
@@ -98,47 +101,104 @@ def _staged(
     the edit-distance family's policy dial, matching the span family's
     strict-vs-normalised matching (spandedup). Boilerplate differing
     only in case/punctuation then reads as distance 0-ish instead of
-    punctuation-count."""
-    t = F.col(text_col)
+    punctuation-count.
+
+    With ``q`` set, also stages ``_grams`` — each document's DISTINCT
+    character q-grams as an ARRAY column (``array_distinct`` over a
+    per-row transform). Computing distinctness inside the row replaces
+    the old explode + global ``.distinct()`` (a full gram-stream
+    shuffle) with zero shuffles; documents shorter than q stage an
+    empty array (they are short-pool by definition — the old code's
+    descending ``sequence(1, 0)`` emitted truncated junk grams for
+    them, which matched nothing at q chars and only added work).
+
+    The text expression is staged in its OWN projection first: ``_len``
+    / ``_hist`` / ``_grams`` reference it ~14x, and CollapseProject
+    keeps non-cheap multi-use projections apart, so a normalised chain
+    evaluates once per row instead of once per use. The raw (id, text)
+    projection is spread to the session's parallelism BEFORE any of
+    that heavy row work (spread_scan: a no-op on real multi-row-group
+    corpora; on a small single-row-group scan it stops the whole
+    staging chain from serialising on one core)."""
+    from .partitioning import spread_scan
+
+    raw = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_raw"))
+    raw = spread_scan(raw, "_id")
+    t = F.col("_raw")
     if normalise:
         from ..functions.text import normalize_text
 
         t = normalize_text(t)
-    return docs.select(
-        F.col(id_col).alias("_id"),
-        t.alias("_t"),
-        F.length(t).alias("_len"),
-        _hist(t).alias("_hist"),
-    )
-
-
-def _gram_stream(staged: DataFrame, q: int) -> DataFrame:
-    """Distinct character q-grams per document, NARROW on purpose —
-    just (_id, g): the per-doc features (_len, _hist) are joined back
-    onto the (much smaller) prefix stream after filtering, so they do
-    not ride the explode/distinct/window shuffles.
-
-    Documents shorter than ``q`` contribute no grams (they are always
-    SHORT-pool documents)."""
-    return staged.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(_len - {q - 1}, 0)), "
-                f"i -> substring(_t, i, {q}))"
+    staged = raw.select("_id", t.alias("_t"))
+    tt = F.col("_t")
+    cols = [
+        F.col("_id"),
+        tt,
+        F.length(tt).alias("_len"),
+        _hist(tt).alias("_hist"),
+    ]
+    if q is not None:
+        cols.append(
+            F.when(
+                F.length(tt) >= q,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(tt) - (q - 1)),
+                        lambda i: tt.substr(i, F.lit(q)),
+                    )
+                ),
             )
-        ).alias("g"),
-    ).distinct()
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_grams")
+        )
+    return staged.select(*cols)
+
+
+def _prefix_emit(
+    staged: DataFrame, q: int, k: int, frozen_df: DataFrame | None = None
+) -> DataFrame:
+    """(_id, g): each document's rare-first PREFIX grams — the q*k+1
+    smallest under the (document-frequency ASC, gram ASC) total order
+    for long documents, the FULL distinct-gram set for short ones
+    (<= q*k distinct grams, where the slice is a no-op because the
+    whole set fits inside it).
+
+    One aggregate per document replaces the old row_number/count window
+    pair: ``slice(array_sort(collect_list(struct(_df, g))), 1, q*k+1)``
+    selects the same prefix set (struct sort = (_df, g) lexicographic,
+    g unique per doc so the order is total) with a hash aggregate
+    instead of a whole-partition sort, and _nset never needs a second
+    window (it is ``size(_grams)`` on the staged side).
+
+    ``frozen_df`` switches to a durable store's FROZEN gram order
+    (editindex.py contract): a left join where unseen grams rank
+    rarest (df 0)."""
+    grams = staged.select("_id", F.explode("_grams").alias("g"))
+    if frozen_df is None:
+        dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        joined = grams.join(dfreq, "g")
+    else:
+        joined = grams.join(frozen_df, "g", "left").withColumn(
+            "_df", F.coalesce("_df", F.lit(0))
+        )
+    pfx = joined.groupBy("_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("g")))),
+            1,
+            q * k + 1,
+        ).alias("_pfx")
+    )
+    return pfx.select("_id", F.explode("_pfx").alias("_e")).select(
+        "_id", F.col("_e.g").alias("g")
+    )
 
 
 def _qgrams(docs: DataFrame, text_col: str, id_col: str, q: int) -> DataFrame:
     """Distinct character q-grams per document: (id, g, len)."""
-    staged = _staged(docs, text_col, id_col)
-    return (
-        _gram_stream(staged, q)
-        .join(staged.select("_id", "_len"), "_id")
-        .select(F.col("_id").alias(id_col), "g", "_len")
-    )
+    staged = _staged(docs, text_col, id_col, q=q)
+    return staged.select(
+        F.col("_id").alias(id_col), F.explode("_grams").alias("g"), "_len"
+    ).select(id_col, "g", "_len")
 
 
 def _banded_distance(a: Column, b: Column, k: int) -> Column:
@@ -174,43 +234,34 @@ def edit_distance_pairs(
     if q < 2:
         raise ValueError("q must be >= 2 (q=1 grams carry no position signal)")
 
-    base = _staged(docs, text_col, id_col, normalise=normalise)
-    grams = _gram_stream(base, q)
-
-    # one pass computes BOTH the per-doc rare-first rank and the per-doc
-    # distinct-gram count (same partition key — one shuffle, two window
-    # nodes). Only the FILTERED emission stream is persisted
-    # (operator-scoped slot): it is ~q*k+1 rows per doc instead of the
-    # full gram stream, and it feeds both sides of the candidate
-    # self-join plus the short-pool id derivation — recomputing the
-    # explode+distinct+window per consumer is what made the first cut
-    # slow, not the joins
+    # the staged frame (text + len + hist + the per-doc gram ARRAY) is
+    # persisted once (operator-scoped slot): it feeds the dfreq
+    # aggregate, the prefix probe, the short pool, AND both verify text
+    # sides — without the persist the gram arrays (the family's
+    # dominant row work) are recomputed once per consumer, which is
+    # exactly the cost class the old distinct-Exchange reuse used to
+    # absorb
     from ._cache import swap_cache
 
-    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-    byid = Window.partitionBy("_id")
-    ranked = (
-        grams.join(dfreq, "g")
-        .withColumn(
-            "_rk",
-            F.row_number().over(byid.orderBy(F.asc("_df"), F.asc("g"))),
-        )
-        .withColumn("_nset", F.count(F.lit(1)).over(byid))
+    base = swap_cache(
+        "editdist.base", _staged(docs, text_col, id_col, normalise=normalise, q=q)
     )
 
     # ONE emission stream serves every gram-path pair shape: long docs
     # (> q*k distinct grams) emit their q*k+1 rare-first PREFIX, short
     # docs emit their FULL gram set (|set| <= q*k < q*k + 1, so the full
-    # set IS the needed prefix). A single self-join then covers
-    # long-long (prefix x prefix), mixed (full set x prefix), and —
-    # redundantly but harmlessly — short-short pairs that share a gram.
-    # The per-doc features join AFTER the prefix filter so the verify
-    # attributes ride only prefix-sized rows (docs-sized join — AQE
-    # broadcasts it at test scale, shuffles on id beyond that).
-    emit = (
-        ranked.filter((F.col("_nset") <= q * k) | (F.col("_rk") <= q * k + 1))
-        .select("_id", "g", "_nset")
-        .join(base.select("_id", "_len", "_hist"), "_id")
+    # set IS the needed prefix — _prefix_emit's slice covers both
+    # cases in one expression). The per-doc features join AFTER the
+    # prefix filter so the verify attributes ride only prefix-sized
+    # rows (docs-sized join — AQE broadcasts it at test scale, shuffles
+    # on id beyond that). The emission stream is persisted too: it
+    # feeds both sides of the candidate self-join plus the short-pool
+    # id derivation.
+    emit = _prefix_emit(base, q, k).join(
+        base.select(
+            "_id", F.size("_grams").alias("_nset"), "_len", "_hist"
+        ),
+        "_id",
     )
     emit = swap_cache("editdist.emit", emit)
 
@@ -318,31 +369,26 @@ def edit_screen_batch(
     if q < 2:
         raise ValueError("q must be >= 2 (q=1 grams carry no position signal)")
 
-    tagged = _staged(corpus, text_col, id_col, normalise=normalise).withColumn(
-        "_probe", F.lit(False)
-    ).unionByName(
-        _staged(batch, text_col, id_col, normalise=normalise).withColumn(
-            "_probe", F.lit(True)
-        )
-    )
-    grams = _gram_stream(tagged, q)
-
     from ._cache import swap_cache
 
-    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-    byid = Window.partitionBy("_id")
-    ranked = (
-        grams.join(dfreq, "g")
-        .withColumn(
-            "_rk",
-            F.row_number().over(byid.orderBy(F.asc("_df"), F.asc("g"))),
-        )
-        .withColumn("_nset", F.count(F.lit(1)).over(byid))
+    # persist the tagged union once (see edit_distance_pairs): it feeds
+    # dfreq, the prefix probe, the short pool, and both verify sides
+    tagged = swap_cache(
+        "editdist.tagged",
+        _staged(corpus, text_col, id_col, normalise=normalise, q=q)
+        .withColumn("_probe", F.lit(False))
+        .unionByName(
+            _staged(batch, text_col, id_col, normalise=normalise, q=q).withColumn(
+                "_probe", F.lit(True)
+            )
+        ),
     )
-    emit = (
-        ranked.filter((F.col("_nset") <= q * k) | (F.col("_rk") <= q * k + 1))
-        .select("_id", "g", "_nset")
-        .join(tagged.select("_id", "_len", "_hist", "_probe"), "_id")
+
+    emit = _prefix_emit(tagged, q, k).join(
+        tagged.select(
+            "_id", F.size("_grams").alias("_nset"), "_len", "_hist", "_probe"
+        ),
+        "_id",
     )
     emit = swap_cache("editdist.screen", emit)
 
@@ -393,10 +439,12 @@ def edit_screen_batch(
     cand_short = sh_a.join(sh_b, "_bkt").filter(band_pred).select("id_a", "id_b")
 
     cand = cand_gram.unionByName(cand_short).distinct()
-    ta = _staged(batch, text_col, id_col, normalise=normalise).select(
+    # verify texts come from the persisted tagged frame (its _t is the
+    # MATCHING form already), not a re-staging of the raw inputs
+    ta = tagged.filter(F.col("_probe")).select(
         F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
     )
-    tb = _staged(corpus, text_col, id_col, normalise=normalise).select(
+    tb = tagged.filter(~F.col("_probe")).select(
         F.col("_id").alias("id_b"), F.col("_t").alias("_tb")
     )
     return (

@@ -65,9 +65,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from .editdist import _banded_distance, _gram_stream, _hist_band, _staged
+from .editdist import _banded_distance, _hist_band, _prefix_emit, _staged
 from .textindex import (
     _BUILD_PENDING,
     _LAST_APPEND,
@@ -128,22 +127,9 @@ def _emit_rows(
               when the store's policy says so), which is exactly what
               the verify distance must run over.
     """
-    staged = _staged(docs, "text", "doc_id", normalise=normalise)
-    grams = _gram_stream(staged, q)
-    ranked = (
-        grams.join(frozen_df, "g", "left")
-        .withColumn("_dfo", F.coalesce("_df", F.lit(0)))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("_id").orderBy(F.asc("_dfo"), F.asc("g"))
-            ),
-        )
-        .withColumn("_nset", F.count(F.lit(1)).over(Window.partitionBy("_id")))
-    )
+    staged = _staged(docs, "text", "doc_id", normalise=normalise, q=q)
     emit = (
-        ranked.filter((F.col("_nset") <= q * k) | (F.col("_rk") <= q * k + 1))
-        .select("_id", "g")
+        _prefix_emit(staged, q, k, frozen_df=frozen_df)
         .join(staged.select("_id", "_len", "_hist"), "_id")
         .select(
             "g",
@@ -152,17 +138,13 @@ def _emit_rows(
             F.col("_hist").alias("hist"),
         )
     )
-    nset = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    doc_rows = (
-        staged.join(nset, "_id", "left")
-        .select(
-            F.col("_id").alias("id"),
-            F.col("_t").alias("text"),
-            F.col("_len").alias("len"),
-            F.col("_hist").alias("hist"),
-            F.floor(F.col("_len") / (k + 1)).cast("int").alias("lbkt"),
-            (F.coalesce("_n", F.lit(0)) <= q * k).alias("is_short"),
-        )
+    doc_rows = staged.select(
+        F.col("_id").alias("id"),
+        F.col("_t").alias("text"),
+        F.col("_len").alias("len"),
+        F.col("_hist").alias("hist"),
+        F.floor(F.col("_len") / (k + 1)).cast("int").alias("lbkt"),
+        (F.size("_grams") <= q * k).alias("is_short"),
     )
     return emit, doc_rows
 
@@ -244,8 +226,8 @@ def _build_edit_index_locked(
     last = os.path.join(path, _LAST_APPEND)
     if os.path.exists(last):
         os.remove(last)
-    staged = _staged(corpus, "text", "doc_id", normalise=normalise)
-    grams = _gram_stream(staged, q)
+    staged = _staged(corpus, "text", "doc_id", normalise=normalise, q=q)
+    grams = staged.select("_id", F.explode("_grams").alias("g"))
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     dfreq.write.mode("overwrite").parquet(os.path.join(path, "df"))
     frozen = spark.read.parquet(os.path.join(path, "df"))

@@ -52,10 +52,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .spandedup import (
-    covered_positions,
-    duplicated_grams,
+    _cached_staged,
+    _covered_starts,
+    _dup_grams,
+    _staged_grams,
     strip_covered,
-    word_grams,
 )
 from .textindex import (
     _BUILD_PENDING,
@@ -102,8 +103,8 @@ def _gram_relation(
 ) -> DataFrame:
     """(gh, bucket): the DISTINCT gram hashes of ``docs``."""
     g = (
-        word_grams(docs, text_col, id_col, n, normalise=normalise)
-        .select("gh")
+        _staged_grams(docs, text_col, id_col, n, normalise=normalise)
+        .select(F.explode(F.array_distinct("ghs")).alias("gh"))
         .distinct()
     )
     return g.withColumn("bucket", gram_bucket(F.col("gh")))
@@ -434,13 +435,15 @@ def strip_spans_with_index(
     meta = _read_meta(spark, path)
     n = int(meta["n"])
     normalise = _meta_normalise(meta)
-    bg = word_grams(batch, text_col, id_col, n, normalise=normalise)
+    bstaged = _cached_staged(batch, text_col, id_col, n, normalise=normalise)
+    bgset = bstaged.select(F.explode(F.array_distinct("ghs")).alias("gh"))
     store = spark.read.parquet(os.path.join(path, "grams")).select("gh")
-    vs_store = store.join(
-        bg.select("gh").distinct(), "gh", "left_semi"
-    ).distinct()
-    dup = vs_store.unionByName(duplicated_grams(bg, id_col, min_docs)).distinct()
-    cov = covered_positions(bg, dup, n, id_col)
+    vs_store = store.join(bgset.distinct(), "gh", "left_semi").distinct()
+    dup = vs_store.unionByName(_dup_grams(bstaged, id_col, min_docs)).distinct()
+    hits = bstaged.select(
+        F.col(id_col), F.posexplode("ghs").alias("start", "gh")
+    ).join(dup, "gh", "left_semi")
+    cov = _covered_starts(hits, n, id_col)
     return strip_covered(batch, cov, text_col, id_col)
 
 

@@ -37,3 +37,38 @@ def key_partition_id(row_key: Column, scan_width: int = 5) -> Column:
 def repartition_by_key_range(df: DataFrame, scan_width: int = 5) -> DataFrame:
     n = len(partition_ranges(scan_width))
     return df.repartitionByRange(n, key_partition_id(F.col("row_key"), scan_width))
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Fan a NARROW scan out to the session's parallelism before heavy
+    per-row work — scale-adaptively, never by a constant.
+
+    Why it exists: a parquet file is only splittable at row-group
+    boundaries, so a small input (one row group) plans as ONE scan
+    partition and every pre-exchange expression — gram hashing, JSON
+    parsing, histogram counting — runs on one core no matter how many
+    the session has (measured: the whole editdist staging chain
+    serialised on 1 of 32 cores). A corpus at real scale has thousands
+    of row groups and needs nothing, so this is a NO-OP whenever the
+    planned scan already has >= defaultParallelism partitions — it can
+    never coalesce real parallelism, and it adapts to whatever core
+    count the session was given (the bench's contract: the same code is
+    timed at several core counts).
+
+    The shuffle it inserts carries the caller's NARROW projection
+    (select the join/id + payload columns first), i.e. strictly fewer
+    bytes than the first natural exchange of the pipelines it feeds.
+    ``keys`` hash-partitions deterministically (safe under task retry —
+    guide on SPARK-38388: never round-robin rows whose downstream
+    depends on placement); with no keys it falls back to round-robin,
+    acceptable only for map-only consumers."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        return df
+    if keys:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)

@@ -10,21 +10,29 @@ Training Data Makes Language Models Better") re-expressed Spark-first
 at word-n-gram granularity:
 
 1. gram inventory    — every word position starts an n-gram; a narrow
-                       ``transform`` over the split array + posexplode
-                       (linear in corpus words, no Python).
-2. duplicate grams   — groupBy(gram md5) HAVING >= ``min_docs`` distinct
-                       docs. The ONLY corpus-wide shuffle, keyed on a
-                       128-bit hash (the payload never shuffles);
-                       partial aggregation collapses within-partition
-                       repeats before the wire.
-3. covered positions — semi-join the gram inventory back to the
+                       ``transform`` over the split array (linear in
+                       corpus words, no Python), kept as a per-row
+                       ARRAY so per-document work never shuffles.
+2. duplicate grams   — per-doc ``array_distinct`` then groupBy(gram
+                       md5) count >= ``min_docs``. The ONLY corpus-wide
+                       shuffle, keyed on a 128-bit hash (the payload
+                       never shuffles); the in-row distinct makes a
+                       plain count equal count(DISTINCT doc) — no
+                       two-shuffle distinct aggregate — and partial
+                       aggregation collapses repeats before the wire.
+3. covered positions — semi-join the gram-position stream back to the
                        duplicate-gram set. Boilerplate is a small
                        fraction of distinct grams in real corpora, so
                        AQE turns this into a broadcast join at runtime
-                       when the dup side fits; each hit explodes to its
-                       n covered word positions.
-4. span merge        — per-doc island detection (pos - row_number()),
-                       a doc-partitioned window bounded by doc length.
+                       when the dup side fits; hits regroup to ONE row
+                       per covered doc carrying only the covered START
+                       positions (n-fold fewer shuffle rows than the
+                       old exploded-position distinct), and the covered
+                       POSITION set expands per-row from the starts.
+4. span merge        — per-row island detection over the sorted covered
+                       array (filter with (element, index) lambdas) —
+                       the old doc-partitioned window and its sort are
+                       gone; islands are doc-length-bounded row work.
 5. strip             — rebuild text keeping uncovered positions; a
                        narrow per-doc array filter (no second pass over
                        clean documents' grams).
@@ -32,14 +40,15 @@ at word-n-gram granularity:
 100 TB design: step 2's shuffle is one row per corpus word — the same
 cost class as the engine's other tokenise-everything passes (BM25
 build, minhash signatures) and embarrassingly partial-aggregable.
-Steps 3-5 materialise (doc, position) pairs for DUPLICATED text only.
+Steps 3-5 materialise one row per document CONTAINING duplicated text
+(covered starts ride as an array), never a row per duplicated word.
 Hashes are full md5 so the DuckDB oracle reproduces results exactly
 (engine convention, see operators/dedup.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -51,30 +60,40 @@ def _norm_word(w: F.Column) -> F.Column:
     return F.regexp_replace(F.lower(w), "[^a-z0-9]", "")
 
 
-def word_grams(
+def _staged_grams(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
     normalise: bool = False,
 ) -> DataFrame:
-    """(id_col, start, gh): md5 of the n-word gram starting at each word
-    position. Docs shorter than n words contribute nothing (the
+    """(id_col, ws, ghs): the split word array and the position-aligned
+    gram-hash array — ``ghs[i]`` is the md5 of the n-word gram starting
+    at word position i; empty for docs shorter than n words (the
     explicit guard matters: Spark's ``sequence(0, negative)`` would
     DESCEND, not return empty).
 
     ``normalise=True`` hashes the NORMALISED words (lower + punctuation
     strip, ``_norm_word``) so boilerplate differing only in case or
-    punctuation still matches — while ``start`` positions stay indexed
-    into the ORIGINAL word array, so the strip tail removes original
-    text. Word count is unchanged by normalisation (empty normalised
-    words keep their position), which is what keeps the position
-    mapping exact."""
-    # materialise the split — and the normalised array — ONCE per row:
-    # an inlined split(text) (or transform(ws, norm)) inside the gram
-    # lambda would be re-evaluated per gram (O(words²) string work per
-    # doc; the round-10 in-round fix, same discipline here)
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    punctuation still matches — while positions stay indexed into the
+    ORIGINAL word array, so strip/report tails address original text.
+    Word count is unchanged by normalisation (empty normalised words
+    keep their position), which is what keeps the position mapping
+    exact.
+
+    Arrays are materialised ONCE per row (split, the normalised array,
+    and the gram array each live in their own projection): an inlined
+    split(text) inside the gram lambda would be re-evaluated per gram —
+    O(words²) string work per doc, the round-10 in-round fix. The raw
+    (id, text) projection is spread to the session's parallelism first
+    (spread_scan: no-op on real multi-row-group corpora; on a small
+    single-row-group scan it stops the split/md5 chain from
+    serialising on one core)."""
+    from .partitioning import spread_scan
+
+    raw = df.select(F.col(id_col), F.col(text_col).alias("_raw"))
+    raw = spread_scan(raw, id_col)
+    base = raw.select(F.col(id_col), F.split(F.col("_raw"), " ").alias("ws"))
     ws = F.col("ws")
     if normalise:
         base = base.withColumn("gws", F.transform(ws, _norm_word))
@@ -84,10 +103,44 @@ def word_grams(
     starts = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(
+    ghs = F.transform(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(gsrc, i + 1, n)))
     )
-    return base.select(F.col(id_col), F.posexplode(grams).alias("start", "gh"))
+    return base.select(F.col(id_col), "ws", ghs.alias("ghs"))
+
+
+def _cached_staged(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    normalise: bool = False,
+) -> DataFrame:
+    """``_staged_grams`` persisted under the operator-scoped cache: the
+    per-row gram-hash arrays (split + n-word concat + md5 per position —
+    the family's dominant row work) feed BOTH the duplicate-gram
+    aggregate and the occurrence probe in every pipeline below; without
+    the persist they are computed once per consumer."""
+    from ._cache import swap_cache
+
+    return swap_cache(
+        "spandedup.staged", _staged_grams(df, text_col, id_col, n, normalise)
+    )
+
+
+def word_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    normalise: bool = False,
+) -> DataFrame:
+    """(id_col, start, gh): md5 of the n-word gram starting at each word
+    position — the STREAM view of ``_staged_grams`` for consumers that
+    probe per-occurrence (the durable gram store, tests)."""
+    return _staged_grams(df, text_col, id_col, n, normalise).select(
+        F.col(id_col), F.posexplode("ghs").alias("start", "gh")
+    )
 
 
 def duplicated_grams(
@@ -95,7 +148,10 @@ def duplicated_grams(
 ) -> DataFrame:
     """Gram hashes appearing in >= min_docs DISTINCT documents — the
     cross-document duplicate inventory (within-doc repetition alone is
-    the repetition_features family's job, not dedup)."""
+    the repetition_features family's job, not dedup). Takes the
+    per-occurrence STREAM (``word_grams``); the fused pipelines use
+    ``_dup_grams`` over the staged arrays instead, where the per-doc
+    distinct is free."""
     return (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -104,17 +160,64 @@ def duplicated_grams(
     )
 
 
+def _dup_grams(
+    staged: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    with_canonical: bool = False,
+) -> DataFrame:
+    """Duplicate-gram inventory from the staged arrays: per-doc
+    ``array_distinct`` inside the row makes a plain count equal
+    count(DISTINCT doc), so the corpus-wide aggregate is a single
+    partial-aggregable shuffle instead of a two-phase distinct
+    aggregate. ``with_canonical`` adds min(id) for the keep-first
+    policy."""
+    gset = staged.select(
+        F.col(id_col), F.explode(F.array_distinct("ghs")).alias("gh")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if with_canonical:
+        aggs.append(F.min(id_col).alias("canonical"))
+    out = gset.groupBy("gh").agg(*aggs).filter(F.col("n_docs") >= min_docs)
+    return out.select("gh", "canonical") if with_canonical else out.select("gh")
+
+
+def _cov_array(starts: Column, n: int) -> Column:
+    """Sorted distinct covered positions from covered START positions:
+    each start covers [start, start+n) — per-row expansion, so only the
+    (n-fold fewer) starts ever cross a shuffle."""
+    return F.array_sort(
+        F.array_distinct(
+            F.flatten(F.transform(starts, lambda s: F.sequence(s, s + (n - 1))))
+        )
+    )
+
+
+def _covered_starts(
+    hits: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, cov): one row per doc with any duplicated-gram hit,
+    ``cov`` the sorted distinct covered word positions. ``hits`` is a
+    (id_col, start, ...) stream of duplicated-gram occurrences."""
+    return (
+        hits.groupBy(id_col)
+        .agg(F.collect_set("start").alias("_starts"))
+        .select(F.col(id_col), _cov_array(F.col("_starts"), n).alias("cov"))
+    )
+
+
 def covered_positions(
     grams: DataFrame, dup: DataFrame, n: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct (id_col, pos) word positions covered by at least one
     duplicated n-gram (a position is covered if ANY gram containing it
-    is duplicated, i.e. starts q with q <= pos < q + n)."""
+    is duplicated, i.e. starts q with q <= pos < q + n). STREAM view
+    for per-position consumers; the fused pipelines keep the per-doc
+    ARRAY form (``_covered_starts``) and never explode."""
     hits = grams.join(dup, "gh", "left_semi")
-    return hits.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
-    ).distinct()
+    return _covered_starts(hits, n, id_col).select(
+        F.col(id_col), F.explode("cov").alias("pos")
+    )
 
 
 def strip_covered(
@@ -122,12 +225,17 @@ def strip_covered(
 ) -> DataFrame:
     """(id_col, text_deduped, n_removed): rebuild each doc keeping the
     word positions NOT in ``cov`` — the shared strip tail of the
-    one-shot, incremental, and indexed span-dedup forms. Per-doc
-    covered-position sets are bounded by doc length, and only docs
-    containing duplicated text appear in ``cov`` at all."""
-    cov_sets = cov.groupBy(id_col).agg(F.collect_set("pos").alias("cov"))
-    ws_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-    joined = ws_df.join(cov_sets, id_col, "left").withColumn(
+    one-shot, incremental, and indexed span-dedup forms. ``cov`` is the
+    per-doc ARRAY form ((id_col, cov) — ``_covered_starts``): one row
+    per affected doc, bounded by doc length, and only docs containing
+    duplicated text appear at all."""
+    from .partitioning import spread_scan
+
+    raw = spread_scan(
+        df.select(F.col(id_col), F.col(text_col).alias("_raw")), id_col
+    )
+    ws_df = raw.select(F.col(id_col), F.split(F.col("_raw"), " ").alias("ws"))
+    joined = ws_df.join(cov, id_col, "left").withColumn(
         "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
     )
     kept = F.filter(F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i))
@@ -148,31 +256,59 @@ def duplicate_spans(
     """Maximal duplicated spans per document:
     (id_col, span_start, span_end, n_words, span_text), positions
     0-based inclusive. A span is a maximal run of covered positions —
-    overlapping duplicated grams merge into one reported span."""
-    grams = word_grams(df, text_col, id_col, n)
-    cov = covered_positions(grams, duplicated_grams(grams, id_col, min_docs), n, id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    spans = (
-        cov.withColumn("grp", F.col("pos") - F.row_number().over(w))
-        .groupBy(id_col, "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            F.max("pos").alias("span_end"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
-        .drop("grp")
-    )
-    ws_df = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-    # spans (duplicated text only) is the small side of this equi-join;
+    overlapping duplicated grams merge into one reported span.
+
+    Island detection is per-row over the sorted covered array: a
+    position opens a span when its predecessor is absent and closes it
+    when its successor is absent (filter with (element, index)
+    lambdas), replacing the old doc-partitioned window + sort; within
+    an island every position is present, so n_words = end - start + 1."""
+    staged = _cached_staged(df, text_col, id_col, n)
+    hits = staged.select(
+        F.col(id_col), F.posexplode("ghs").alias("start", "gh")
+    ).join(_dup_grams(staged, id_col, min_docs), "gh", "left_semi")
+    cov = _covered_starts(hits, n, id_col)
+    # cov (duplicated docs only) is the small side of this equi-join;
     # AQE broadcasts it against the full corpus at runtime.
-    return spans.join(ws_df, id_col).select(
-        id_col,
-        "span_start",
-        "span_end",
-        "n_words",
-        F.concat_ws(
-            " ", F.slice("ws", F.col("span_start") + 1, F.col("n_words").cast("int"))
-        ).alias("span_text"),
+    c = F.col("cov")
+    opens = F.filter(
+        c, lambda x, i: (i == F.lit(0)) | (F.get(c, i - 1) != x - 1)
+    )
+    closes = F.filter(
+        c, lambda x, i: (i == F.size(c) - 1) | (F.get(c, i + 1) != x + 1)
+    )
+    spans = F.zip_with(
+        opens,
+        closes,
+        lambda s, e: F.struct(
+            s.alias("span_start"),
+            e.alias("span_end"),
+            (e - s + 1).cast("bigint").alias("n_words"),
+        ),
+    )
+    from .partitioning import spread_scan
+
+    raw = spread_scan(
+        df.select(F.col(id_col), F.col(text_col).alias("_raw")), id_col
+    )
+    ws_df = raw.select(F.col(id_col), F.split(F.col("_raw"), " ").alias("ws"))
+    return (
+        cov.join(ws_df, id_col)
+        .select(F.col(id_col), "ws", F.explode(spans).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.span_start").alias("span_start"),
+            F.col("_s.span_end").alias("span_end"),
+            F.col("_s.n_words").alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "ws",
+                    F.col("_s.span_start") + 1,
+                    F.col("_s.n_words").cast("int"),
+                ),
+            ).alias("span_text"),
+        )
     )
 
 
@@ -200,9 +336,12 @@ def strip_duplicate_spans(
     ``normalise=True`` matches grams on normalised words (lower +
     punctuation strip — boilerplate that differs only in case or
     punctuation still dedups) while stripping positions from the
-    ORIGINAL text; see ``word_grams``."""
-    grams = word_grams(df, text_col, id_col, n, normalise=normalise)
-    cov = covered_positions(grams, duplicated_grams(grams, id_col, min_docs), n, id_col)
+    ORIGINAL text; see ``_staged_grams``."""
+    staged = _cached_staged(df, text_col, id_col, n, normalise=normalise)
+    hits = staged.select(
+        F.col(id_col), F.posexplode("ghs").alias("start", "gh")
+    ).join(_dup_grams(staged, id_col, min_docs), "gh", "left_semi")
+    cov = _covered_starts(hits, n, id_col)
     return strip_covered(df, cov, text_col, id_col)
 
 
@@ -229,13 +368,19 @@ def strip_spans_against_corpus(
     amortise to once per corpus (the dedupindex.py pattern); this
     operator is the index-free form.
     """
-    bg = word_grams(batch, text_col, id_col, n, normalise=normalise)
-    cg = word_grams(corpus, text_col, id_col, n, normalise=normalise).select("gh")
+    bstaged = _cached_staged(batch, text_col, id_col, n, normalise=normalise)
+    cg = _staged_grams(corpus, text_col, id_col, n, normalise=normalise).select(
+        F.explode(F.array_distinct("ghs")).alias("gh")
+    )
     # corpus grams the batch probes (batch gram set is the small side)
-    vs_corpus = cg.join(bg.select("gh").distinct(), "gh", "left_semi").distinct()
-    within = duplicated_grams(bg, id_col, min_docs)
+    bgset = bstaged.select(F.explode(F.array_distinct("ghs")).alias("gh"))
+    vs_corpus = cg.join(bgset.distinct(), "gh", "left_semi").distinct()
+    within = _dup_grams(bstaged, id_col, min_docs)
     dup = vs_corpus.unionByName(within).distinct()
-    cov = covered_positions(bg, dup, n, id_col)
+    hits = bstaged.select(
+        F.col(id_col), F.posexplode("ghs").alias("start", "gh")
+    ).join(dup, "gh", "left_semi")
+    cov = _covered_starts(hits, n, id_col)
     return strip_covered(batch, cov, text_col, id_col)
 
 
@@ -282,10 +427,11 @@ def strip_duplicate_spans_fixpoint(
     for _ in range(max_passes):
         cur = cur.persist()
         persisted.append(cur)
-        grams = word_grams(cur, "text", id_col, n)
-        cov = covered_positions(
-            grams, duplicated_grams(grams, id_col, min_docs), n, id_col
-        )
+        staged = _cached_staged(cur, "text", id_col, n)
+        hits = staged.select(
+            F.col(id_col), F.posexplode("ghs").alias("start", "gh")
+        ).join(_dup_grams(staged, id_col, min_docs), "gh", "left_semi")
+        cov = _covered_starts(hits, n, id_col)
         if cov.isEmpty():
             break
         stripped = strip_covered(
@@ -328,19 +474,12 @@ def strip_duplicate_spans_keep_first(
     remove-all form plus one column: the dup-gram aggregate carries
     min(id) and the covered-position semi-join becomes an equi-join
     filtered on ``id != canonical``."""
-    grams = word_grams(df, text_col, id_col, n)
-    dup = (
-        grams.groupBy("gh")
-        .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.min(id_col).alias("canonical"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gh", "canonical")
+    staged = _cached_staged(df, text_col, id_col, n)
+    dup = _dup_grams(staged, id_col, min_docs, with_canonical=True)
+    hits = (
+        staged.select(F.col(id_col), F.posexplode("ghs").alias("start", "gh"))
+        .join(dup, "gh")
+        .filter(F.col(id_col) != F.col("canonical"))
     )
-    hits = grams.join(dup, "gh").filter(F.col(id_col) != F.col("canonical"))
-    cov = hits.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
-    ).distinct()
+    cov = _covered_starts(hits, n, id_col)
     return strip_covered(df, cov, text_col, id_col)

@@ -3242,11 +3242,15 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import spandedup
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = spandedup.word_grams(docs, "text", "doc_id", 8)
-    cov = spandedup.covered_positions(
-        grams, spandedup.duplicated_grams(grams, "doc_id", 2), 8, "doc_id"
+    staged = spandedup._cached_staged(docs, "text", "doc_id", 8)
+    hits = staged.select(
+        "doc_id", F.posexplode("ghs").alias("start", "gh")
+    ).join(spandedup._dup_grams(staged, "doc_id", 2), "gh", "left_semi")
+    # per-doc covered COUNT is just the size of the covered array — the
+    # old exploded-position distinct + recount pair is one groupBy now
+    per_doc_cov = spandedup._covered_starts(hits, 8, "doc_id").select(
+        "doc_id", F.size("cov").alias("n")
     )
-    per_doc_cov = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     base = docs.select(
         "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("words")
     )
@@ -3374,11 +3378,13 @@ def span_dedup_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     rdocs = stripped.join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id", "source", F.col("text_deduped").alias("text")
     )
-    grams = spandedup.word_grams(rdocs, "text", "doc_id", 8)
-    cov = spandedup.covered_positions(
-        grams, spandedup.duplicated_grams(grams, "doc_id", 2), 8, "doc_id"
+    staged = spandedup._cached_staged(rdocs, "text", "doc_id", 8)
+    hits = staged.select(
+        "doc_id", F.posexplode("ghs").alias("start", "gh")
+    ).join(spandedup._dup_grams(staged, "doc_id", 2), "gh", "left_semi")
+    per_doc_cov = spandedup._covered_starts(hits, 8, "doc_id").select(
+        "doc_id", F.size("cov").alias("n")
     )
-    per_doc_cov = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     base = rdocs.select(
         "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("words")
     )
@@ -3536,12 +3542,17 @@ def span_dedup_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _cov_count(normalise: bool, policy: str) -> DataFrame:
-        grams = spandedup.word_grams(docs, "text", "doc_id", 8, normalise=normalise)
-        cov = spandedup.covered_positions(
-            grams, spandedup.duplicated_grams(grams, "doc_id", 2), 8, "doc_id"
+        staged = spandedup._cached_staged(
+            docs, "text", "doc_id", 8, normalise=normalise
         )
+        hits = staged.select(
+            "doc_id", F.posexplode("ghs").alias("start", "gh")
+        ).join(spandedup._dup_grams(staged, "doc_id", 2), "gh", "left_semi")
+        cov = spandedup._covered_starts(hits, 8, "doc_id")
         return cov.agg(
-            F.count(F.lit(1)).cast("bigint").alias("covered_words")
+            F.coalesce(F.sum(F.size("cov")), F.lit(0))
+            .cast("bigint")
+            .alias("covered_words")
         ).select(F.lit(policy).alias("policy"), "covered_words")
 
     both = _cov_count(False, "strict").unionByName(_cov_count(True, "normalised"))

@@ -151,19 +151,24 @@ _DATE_FIELDS = ["_lastModifiedDateTime", "_removedDateTime", "createdDateTime"]
 _DATE_STRUCTS_SCHEMA = ", ".join(
     f"`{f}` struct<`$date`:string>" for f in _DATE_FIELDS
 )
+_DATE_STRINGS_SCHEMA = ", ".join(f"`{f}` string" for f in _DATE_FIELDS)
 
 
-def _extract_date(structs: Column, payload: Column, field: str) -> Column:
+def _extract_date(structs: Column, strings: Column, field: str) -> Column:
     """Accept `{"$date": s}` or plain-string date shapes (Validator.kt:
     114-151): the `{"$date": ...}` struct form comes from ``structs`` —
     ONE combined from_json over all three date fields (a plain-string
     value where the struct is expected reads as NULL for that field
     without disturbing siblings, so one parse serves the whole chain;
     three per-field from_json calls measured ~25% of this query's
-    runtime) — else the raw string when it isn't an object.
-    Null/absent -> null."""
+    runtime). The plain form comes from ``strings`` — a second combined
+    from_json with all-string fields (an object/array-valued field
+    reads back as its raw JSON text, exactly like get_json_object, so
+    the startswith probe below is unchanged — but one parse replaces
+    the three per-field get_json_object payload re-parses that
+    dominated this query's per-row cost). Null/absent -> null."""
     struct_form = structs[field]["$date"]
-    raw = F.get_json_object(payload, f"$.{field}")
+    raw = strings[field]
     plain = F.when(raw.startswith("{") | raw.startswith("["), F.lit(None)).otherwise(raw)
     return F.coalesce(struct_form, plain)
 
@@ -205,7 +210,15 @@ def date_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract -> parse -> render) chains, fully codegen'd — the UDF path
     is only needed for the *recursive* wrap (export_pipeline_e2e).
     """
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # the JSON build/parse/format chain below is pure row work; a small
+    # single-row-group orders scan plans as ONE partition, so spread it
+    # to the session's parallelism first (no-op at real scale)
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     m = F.col("o_orderkey") % 4
     incoming = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS'+0000'")
@@ -235,19 +248,19 @@ def date_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(k.alias("okey"), payload.alias("_payload"))
         .select(
             "okey",
-            "_payload",
             F.from_json(F.col("_payload"), _DATE_STRUCTS_SCHEMA).alias("_structs"),
+            F.from_json(F.col("_payload"), _DATE_STRINGS_SCHEMA).alias("_strs"),
         )
         .select(
             "okey",
             _extract_date(
-                F.col("_structs"), F.col("_payload"), "_lastModifiedDateTime"
+                F.col("_structs"), F.col("_strs"), "_lastModifiedDateTime"
             ).alias("_lm"),
             _extract_date(
-                F.col("_structs"), F.col("_payload"), "_removedDateTime"
+                F.col("_structs"), F.col("_strs"), "_removedDateTime"
             ).alias("_rm"),
             _extract_date(
-                F.col("_structs"), F.col("_payload"), "createdDateTime"
+                F.col("_structs"), F.col("_strs"), "createdDateTime"
             ).alias("_cr"),
         )
     )
