@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from .dedup import minhash_sets_and_sigs
 from .textindex import (
+    _batched_leaf_purge,
     _BUILD_PENDING,
     _LAST_APPEND,
     _PENDING,
@@ -60,7 +61,6 @@ from .textindex import (
     _append_lock,
     _clear_stale_ids_record,
     _recover_swap,
-    _recovered_leaves,
     _restore_last_append,
     _swap_write,
     _write_last_append,
@@ -454,18 +454,10 @@ def _recover_dedup_index_append_impl(spark: SparkSession, path: str) -> dict:
         .distinct()
     )
     bands_dir = os.path.join(path, "bands")
-    band_leaves = _recovered_leaves(bands_dir, "band=")
-
-    def _purge_band(leaf: str) -> None:
-        bleaf = os.path.join(bands_dir, leaf)
-        cleaned = (
-            spark.read.parquet(bleaf)
-            .join(F.broadcast(ids), id_col, "left_anti")
-            .select(id_col, "band_key")
-            .sortWithinPartitions(id_col)
-        )
-        _swap_write(cleaned, bleaf)
-
+    # ONE batched job per relation instead of one per leaf (the
+    # textindex._batched_leaf_purge discipline): band leaves keep their
+    # within-file id sort (min-max pruning), and the sets purge is
+    # partition-pruned to the buckets the purged ids actually land in.
     buckets = sorted(
         r["bucket"]
         for r in ids.withColumn("bucket", _bucket_of(id_col))
@@ -473,35 +465,28 @@ def _recover_dedup_index_append_impl(spark: SparkSession, path: str) -> dict:
         .distinct()
         .collect()
     )
-
-    def _purge_set_bucket(b) -> bool:
-        sleaf = os.path.join(path, "sets", f"bucket={b}")
-        _recover_swap(sleaf)
-        if not os.path.isdir(sleaf):
-            return False
-        cleaned = (
-            spark.read.parquet(sleaf)
-            .join(F.broadcast(ids), id_col, "left_anti")
-            .select(id_col, "hs")
+    bands_purged = len(
+        _batched_leaf_purge(
+            spark,
+            bands_dir,
+            "band=",
+            ids,
+            id_col,
+            columns=[id_col, "band_key"],
+            sort_within=[id_col],
         )
-        _swap_write(cleaned, sleaf)
-        return True
-
-    # Independent per-leaf rewrites submitted concurrently (the
-    # textindex recovery discipline): a sequential loop pays one
-    # job-scheduling round-trip per band/bucket, which dominates the
-    # tiny per-leaf work; parallel submission makes recovery wall-time
-    # track the largest leaf. Same idempotence as sequential — the
-    # marker survives until everything is purged.
-    from concurrent.futures import ThreadPoolExecutor
-
-    if band_leaves:
-        with ThreadPoolExecutor(min(16, len(band_leaves))) as ex:
-            list(ex.map(_purge_band, band_leaves))
-    bands_purged = len(band_leaves)
-    if buckets:
-        with ThreadPoolExecutor(min(16, len(buckets))) as ex:
-            sets_purged = sum(ex.map(_purge_set_bucket, buckets))
+    )
+    sets_purged = len(
+        _batched_leaf_purge(
+            spark,
+            os.path.join(path, "sets"),
+            "bucket=",
+            ids,
+            id_col,
+            columns=[id_col, "hs"],
+            leaf_values=buckets,
+        )
+    )
     meta = spark.createDataFrame(
         [
             (

@@ -68,6 +68,7 @@ from pyspark.sql import functions as F
 
 from .editdist import _banded_distance, _hist_band, _prefix_emit, _staged
 from .textindex import (
+    _batched_leaf_purge,
     _BUILD_PENDING,
     _LAST_APPEND,
     _PENDING,
@@ -75,7 +76,6 @@ from .textindex import (
     _append_lock,
     _clear_stale_ids_record,
     _recover_swap,
-    _recovered_leaves,
     _restore_last_append,
     _swap_write,
     _write_last_append,
@@ -398,23 +398,13 @@ def _recover_edit_index_append_impl(spark: SparkSession, path: str) -> dict:
         return {"recovered": True, "leaves_purged": 0, "store_untouched": True}
     purge = spark.read.parquet(pids).select("id")
     leaves_purged = 0
+    # ONE batched job per relation (the textindex._batched_leaf_purge
+    # discipline — per-leaf jobs paid a scheduling round-trip each)
     for store, part in (("prefix", "gbucket="), ("docs", "bucket=")):
         sdir = os.path.join(path, store)
-        leaves = _recovered_leaves(sdir, part)
-
-        def _purge_leaf(leaf: str, sdir=sdir) -> None:
-            gleaf = os.path.join(sdir, leaf)
-            cleaned = spark.read.parquet(gleaf).join(
-                F.broadcast(purge), "id", "left_anti"
-            )
-            _swap_write(cleaned, gleaf)
-
-        if leaves:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(min(16, len(leaves))) as ex:
-                list(ex.map(_purge_leaf, leaves))
-        leaves_purged += len(leaves)
+        leaves_purged += len(
+            _batched_leaf_purge(spark, sdir, part, purge, "id")
+        )
     _write_meta(
         spark,
         path,

@@ -59,6 +59,7 @@ from .spandedup import (
     strip_covered,
 )
 from .textindex import (
+    _batched_leaf_purge,
     _BUILD_PENDING,
     _LAST_APPEND,
     _PENDING,
@@ -376,22 +377,12 @@ def _recover_gram_index_append_impl(spark: SparkSession, path: str) -> dict:
         return {"recovered": True, "leaves_purged": 0, "store_untouched": True}
     purge = spark.read.parquet(pids).select("gh")
     grams_dir = os.path.join(path, "grams")
-    leaves = _recovered_leaves(grams_dir, "bucket=")
-
-    def _purge_leaf(leaf: str) -> None:
-        gleaf = os.path.join(grams_dir, leaf)
-        cleaned = (
-            spark.read.parquet(gleaf)
-            .join(F.broadcast(purge), "gh", "left_anti")
-            .select("gh")
-        )
-        _swap_write(cleaned, gleaf)
-
-    if leaves:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(min(16, len(leaves))) as ex:
-            list(ex.map(_purge_leaf, leaves))
+    # ONE batched job purges every bucket leaf (the
+    # textindex._batched_leaf_purge discipline — per-leaf jobs paid a
+    # scheduling round-trip per bucket)
+    leaves = _batched_leaf_purge(
+        spark, grams_dir, "bucket=", purge, "gh", columns=["gh"]
+    )
     _write_meta(
         spark,
         path,

@@ -58,16 +58,25 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     The shuffle it inserts carries the caller's NARROW projection
     (select the join/id + payload columns first), i.e. strictly fewer
     bytes than the first natural exchange of the pipelines it feeds.
-    ``keys`` hash-partitions deterministically (safe under task retry —
-    guide on SPARK-38388: never round-robin rows whose downstream
-    depends on placement); with no keys it falls back to round-robin,
-    acceptable only for map-only consumers."""
+    ``keys`` hash-partitions deterministically (retry-safe by key, and
+    skips round-robin's sort-before-repartition pass); with no keys it
+    falls back to round-robin, acceptable only for map-only consumers.
+
+    This is the KEYED sibling of sources.parquet.ensure_parallelism
+    (which guards the pandas-UDF operators) and shares its cheap
+    "already parallel?" probe: df.inputFiles() — an analyzed-plan
+    file-index lookup, not df.rdd.getNumPartitions(), which forces a
+    full optimize+physical-plan+RDD conversion per call. File count
+    under-estimates splits (a big file yields many splits), which only
+    errs toward skipping the repartition at scale — the safe
+    direction."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= n:
-            return df
+        n_files = len(df.inputFiles())
     except Exception:
+        n_files = 0  # non-file source: assume narrow, spread it
+    if n_files >= n:
         return df
     if keys:
         return df.repartition(n, *[F.col(k) for k in keys])

@@ -483,26 +483,23 @@ def _recover_ivf_index_append_impl(spark, path: str) -> dict:
     )
     ids = pids.select(F.col("id").alias("neighbor_id")).distinct()
 
-    def _purge_cluster(cl: int) -> bool:
-        leaf = os.path.join(postings_dir, f"cluster={cl}")
-        if not os.path.isdir(leaf):
-            return False
-        cleaned = (
-            spark.read.parquet(leaf)
-            .join(F.broadcast(ids), "neighbor_id", "left_anti")
-            .select("neighbor_id", "cv")
+    # ONE partition-pruned batched job over the recorded clusters (the
+    # textindex._batched_leaf_purge discipline — per-leaf jobs paid a
+    # scheduling round-trip per touched cluster); idempotent on partial
+    # failure via the marker.
+    from .textindex import _batched_leaf_purge
+
+    purged = len(
+        _batched_leaf_purge(
+            spark,
+            postings_dir,
+            "cluster=",
+            ids,
+            "neighbor_id",
+            columns=["neighbor_id", "cv"],
+            leaf_values=clusters,
         )
-        _swap_write(cleaned, leaf)
-        return True
-
-    # Concurrent independent leaf rewrites (the textindex recovery
-    # discipline): wall-time tracks the largest touched cluster, not
-    # the cluster count; idempotent on partial failure via the marker.
-    if clusters:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(min(16, len(clusters))) as ex:
-            purged = sum(ex.map(_purge_cluster, clusters))
+    )
     # Sidecar is pre-append state too (see textindex recovery).
     _restore_last_append(path, old_last)
     # Marker removal commits the recovery; a surviving ids dir is inert.

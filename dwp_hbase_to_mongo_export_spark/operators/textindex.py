@@ -393,6 +393,96 @@ def _recovered_leaves(parent: str, prefix: str) -> list[str]:
     )
 
 
+def _swap_dir(staged: str, target: str) -> None:
+    """Atomically swap a fully-written ``staged`` dir into ``target``
+    (the tail of ``_swap_write`` without the write): backup-rename,
+    stage-rename, backup-delete. A crash between the renames leaves
+    ``<target>.swap-old``, which ``_recover_swap`` restores on the next
+    entry — the same remnant naming every swap in this store family
+    uses."""
+    backup = target.rstrip("/") + ".swap-old"
+    os.rename(target, backup)
+    os.rename(staged, target)
+    shutil.rmtree(backup)
+
+
+def _batched_leaf_purge(
+    spark: SparkSession,
+    sdir: str,
+    prefix: str,
+    purge: DataFrame,
+    key: str,
+    columns: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    leaf_values: list | None = None,
+) -> list[str]:
+    """Anti-join ``purge``'s ``key`` values out of every ``prefix``
+    leaf under ``sdir`` with ONE Spark job, then swap each leaf in
+    atomically — the batched form of the per-leaf read-rewrite loop.
+
+    Why: recovery's cost at bench scale was JOB COUNT, not bytes — one
+    read+anti-join+write job per leaf (64-bucket stores, ×2 relations,
+    ×6 stores in the drill) is hundreds of tiny scheduling round-trips.
+    One partitioned read of the store parent + one ``partitionBy``
+    staging write computes every leaf's purged content in a single
+    job; the per-leaf atomicity the crash protocol relies on is
+    preserved because each leaf still changes only via its own
+    directory swap (same ``.swap-old`` remnant naming, recovered by
+    ``_recovered_leaves``/``_recover_swap`` on re-entry). Idempotent
+    exactly like the sequential form: the append marker outlives the
+    whole loop, so a crashed/partial pass re-runs cleanly, and a stale
+    ``.purge-staging`` from a crashed attempt is deleted on entry.
+
+    ``columns`` pins the data-file column order (must match what the
+    store's appends write); ``sort_within`` adds a within-file sort
+    (after the partition column) for stores whose files are row-group
+    pruned by min-max on that column; ``leaf_values`` restricts the
+    purge to those partition values (partition-pruned read — the
+    dedupindex sets/ shape where only the batch's buckets are
+    touched). A leaf whose rows are ALL purged gets an empty rewrite
+    via the single-leaf ``_swap_write`` fallback (the staging write
+    cannot emit an empty partition).
+
+    Returns the purged leaf names."""
+    part = prefix.rstrip("=")
+    leaves = _recovered_leaves(sdir, prefix)
+    if leaf_values is not None:
+        wanted = {f"{part}={v}" for v in leaf_values}
+        leaves = [leaf for leaf in leaves if leaf in wanted]
+    if not leaves:
+        return []
+    staging = sdir.rstrip("/") + ".purge-staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # a crashed earlier attempt; recompute
+    store = spark.read.parquet(sdir)
+    if leaf_values is not None:
+        store = store.filter(F.col(part).isin(list(leaf_values)))
+    cleaned = store.join(F.broadcast(purge), key, "left_anti")
+    cols = columns or [c for c in cleaned.columns if c != part]
+    # one task per partition value -> exactly ONE file per rewritten
+    # leaf, like the old per-leaf rewrite (file-count governance and
+    # the compaction verdict both watch files-per-leaf)
+    cleaned = cleaned.select(*cols, part).repartition(F.col(part))
+    if sort_within:
+        cleaned = cleaned.sortWithinPartitions(part, *sort_within)
+    cleaned.write.mode("overwrite").partitionBy(part).parquet(staging)
+    for leaf in leaves:
+        target = os.path.join(sdir, leaf)
+        staged = os.path.join(staging, leaf)
+        if os.path.isdir(staged):
+            _swap_dir(staged, target)
+        else:
+            # every row purged: rewrite the leaf empty (schema kept)
+            empty = (
+                spark.read.parquet(target)
+                .join(F.broadcast(purge), key, "left_anti")
+                .select(*cols)
+            )
+            _swap_write(empty, target)
+    shutil.rmtree(staging, ignore_errors=True)
+    return leaves
+
+
 def _swap_write(df: DataFrame, target: str, partition_by: str | None = None) -> None:
     """Materialise ``df`` into a staging dir, then swap it in — safe
     even when ``df`` READS from ``target`` (the merge shapes below),
@@ -634,42 +724,53 @@ def _recover_text_index_append_impl(spark: SparkSession, path: str) -> dict:
         return {"recovered": True, "buckets_purged": 0, "store_untouched": True}
     doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
     postings_dir = os.path.join(path, "postings")
-    leaves = _recovered_leaves(postings_dir, "bucket=")
-
-    def _purge_leaf(leaf: str) -> None:
-        pleaf = os.path.join(postings_dir, leaf)
-        cleaned = (
-            spark.read.parquet(pleaf)
-            .join(F.broadcast(doc_ids), "doc_id", "left_anti")
-            .select("term", "doc_id", "tf", "dl")
-        )
-        _swap_write(cleaned, pleaf)
-        sleaf = os.path.join(path, "stats", leaf)
-        _recover_swap(sleaf)  # leaf-level remnant from a crashed recovery
-        df_rel = (
-            spark.read.parquet(pleaf)
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-            .select("term", "df")
-        )
-        if os.path.isdir(sleaf):
-            _swap_write(df_rel, sleaf)
-        else:
-            df_rel.write.mode("overwrite").parquet(sleaf)
-
-    # Leaf purges are mutually independent (distinct directories, own
-    # swap brackets) and tiny, so a sequential driver loop pays one
-    # job-scheduling round-trip PER BUCKET — the dominant cost at any
-    # scale. Submit them concurrently (Spark's scheduler accepts
-    # multi-threaded job submission); wall-time then tracks the largest
-    # leaf. Idempotent on failure exactly like the sequential form: the
-    # marker survives until every leaf is done, so a crashed/partial
-    # parallel pass re-runs cleanly.
+    # ONE job purges every posting bucket (see _batched_leaf_purge —
+    # per-leaf jobs paid a scheduling round-trip per bucket), then ONE
+    # job recomputes every purged bucket's per-term df from the purged
+    # postings (df == posting rows per term — exact, bucket-local).
+    leaves = _batched_leaf_purge(
+        spark,
+        postings_dir,
+        "bucket=",
+        doc_ids,
+        "doc_id",
+        columns=["term", "doc_id", "tf", "dl"],
+    )
     if leaves:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(min(16, len(leaves))) as ex:
-            list(ex.map(_purge_leaf, leaves))
+        stats_dir = os.path.join(path, "stats")
+        staging = stats_dir.rstrip("/") + ".purge-staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        df_all = (
+            spark.read.parquet(postings_dir)
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .select("term", "df", "bucket")
+            .repartition(F.col("bucket"))  # one file per stats leaf
+        )
+        df_all.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        for leaf in leaves:
+            sleaf = os.path.join(stats_dir, leaf)
+            _recover_swap(sleaf)  # remnant from a crashed recovery
+            staged = os.path.join(staging, leaf)
+            if os.path.isdir(staged):
+                if os.path.isdir(sleaf):
+                    _swap_dir(staged, sleaf)
+                else:
+                    os.rename(staged, sleaf)
+            else:
+                # the purged bucket is empty: its stats leaf must be too
+                empty = (
+                    spark.read.parquet(os.path.join(postings_dir, leaf))
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+                    .select("term", "df")
+                )
+                if os.path.isdir(sleaf):
+                    _swap_write(empty, sleaf)
+                else:
+                    empty.write.mode("overwrite").parquet(sleaf)
+        shutil.rmtree(staging, ignore_errors=True)
     buckets_purged = len(leaves)
     restored = spark.createDataFrame(
         [(old["n_docs"], old["n_tok_docs"], old["sum_dl"])],
