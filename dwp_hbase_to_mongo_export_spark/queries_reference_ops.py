@@ -88,7 +88,13 @@ def sanitise_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 unscoped: escape sequences retained, global replaces still apply;
     v2 scoped, but the backslash is itself escaped (negative lookbehind
        keeps it) and the literal text \\u0000 is dropped."""
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     v = F.col("o_orderkey") % 3
     body = F.when(
@@ -153,7 +159,13 @@ def id_reverse_engineer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ($oid-wrapped); anything else renders key-sorted. v0 string scalar,
     v1 multi-key object (note input key order b-then-a is sorted to
     a-then-b), v2 numeric scalar."""
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     v = F.col("o_orderkey") % 3
     suffix = (
@@ -199,7 +211,13 @@ def business_audit_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """db=data/collection=businessAudit records: the context subobject is
     lifted to the top level with AUDIT_EVENT (from auditType) and
     TIME_STAMP/TIME_STAMP_ORIG (from the envelope lastModified) injected."""
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     d = F.date_format("o_orderdate", _CANON)
     payload = F.concat(
@@ -230,7 +248,13 @@ def _equality_wrap_udf(payload: pd.Series, inner_type: pd.Series) -> pd.Series:
 def equality_wrap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """topic=data.equality payloads are re-wrapped as
     {"message": {...payload, "@type": innerType}}."""
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     payload = F.concat(F.lit('{"v":'), k, F.lit("}"))
     return o.select(

@@ -51,7 +51,13 @@ def validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan reused, no second read). Records with o_orderkey%10==3 carry a
     blank IV, %10==7 omit dbObject; everything else is valid and excluded.
     """
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     envelope = F.to_json(
         F.struct(
@@ -113,7 +119,13 @@ def db_collection_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     lit(parsed_db)) inside the envelope projection — records with
     o_orderkey%3==0 carry message db/collection; the rest omit them and
     fall back."""
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
     k = F.col("o_orderkey").cast("string")
     has_msg = F.col("o_orderkey") % 3 == 0
     envelope = F.to_json(
@@ -297,7 +309,13 @@ def conditional_field_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (archived must be dropped); the rest carry only archived (kept).
     Only even keys are scanned to exercise filter + transform together.
     """
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    from .operators.partitioning import spread_scan
+
+    # heavy per-row work over a single-row-group scan: spread first
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").filter(F.col("o_orderkey") % 2 == 0),
+        "o_orderkey",
+    )
     d = F.date_format("o_orderdate", _CANON)
     rec = F.when(
         F.col("o_orderkey") % 3 == 0,
