@@ -31,7 +31,11 @@ def test_count_prunes_span_strip_but_bench_action_keeps_it(spark, sf_dir):
     counted = df.groupBy().count()
     assert _joins(counted) == 0 and _generates(counted) == 0
     acted = bench.bench_action(df)
-    assert _joins(acted) >= 2 and _generates(acted) >= 3
+    # round-11 plan shape: 2 generates (gram-set explode + hit
+    # posexplode — covered positions now expand per-row inside arrays
+    # instead of a third explode), still >= 2 joins (dup semi-join +
+    # the strip's cov join)
+    assert _joins(acted) >= 2 and _generates(acted) >= 2
 
 
 def test_bench_action_keeps_aggregate_expressions(spark, sf_dir):
