@@ -428,104 +428,86 @@ _register_extra_modules()
 # the documented code-changed overrides pulled ahead of staleness order
 # (tests/test_catalog_lint.py exempts exactly these from the
 # no-fresher-than-a-staler-outsider rule).
-DRIVER_WINDOW_ROUND = 11
+DRIVER_WINDOW_ROUND = 12
 DRIVER_WINDOW_CHANGED = [
-    "dedup_spans_indexed",
+    # rewritten in round 11 (a8478b0: span-family shared helpers;
+    # 8e008bb: spread_scan'd validation/reference queries and the
+    # date chain's get_json_object->from_json parse) — their last
+    # driver-green rows predate the rewrite, so they lead the r12
+    # window per the round-11 verdict #2.
+    "business_audit_lift",
+    "conditional_field_drop",
+    "date_fallback_chain",
+    "db_collection_fallback",
+    "dedup_spans_apply",
+    "dedup_spans_incremental",
+    "dedup_spans_keep_first",
+    "duplicate_spans",
+    "equality_wrap",
+    "id_reverse_engineer",
+    "sanitise_strings",
+    "span_dedup_report",
+    "validation_quarantine",
 ]
 
-# Round-11 window (tools/rotate_window.py --changed dedup_spans_indexed,
-# adopted per the round-10 verdict #3): the five queries registered
-# this round lead (residual monitor, bounded fixpoint, normalised span
-# matching — index-free and durable-store forms — and the
-# strict-vs-normalised policy report); then
-# dedup_spans_indexed, whose probe-join strategy changed this round
-# (forced broadcast dropped for AQE-decided, round-11 advice); then the
-# ENTIRE remaining r7 cohort (9 queries — the oldest driver evidence,
-# including udtf_split_sentences, the r10 verdict's named leader); then
-# fill to 50 from the r8 cohort alphabetically. Staleness floor after
-# this round: r8.
+# Round-12 window (tools/rotate_window.py --changed <the 13 above>):
+# no never-checked queries remain (every gated query has at least one
+# all-true driver row), so the window is the 13 code-changed rewrites
+# first, then fill to 50 from the r8 cohort (the stalest evidence —
+# nothing older remains). Staleness floor after this round: r8.
 DRIVER_WINDOW = [
-    # never driver-checked (registered this round; sorted — the
-    # test_catalog_lint contract for the unchecked tier)
-    "ann_recall_filtered",
-    "containment_screen",
-    "corpus_epoch_plan",
-    "dedup_containment",
-    "dedup_edit_apply",
-    "dedup_edit_clusters",
-    "dedup_edit_distance",
-    "dedup_edit_incremental",
-    "dedup_edit_indexed",
-    "dedup_edit_normalised",
-    "dedup_embedding_incremental",
-    "dedup_jaccard_prefix",
-    "dedup_spans_fixpoint",
-    "dedup_spans_indexed_normalised",
-    "dedup_spans_normalised",
-    "distinct_users_hll",
-    "distinct_users_hll_by_day",
-    "distinct_users_hll_indexed",
-    "dsir_importance_weights",
-    "dsir_resample",
-    "edit_distance_report",
-    "hll_sketch_merge",
-    "jsonl_roundtrip",
-    "similarity_topk_filtered",
-    "similarity_topk_ivf_filtered",
-    "source_quota_cap",
-    "source_token_budget_cap",
-    "span_dedup_policy_report",
-    "span_dedup_residual",
-    "streaming_distinct_hll",
-    "streaming_dsir_weights",
-    # code changed this round: indexed probe join is AQE-decided now
-    "dedup_spans_indexed",
-    # staleness retirement: last all-true at the driver in round 7
-    "streaming_quantiles_hist",
-    "text_boilerplate_df",
-    "text_unigram_logprob",
-    "tfidf_top_terms",
-    "topk_orders_per_customer",
-    "train_val_split",
-    "udtf_split_sentences",
-    "value_quantiles_hist",
-    "word_freq_cms",
+    # code changed in round 11 (see DRIVER_WINDOW_CHANGED)
+    "business_audit_lift",
+    "conditional_field_drop",
+    "date_fallback_chain",
+    "db_collection_fallback",
+    "dedup_spans_apply",
+    "dedup_spans_incremental",
+    "dedup_spans_keep_first",
+    "duplicate_spans",
+    "equality_wrap",
+    "id_reverse_engineer",
+    "sanitise_strings",
+    "span_dedup_report",
+    "validation_quarantine",
     # staleness fill: last all-true at the driver in round 8
-    "asof_click_attribution",
-    "cluster_prototypes",
-    "continuous_aggregate_rollup",
-    "corpus_drift_psi",
-    "cube_revenue",
-    "decontaminate_corpus",
-    "dedup_clusters",
-    "dedup_clusters_alternating",
-    "dedup_embedding_cosine_lsh",
-    # (dedup_simhash / dedup_simhash_near trimmed when the containment
-    # family — dedup_containment, containment_screen, session 3 — took
-    # the unchecked tier)
-    # (embedding_norms / kmeans_clusters /
-    # kmeans_purity / latest_per_key / manifest_projection /
-    # moving_avg_and_gaps / multimodal_audio_segments /
-    # multimodal_frame_sample / multimodal_meta trimmed from this fill
-    # when the session-3 queries — the edit-distance family
-    # (dedup_edit_distance, dedup_edit_apply, dedup_edit_incremental,
-    # dedup_edit_indexed, dedup_edit_normalised, dedup_edit_clusters,
-    # edit_distance_report) and the per-source quotas
-    # (source_quota_cap, source_token_budget_cap) — took the unchecked
-    # tier, keeping the window at 50; they rotate back next round)
-    # (15 r8-cohort names trimmed from this fill when the session-2 round-11
-    # queries — HLL family incl. its streaming member, DSIR batch +
-    # streaming-maintained forms, filtered ANN, epoch planning, the
-    # IVF-served incremental embedding dedup, filtered-probe recall
-    # governance, the JSONL roundtrip, the durable HLL register store —
-    # took the unchecked tier, keeping the window at 50; they rotate
-    # back in next round:
-    # pivot_event_counts q10_returned_items q13_order_distribution
-    # q14_promo_share q15_top_supplier
-    # q16_supplier_variety q17_small_qty_revenue q18_large_orders
-    # q19_disjunctive_pred q22_idle_customers q7_nation_volume
-    # q9_profit_by_nation_year quantiles_by_type_hist
-    # range_join_click_to_purchase scd2_incremental)
+    "dedup_simhash",
+    "dedup_simhash_near",
+    "embedding_norms",
+    "kmeans_clusters",
+    "kmeans_purity",
+    "latest_per_key",
+    "manifest_projection",
+    "moving_avg_and_gaps",
+    "multimodal_audio_segments",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "quantiles_by_type_hist",
+    "range_join_click_to_purchase",
+    "scd2_incremental",
+    "semantic_dedup",
+    "session_windows",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "streaming_kmeans_assign",
+    "streaming_word_freq_cms",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition",
 ]
 
 
