@@ -114,6 +114,25 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Re-lay the single-row-group fixtures out as multi-file tables ONCE,
+    # outside timing (round-11 verdict #6: one-row-group parquet plans
+    # every scan as ONE task, so the bench measured per-query fixed
+    # costs and the 8-core run beat the 32-core run). The copy is
+    # content-identical (sources/rechunk.py verifies nothing and
+    # computes nothing from results — it is a pure input re-layout, the
+    # layout a production table would actually have), built per source
+    # fingerprint under a flock, and shared by every core-count tier so
+    # the driver's scaling comparison stays apples-to-apples. Set
+    # SPARK_GRAFT_NO_RECHUNK=1 to bench the raw single-row-group layout
+    # (the pre-r12 measurement condition).
+    if not os.environ.get("SPARK_GRAFT_NO_RECHUNK"):
+        from dwp_hbase_to_mongo_export_spark.sources.rechunk import multifile_copy
+
+        try:
+            sf_dir = multifile_copy(sf_dir)
+        except Exception as e:
+            print(f"bench: fixture re-layout failed, using raw dir: {e}",
+                  file=sys.stderr)
     spark = get_spark(app_name="bench")
     # Time the full operator surface: the gated catalog plus bench-only
     # entries (no oracle by structure — e.g. the OPQ rotation — but
@@ -133,9 +152,17 @@ def main() -> None:
     # invocations — measured cold-vs-steady-state gap on the e2e pipeline
     # is 33 s vs 3.9 s for identical data. sf0.01 is big enough to reach
     # the same compiled paths at 1/10 the data cost.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    raw_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.path.join(os.path.dirname(raw_sf.rstrip("/")), "sf0.01")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    elif warm_dir != sf_dir and not os.environ.get("SPARK_GRAFT_NO_RECHUNK"):
+        from dwp_hbase_to_mongo_export_spark.sources.rechunk import multifile_copy
+
+        try:
+            warm_dir = multifile_copy(warm_dir)
+        except Exception:
+            pass  # warmup works on the raw layout too
     for name in names:
         try:
             bench_action(qs[name](spark, warm_dir)).collect()
