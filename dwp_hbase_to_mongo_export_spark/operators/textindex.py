@@ -415,6 +415,7 @@ def _batched_leaf_purge(
     columns: list[str] | None = None,
     sort_within: list[str] | None = None,
     leaf_values: list | None = None,
+    fold=None,
 ) -> list[str]:
     """Anti-join ``purge``'s ``key`` values out of every ``prefix``
     leaf under ``sdir`` with ONE Spark job, then swap each leaf in
@@ -443,6 +444,18 @@ def _batched_leaf_purge(
     via the single-leaf ``_swap_write`` fallback (the staging write
     cannot emit an empty partition).
 
+    ``fold``, when given, is called with the purged, ``part``-
+    partitioned frame while it is PERSISTED (right after the staging
+    write, before the swaps) — a derived relation (e.g. the text
+    index's per-bucket df stats) can then be computed from the purge
+    pass's own output instead of re-reading the whole store afterwards
+    (round-11 verdict #3: the stats recompute was a second full store
+    scan + shuffle). Because the frame is hash-partitioned by ``part``,
+    a ``groupBy(part, ...)`` inside the fold aggregates WITHOUT another
+    exchange. The fold must only write STAGING output: the store has
+    not been swapped yet, so a crash inside the fold is recovered by
+    the marker protocol exactly like a crash inside the purge.
+
     Returns the purged leaf names."""
     part = prefix.rstrip("=")
     leaves = _recovered_leaves(sdir, prefix)
@@ -465,7 +478,15 @@ def _batched_leaf_purge(
     cleaned = cleaned.select(*cols, part).repartition(F.col(part))
     if sort_within:
         cleaned = cleaned.sortWithinPartitions(part, *sort_within)
-    cleaned.write.mode("overwrite").partitionBy(part).parquet(staging)
+    if fold is not None:
+        cleaned = cleaned.persist()
+    try:
+        cleaned.write.mode("overwrite").partitionBy(part).parquet(staging)
+        if fold is not None:
+            fold(cleaned)
+    finally:
+        if fold is not None:
+            cleaned.unpersist()
     for leaf in leaves:
         target = os.path.join(sdir, leaf)
         staged = os.path.join(staging, leaf)
@@ -724,10 +745,27 @@ def _recover_text_index_append_impl(spark: SparkSession, path: str) -> dict:
         return {"recovered": True, "buckets_purged": 0, "store_untouched": True}
     doc_ids = spark.read.parquet(pdocs_dir).select("doc_id").distinct()
     postings_dir = os.path.join(path, "postings")
-    # ONE job purges every posting bucket (see _batched_leaf_purge —
-    # per-leaf jobs paid a scheduling round-trip per bucket), then ONE
-    # job recomputes every purged bucket's per-term df from the purged
-    # postings (df == posting rows per term — exact, bucket-local).
+    stats_dir = os.path.join(path, "stats")
+    staging = stats_dir.rstrip("/") + ".purge-staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    # ONE pass purges every posting bucket AND derives the stats
+    # relation from the purge output (the ``fold``): the purged frame
+    # is persisted bucket-partitioned, so the per-bucket per-term df
+    # aggregate (df == posting rows per term — exact, bucket-local)
+    # runs exchange-free on the in-memory purge result instead of
+    # re-scanning the whole store after the swap (round-11 verdict #3:
+    # the recompute was the recovery's second full store read).
+    def _fold_stats(cleaned: DataFrame) -> None:
+        (
+            cleaned.groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .select("term", "df", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+
     leaves = _batched_leaf_purge(
         spark,
         postings_dir,
@@ -735,20 +773,9 @@ def _recover_text_index_append_impl(spark: SparkSession, path: str) -> dict:
         doc_ids,
         "doc_id",
         columns=["term", "doc_id", "tf", "dl"],
+        fold=_fold_stats,
     )
     if leaves:
-        stats_dir = os.path.join(path, "stats")
-        staging = stats_dir.rstrip("/") + ".purge-staging"
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
-        df_all = (
-            spark.read.parquet(postings_dir)
-            .groupBy("bucket", "term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-            .select("term", "df", "bucket")
-            .repartition(F.col("bucket"))  # one file per stats leaf
-        )
-        df_all.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         for leaf in leaves:
             sleaf = os.path.join(stats_dir, leaf)
             _recover_swap(sleaf)  # remnant from a crashed recovery
