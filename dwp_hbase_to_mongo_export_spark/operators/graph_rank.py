@@ -57,10 +57,16 @@ PR_ITERATIONS = 3
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of an edge relation: each (u, v) contributes
-    u->v and v->u, de-duplicated. One distinct (one shuffle)."""
+    u->v and v->u, de-duplicated. ONE shuffle, keyed by src alone: the
+    dedup aggregate needs rows clustered by (src, dst), and
+    hashpartitioning(src) satisfies that (subset of the grouping keys),
+    so repartitioning by src BEFORE the distinct both feeds the
+    aggregate and leaves the result hash-partitioned by src — the
+    layout every PageRank iteration's join wants (no second
+    exchange)."""
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.unionAll(rev).distinct()
+    return fwd.unionAll(rev).repartition("src").dropDuplicates()
 
 
 def pagerank(
@@ -79,23 +85,34 @@ def pagerank(
     Exactly one bounded driver scalar: N = node count (needed in the
     closed-form update); everything else stays distributed.
     """
-    # materialise the symmetrized edges ONCE: they feed the node set,
-    # the degree relation, and every iteration's join — without this
-    # the upstream edge derivation (often itself a join, e.g. the
-    # trade graph's orders |><| lineitem) re-executes 2 + iterations
-    # times (bench-measured 7.8 s -> 3.6 s on the sf0.1 catalog query
-    # at local[32]; the remaining cost is the iterations' own eager
-    # checkpoints). Pre-partitioning by src was tried (round 8) and
-    # REVERTED: under AQE, localCheckpoint's LogicalRDD reports
-    # UnknownPartitioning (probed in tests — the SPARK-39915 behaviour
-    # class), so the iteration joins re-shuffle regardless and the
-    # extra build shuffle bought nothing measurable (A/B at sf0.1:
-    # 4.6 vs 4.7 s, inside noise). On a real cluster the per-iteration
-    # edge exchange is the scaling cost: the deployment-grade fix is
-    # bucketed storage for the edge relation (write bucketBy(src),
-    # read with bucketed scans), which survives checkpoint/session
-    # boundaries in a way in-memory partitioning here cannot.
-    und = symmetrize(edges).localCheckpoint(eager=True)
+    # materialise the symmetrized edges ONCE, hash-partitioned by src:
+    # they feed the node set, the degree relation, and every
+    # iteration's join — without materialisation the upstream edge
+    # derivation (often itself a join, e.g. the trade graph's
+    # orders |><| lineitem) re-executes 2 + iterations times.
+    #
+    # Round 12 (round-11 verdict #5): ``repartition("src") + persist``
+    # instead of the former ``localCheckpoint``. localCheckpoint's
+    # LogicalRDD reports UnknownPartitioning under AQE (probed and
+    # reverted in round 8 — the SPARK-39915 behaviour class), so every
+    # iteration re-exchanged the EDGE relation, the largest frame in
+    # the computation. An InMemoryRelation preserves its cached plan's
+    # hashpartitioning(src) (AQE does not re-partition cached plans by
+    # default: canChangeCachedPlanOutputPartitioning=false), so the
+    # per-iteration join on src now exchanges only the RANK state —
+    # one row per node — and the 2 + iterations consumers of ``und``
+    # (nodes distinct, degree groupBy, 3 join probes) all reuse the one
+    # exchange. This is the in-session form of the bucketed-edge
+    # layout the verdict names: same exchange elimination, with the
+    # build still computed (and timed) from the source tables on every
+    # invocation. A durable deployment writes the symmetrized relation
+    # bucketed by src once and gets the same property across sessions.
+    # Cache slot is operator-scoped (_cache.swap_cache): re-invocations
+    # release the previous entry, and a cache hit whose storage an
+    # external clearCache() dropped re-persists (the bench discipline).
+    from ._cache import swap_cache
+
+    und = swap_cache("graph_rank.edges", symmetrize(edges))
     nodes = und.select(F.col("src").alias("node_id")).distinct()
     # outdeg == degree in the symmetrized graph; always >= 1 by
     # construction so rank/outdeg below never divides by zero and no
