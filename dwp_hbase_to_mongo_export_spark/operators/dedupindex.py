@@ -604,21 +604,37 @@ def query_dedup_index(
     stored_bands = spark.read.parquet(os.path.join(path, "bands")).select(
         F.col(id_col).alias("dup_of"), "band", "band_key"
     )
-    cand = (
+    # The candidate relation is persisted: it feeds the verify pair
+    # list, the candidate-id bucket probe below, AND the corpus-set
+    # prune join — unpersisted, each consumer re-ran the 64-leaf bands
+    # scan + band join (round-11 verdict #8: the probe's store-scan
+    # fixed costs were the bench-visible cost).
+    cand = swap_cache(
+        "dedup_index_cand",
         batch_bands.join(stored_bands, ["band", "band_key"])
         .select(F.col(id_col).alias("id_a"), F.col("dup_of").alias("id_b"))
-        .distinct()
+        .distinct(),
     )
     cand_ids = (
         cand.select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("bucket", _bucket_of(id_col))
     )
-    corpus_sets = (
-        spark.read.parquet(os.path.join(path, "sets"))
-        .join(F.broadcast(cand_ids), ["bucket", id_col])
-        .select(id_col, "hs")
-    )
+    # leaf_values-style STATIC partition pruning (the shape the purges
+    # already use): only the buckets the candidates can live in are
+    # read — a bounded driver list (<= the store's bucket count, 64),
+    # never corpus-sized. The broadcast id join alone relied on
+    # runtime DPP, which leaves the full 64-leaf listing + scan in the
+    # plan when it does not fire.
+    cand_buckets = [
+        r["bucket"] for r in cand_ids.select("bucket").distinct().collect()
+    ]
+    store_sets = spark.read.parquet(os.path.join(path, "sets"))
+    if cand_buckets:
+        store_sets = store_sets.filter(F.col("bucket").isin(cand_buckets))
+    corpus_sets = store_sets.join(
+        F.broadcast(cand_ids), ["bucket", id_col]
+    ).select(id_col, "hs")
     all_sets = mh.select(id_col, "hs").unionByName(corpus_sets)
     from .dedup import jaccard_of_sets
 
