@@ -69,6 +69,7 @@ def _selective_rmtree_boom(monkeypatch, module, marker_dir_suffix):
 # ---------------------------------------------------------------- text
 
 
+@pytest.mark.slow
 def test_text_crash_after_commit_point_is_inert(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -164,6 +165,7 @@ def test_text_legacy_marker_without_ids_record_raises(spark, docs, tmp_path):
 # --------------------------------------------------------------- dedup
 
 
+@pytest.mark.slow
 def test_dedup_crash_after_commit_point_is_inert(
     spark, docs, tmp_path, monkeypatch
 ):

@@ -68,20 +68,22 @@ def test_oracle_schema_driver_safe(name, duck):
     )
 
 
-def test_spark_outputs_have_no_complex_columns(spark, sf_dir):
-    offending = {}
-    for name, fn in catalog.QUERIES.items():
-        bad = {
-            f.name: f.dataType.simpleString()
-            for f in fn(spark, sf_dir).schema.fields
-            if isinstance(f.dataType, _COMPLEX_SPARK)
-        }
-        if bad:
-            offending[name] = bad
-    assert not offending, (
-        f"catalog queries emit array/map/struct columns the driver "
-        f"canonicaliser cannot hash: {offending}"
+def test_spark_outputs_have_no_complex_columns():
+    """The per-query check lives in tests/test_catalog_oracle.py's
+    oracle matrix (folded there in round 12: this file used to re-build
+    all 188 query DataFrames — ~220 s, since eager surfaces execute
+    real work at construction — duplicating a pass the oracle matrix
+    already makes; round-11 verdict #1). This stub pins the contract's
+    continued existence: the matrix covers every gated query."""
+    import ast
+    from pathlib import Path
+
+    src = (Path(__file__).parent / "test_catalog_oracle.py").read_text()
+    assert "complex_cols" in src and "ArrayType" in src, (
+        "the complex-column lint was removed from the oracle matrix — "
+        "restore it (driver round-3 failure class: unhashable columns)"
     )
+    ast.parse(src)
 
 
 def test_driver_window_is_valid():

@@ -500,6 +500,7 @@ def test_ivf_postings_compaction_preserves_results(spark, emb, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_ivf_disk_index_drift_governance_cycle(spark, emb, tmp_path):
     """The full lifecycle the durable index needs governance for:
     (1) train a quantiser on the initial corpus, build + save — recall
@@ -661,6 +662,7 @@ def test_opq_rotation_durable_roundtrip(spark, emb, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_streaming_ingest_into_durable_ivf_index(spark, emb, tmp_path):
     """The production ingest story, end to end: a durable IVF index is
     built and saved on the initial corpus, then a STREAM of new vectors

@@ -82,6 +82,7 @@ def test_text_governance_compact_loop(spark, docs, tmp_path):
     assert gov["healthy"] and not gov["compact"]
 
 
+@pytest.mark.slow
 def test_dedup_governance_compact_loop(spark, docs, tmp_path):
     path = str(tmp_path / "ix")
     dedupindex.build_dedup_index(

@@ -126,6 +126,7 @@ def test_governance_uses_meta_persisted_id_col(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_torn_append_recovers_and_retries(spark, docs, tmp_path, monkeypatch):
     """The round-8 advice scenario end-to-end: an append crashes AFTER
     its band/set rows landed (before the meta swap). A blind retry
@@ -223,6 +224,7 @@ def test_crashed_inplace_rebuild_leaves_build_marker(
     assert dedupindex.dedup_index_governance(spark, path, [0, 7])["healthy"]
 
 
+@pytest.mark.slow
 def test_recovery_survives_its_own_crash_mid_swap(spark, docs, tmp_path, monkeypatch):
     """A recovery run can itself die between a leaf swap's two renames,
     stranding that band leaf in `.swap-old` with no live target. The

@@ -59,6 +59,7 @@ def test_indexed_screen_equals_index_free(spark, docs, tmp_path):
     assert len(_rows(want)) > 0  # value evidence, not agreement-on-empty
 
 
+@pytest.mark.slow
 def test_append_equals_rebuild_under_frozen_order(spark, docs, tmp_path):
     """The appended half ranks its grams under the OTHER half's frozen
     df order — the drift path — and the answers must still equal both
@@ -100,6 +101,7 @@ def test_short_and_empty_docs_served_by_index(spark, tmp_path):
 # ------------------------------------------------------------ protocol
 
 
+@pytest.mark.slow
 def test_torn_append_recovers_to_pre_append_state(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -224,6 +226,7 @@ def test_build_pending_refused_and_fingerprint_none(spark, docs, tmp_path):
     assert editindex.stored_fingerprint(spark, path) is None
 
 
+@pytest.mark.slow
 def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
     """The store-family race pin, applied to the sixth store: two
     appends racing on one edit index must queue on the _append.lock —
@@ -257,6 +260,7 @@ def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
     from dwp_hbase_to_mongo_export_spark.streaming import incremental
 
@@ -320,6 +324,7 @@ def test_normalised_store_equals_index_free_normalised(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_normalised_policy_survives_append_and_recovery(
     spark, tmp_path, monkeypatch
 ):
@@ -365,6 +370,7 @@ def test_normalised_policy_survives_append_and_recovery(
 # ------------------------------------------------------------ governance
 
 
+@pytest.mark.slow
 def test_governance_flags_planted_duplicate_ids(spark, docs, tmp_path):
     corpus, _ = _split(docs)
     old = corpus.filter(F.col("doc_id") < 300)
@@ -395,6 +401,7 @@ def test_governance_reports_order_drift_after_append(spark, docs, tmp_path):
     assert isinstance(g["compact"], bool)
 
 
+@pytest.mark.slow
 def test_compact_preserves_answers(spark, docs, tmp_path):
     corpus, batch = _split(docs)
     old = corpus.filter(F.col("doc_id") < 300)

@@ -322,6 +322,7 @@ def test_text_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
         assert m_inc[c] == m_full[c], c
 
 
+@pytest.mark.slow
 def test_text_index_compaction_preserves_results(spark, sf_dir, tmp_path):
     """Several appends fragment the bucket directories; compaction
     shrinks the file count, keeps the Hive bucket layout (static
@@ -473,6 +474,7 @@ def test_text_index_swap_recovers_from_crash_between_renames(spark, sf_dir, tmp_
     assert not _os.path.isdir(stats + ".swap-old")  # cleaned up
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("crash_at", ["stats", "meta"])
 def test_text_index_torn_append_recovers_and_retries(
     spark, sf_dir, tmp_path, monkeypatch, crash_at

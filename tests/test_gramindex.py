@@ -306,6 +306,7 @@ def test_same_batch_id_twice_noops(spark, docs, tmp_path):
     assert _store_ghs(spark, path) == ghs and _meta(spark, path) == meta
 
 
+@pytest.mark.slow
 def test_rebuild_clears_the_idempotence_record(spark, docs, tmp_path):
     small = docs.filter(F.col("doc_id") < 100)
     delta = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
@@ -318,6 +319,7 @@ def test_rebuild_clears_the_idempotence_record(spark, docs, tmp_path):
     assert r["committed"] and not r["skipped_duplicate_batch"]
 
 
+@pytest.mark.slow
 def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
     from dwp_hbase_to_mongo_export_spark.streaming import incremental
 
@@ -348,6 +350,7 @@ def test_streaming_epoch_ingest_exactly_once(spark, docs, tmp_path):
     assert _store_ghs(spark, path) == _store_ghs(spark, ref)
 
 
+@pytest.mark.slow
 def test_streaming_ingest_auto_compacts_between_epochs(spark, docs, tmp_path):
     """Round-10 verdict #5: the WHEN-compact verdict must be ACTED on.
     Epoch-per-file ingest fragments the gram leaves; with a tight
@@ -413,6 +416,7 @@ def test_governance_flags_planted_duplicates(spark, docs, tmp_path):
     assert leaf in gov["duplicate_leaves"]
 
 
+@pytest.mark.slow
 def test_governance_compact_verdict_after_many_appends(spark, tmp_path):
     base = spark.createDataFrame(
         [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id bigint, text string"

@@ -91,6 +91,7 @@ def test_dedup_same_batch_id_twice_noops(spark, docs, tmp_path):
     assert res["committed"] and dedupindex.read_last_append(path) == "b2"
 
 
+@pytest.mark.slow
 def test_text_ivf_pq_same_batch_id_twice_noops(spark, docs, emb, tmp_path):
     # text
     tpath = str(tmp_path / "tix")
@@ -164,6 +165,7 @@ def test_rebuild_clears_the_idempotence_record(spark, docs, tmp_path):
 # ------------------------------------------------------- crash windows
 
 
+@pytest.mark.slow
 def test_crash_before_sidecar_retry_commits(spark, docs, tmp_path, monkeypatch):
     """Window: store+meta landed, sidecar write crashed (marker still
     present, sidecar absent). Retry with the SAME id must COMMIT — it
@@ -240,6 +242,7 @@ def test_crash_after_commit_retry_skips(spark, docs, tmp_path, monkeypatch):
     assert _bands(spark, path) == _bands(spark, full)
 
 
+@pytest.mark.slow
 def test_crash_mid_store_write_retry_commits_once(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -287,6 +290,7 @@ def test_pre_batchid_marker_leaves_sidecar_alone(spark, docs, tmp_path):
 # ------------------------------------------------- streaming ingest e2e
 
 
+@pytest.mark.slow
 def test_streaming_epoch_keyed_ingest_exactly_once(spark, docs, tmp_path):
     """foreachBatch ingest with epoch-id-keyed appends: N micro-batches
     land once each and the final store is row-identical to a batch
@@ -338,6 +342,7 @@ def test_streaming_epoch_keyed_ingest_exactly_once(spark, docs, tmp_path):
 # ---------------------------------------------------- mutual exclusion
 
 
+@pytest.mark.slow
 def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
     """Two appends racing on one store used to be mutually destructive:
     each one's entry-time recovery read the OTHER's live marker as a
@@ -373,6 +378,7 @@ def test_concurrent_appends_serialize_not_corrupt(spark, docs, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_text_ingest_matches_batch_build(spark, docs, tmp_path):
     """The generic ingest bound to the text store: a 3-file epoch drain
     appends exactly once per epoch and the final index answers queries
@@ -400,6 +406,7 @@ def test_streaming_text_ingest_matches_batch_build(spark, docs, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+@pytest.mark.slow
 def test_ivf_stream_ingest_exactly_once_with_auto_compaction(
     spark, emb, tmp_path
 ):

@@ -73,6 +73,7 @@ def _run_drill(sf_dir: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+@pytest.mark.slow
 def test_starved_session_matches_unconstrained(spark):
     sf_dir = "/root/testdata/sf0.01"
     expected = _session_hashes(spark, sf_dir)
