@@ -716,12 +716,43 @@ def winnowing_overlap_pairs(
         )
     rare = dfreq.filter(F.col("df") <= cap).select("fp")
     good = fps.join(rare, "fp")
-    a = good.select(F.col("fp"), F.col(id_col).alias("id_a"))
-    b = good.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    # Pair generation is IN-ROW (the span-family treatment, round-11
+    # verdict #7): regroup the capped fingerprints to one row per fp
+    # carrying its sorted distinct doc-id array (bounded by the df cap,
+    # <= abs_max_df ids — safe collect_set state at any corpus size
+    # BECAUSE it runs after the rare filter), then expand the C(df, 2)
+    # ordered pairs with array lambdas. The old form self-joined the
+    # good relation — TWO independent df-count aggregates (one per join
+    # side re-deriving `rare`), two sorts for the merge join, and both
+    # sides' rows copied into the join — where one fp-keyed aggregate
+    # plus JVM-codegen'd in-row expansion produces the identical pair
+    # multiset: ids are distinct per fp (fps emits distinct (id, fp))
+    # and sorted ascending, so (ids[i], ids[j]) for i < j enumerates
+    # exactly the id_a < id_b pairs the join produced.
+    grouped = good.groupBy("fp").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + F.lit(2),
+                            F.size(F.col("ids")) - i - F.lit(1),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
