@@ -26,19 +26,28 @@ temp root, and returns the copy's path. Properties:
   and atomically renamed so a crashed build is invisible.
 * **Probe-compatible**: the per-row-heavy operators guard their
   parallelism with ``df.inputFiles()`` probes (``ensure_parallelism``,
-  ``spread_scan``). A multi-FILE layout makes those probes see the
-  real parallelism and no-op, exactly as they would on a production
-  table — a multi-row-group single file would defeat the probe (file
-  count under-estimates splits) and stack a redundant exchange on an
-  already-parallel scan.
+  ``spread_scan``). A multi-FILE layout is what those probes can see —
+  a multi-row-group single file would be invisible to them (file count
+  under-estimates splits) and they would stack a redundant exchange on
+  an already-parallel scan. At the default 8 files under a 32-core
+  session the guards still fire and fan the guarded work out to the
+  full core count; on a session with <= 8 cores they no-op.
 
 Chunk count: ``min(files_target, rows // min_rows_per_file)`` per
 table, floor 1 — small dimension tables (nation, region) stay single
-files; fact tables split to ``files_target`` parts. The default 32 is
-a fixture-layout constant (how many row groups a production table's
-bench-scale slice would plausibly hold), NOT the session core count:
-the same copy serves every ``$SPARK_GRAFT_CPUS`` tier, which is what
-makes the driver's cross-core-count scaling comparison meaningful.
+files; fact tables split to ``files_target`` parts. The default 8 is a
+fixture-layout constant, NOT the session core count: the same copy
+serves every ``$SPARK_GRAFT_CPUS`` tier, which is what makes the
+driver's cross-core-count scaling comparison meaningful. 8 was chosen
+by A/B against 16/32-way splits at sf0.1: the per-row-heavy operators
+are parallelism-guarded (``ensure_parallelism``/``spread_scan``
+repartition to the session's core count when the scan has fewer
+files), so the copy only needs to unlock SPLITTABILITY, not supply
+full fan-out — 32-way splits made Spark plan one task per tiny file
+for every sub-second scan-bound query (+0.2-1.0 s each, pure task
+overhead), while 8-way kept those flat AND kept the unguarded
+map-heavy surfaces (streaming sources, int8 quantise, boilerplate)
+within a few percent of their 32-way wins.
 """
 
 from __future__ import annotations
@@ -51,7 +60,7 @@ import tempfile
 from ..functions.fingerprint import source_fingerprint
 from ..functions.indexcache import build_lock
 
-FILES_TARGET = 32
+FILES_TARGET = 8
 MIN_ROWS_PER_FILE = 100
 
 
@@ -95,7 +104,9 @@ def multifile_copy(
     )
     out = os.path.join(root, os.path.basename(sf_dir))
     fp_file = os.path.join(out, "_source-fingerprint")
-    fp = source_fingerprint(sf_dir)
+    # files_target participates: a copy built at another split count
+    # must not be served for this one
+    fp = f"{source_fingerprint(sf_dir)}|ft={files_target}"
     with build_lock(out):
         if os.path.isfile(fp_file):
             with open(fp_file, encoding="utf-8") as f:

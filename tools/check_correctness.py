@@ -123,7 +123,13 @@ def main() -> int:
     spark = _driver_like_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single parquet file OR a directory of part
+        # files (the bench's multi-file re-layout; production layout) —
+        # DuckDB needs a glob for the directory form, and the glob must
+        # sort by name to preserve the layout's global row order
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     qs, oracles = queries(), oracle_sql()
     sf_name = os.path.basename(sf_dir.rstrip("/"))
