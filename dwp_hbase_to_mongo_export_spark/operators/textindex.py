@@ -406,6 +406,13 @@ def _swap_dir(staged: str, target: str) -> None:
     shutil.rmtree(backup)
 
 
+# Purge lists up to this size are inlined as a NOT-IN scan predicate in
+# _batched_leaf_purge (no broadcast-build job, parquet pushdown); larger
+# ones anti-join. Sized to keep literal plans small while covering every
+# realistic single-batch purge.
+_ISIN_PURGE_MAX = 10_000
+
+
 def _batched_leaf_purge(
     spark: SparkSession,
     sdir: str,
@@ -470,7 +477,22 @@ def _batched_leaf_purge(
     store = spark.read.parquet(sdir)
     if leaf_values is not None:
         store = store.filter(F.col(part).isin(list(leaf_values)))
-    cleaned = store.join(F.broadcast(purge), key, "left_anti")
+    # A SMALL purge list becomes a literal NOT-IN predicate instead of
+    # a broadcast anti-join: no broadcast-build job, and the In filter
+    # pushes down into the parquet scan (recovery's cost is scheduling
+    # round-trips, not bytes — guide §6). Exact anti-join semantics:
+    # a NULL store key never matches the join and must survive the
+    # filter too. Large (delta-sized) purges keep the broadcast
+    # anti-join — a million-term isin would bloat the plan, the
+    # opposite trade.
+    purge_vals = purge.select(key).distinct().limit(_ISIN_PURGE_MAX + 1).collect()
+    if len(purge_vals) <= _ISIN_PURGE_MAX:
+        vals = [r[0] for r in purge_vals]
+        cleaned = store.filter(
+            F.col(key).isNull() | ~F.col(key).isin(vals)
+        )
+    else:
+        cleaned = store.join(F.broadcast(purge), key, "left_anti")
     cols = columns or [c for c in cleaned.columns if c != part]
     # one task per partition value -> exactly ONE file per rewritten
     # leaf, like the old per-leaf rewrite (file-count governance and

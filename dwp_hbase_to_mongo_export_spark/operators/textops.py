@@ -695,12 +695,19 @@ def winnowing_overlap_pairs(
     cached relation instead of leaking one per call."""
     from ._cache import swap_cache
 
+    # Persisted REPARTITIONED BY fp: every downstream step — the df
+    # count, the rare join, the pair regroup — is keyed by fp, and an
+    # InMemoryRelation preserves its cached plan's hashpartitioning, so
+    # ONE exchange of the narrow (id, fp) relation feeds them all
+    # exchange-free (guide §2.4: share one exchange between same-keyed
+    # operations). Unpartitioned, the df count and the regroup each
+    # paid their own fp shuffle.
     fps = swap_cache(
         "winnowing_overlap_pairs",
         winnowing_fingerprints(
             corpus, text_col=text_col, id_col=id_col, k=k, window=window,
             max_chars=max_chars,
-        ),
+        ).repartition("fp"),
     )
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
